@@ -1,0 +1,136 @@
+"""Sampler base classes and kernel/parameter config dataclasses.
+
+Parity with reference ``nfmc/algorithms/sampling/base.py:9-61,317-348``.
+Kernels here are *user-facing config* objects; the scan-carried numeric state
+is a separate registered pytree owned by each sampler (the reference mutates
+the kernel dataclass in place instead — that pattern can't cross jit).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import numpy as np
+
+from ..utils import event_size_of
+from .output import MCMCOutput
+from .rng import resolve_key
+
+
+@dataclass
+class MCMCKernel:
+    """Base tunable-state config; reference ``base.py:9-15``."""
+
+    def __post_init__(self):
+        pass
+
+
+@dataclass
+class MCMCParameters:
+    """Run configuration; reference ``base.py:29-43``."""
+
+    n_iterations: int = 100
+    n_warmup_iterations: int = 100
+    tuning: bool = False
+    store_samples: bool = True
+
+    def __post_init__(self):
+        pass
+
+    def tuning_mode(self):
+        self.tuning = True
+
+    def sampling_mode(self):
+        self.tuning = False
+
+
+def _default_flow(event_shape):
+    # Imported lazily to avoid a cycle (flows import core utils).
+    from ..flows import Flow, RealNVP
+
+    return Flow(RealNVP(event_shape))
+
+
+@dataclass
+class NFMCKernel(MCMCKernel):
+    """Kernel holding a normalizing flow; reference ``base.py:18-26``."""
+
+    event_shape: Tuple[int, ...] = ()
+    flow: Any = None
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.event_shape = tuple(self.event_shape)
+        if self.flow is None:
+            self.flow = _default_flow(self.event_shape)
+
+
+@dataclass
+class NFMCParameters(MCMCParameters):
+    """Reference ``base.py:46-61``."""
+
+    train_pct: float = 0.7
+    max_train_size: int = 4096
+    max_val_size: int = 4096
+    flow_fit_kwargs: Optional[Dict[str, Any]] = None
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.flow_fit_kwargs is None:
+            self.flow_fit_kwargs = {
+                "early_stopping": True,
+                "early_stopping_threshold": 50,
+                "batch_size": "adaptive",
+                "show_progress": False,
+            }
+
+
+class Sampler:
+    """Abstract sampler; reference ``base.py:317-348``.
+
+    ``warmup``/``sample`` additionally accept an optional explicit PRNG
+    ``key``/``seed`` (JAX RNG discipline); when omitted, keys come from the
+    global stream pinned by :func:`nfmc_tpu.set_seed`.
+    """
+
+    def __init__(
+        self,
+        event_shape: Union[Tuple[int, ...], list],
+        target,
+        kernel: MCMCKernel,
+        params: MCMCParameters,
+    ):
+        self.event_shape = tuple(event_shape)
+        self.target = target
+        self.kernel = kernel
+        self.params = params
+        self.event_size = event_size_of(self.event_shape)
+
+    @property
+    def name(self) -> str:
+        return "Generic sampler"
+
+    def _key(self, key=None, seed=None) -> jax.Array:
+        return resolve_key(key, seed)
+
+    def warmup(
+        self,
+        x0,
+        show_progress: bool = True,
+        time_limit_seconds: Optional[float] = None,
+        key: Optional[jax.Array] = None,
+        seed: Optional[int] = None,
+    ) -> MCMCOutput:
+        raise NotImplementedError
+
+    def sample(
+        self,
+        x0,
+        show_progress: bool = True,
+        time_limit_seconds: Optional[float] = None,
+        key: Optional[jax.Array] = None,
+        seed: Optional[int] = None,
+    ) -> MCMCOutput:
+        raise NotImplementedError

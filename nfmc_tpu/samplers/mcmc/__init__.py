@@ -1,0 +1,15 @@
+from .base import MCMCSampler, MetropolisKernel, MetropolisParameters, MetropolisSampler
+from .mh import MH, MHKernel, MHParameters, RandomWalk
+from .langevin import MALA, ULA, Langevin, LangevinKernel, LangevinParameters
+from .hmc import HMC, UHMC, HMCKernel, HMCParameters
+from .ess import ESS, ESSKernel, ESSParameters
+from .nuts import NUTS, NUTSKernel, NUTSParameters
+
+__all__ = [
+    "MCMCSampler", "MetropolisKernel", "MetropolisParameters", "MetropolisSampler",
+    "MH", "MHKernel", "MHParameters", "RandomWalk",
+    "MALA", "ULA", "Langevin", "LangevinKernel", "LangevinParameters",
+    "HMC", "UHMC", "HMCKernel", "HMCParameters",
+    "ESS", "ESSKernel", "ESSParameters",
+    "NUTS", "NUTSKernel", "NUTSParameters",
+]

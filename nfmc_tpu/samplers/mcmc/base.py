@@ -1,0 +1,279 @@
+"""MCMC sampler driver + Metropolis adaptation, TPU-native.
+
+Behavioral parity with reference ``nfmc/algorithms/sampling/mcmc/base.py``:
+
+* the hot loop (``mcmc/base.py:69-98``) — propose, masked accept, counters,
+  streaming moments, optional kernel adaptation — compiles into a single
+  jitted ``lax.scan`` body (see :mod:`nfmc_tpu.core.driver`);
+* warmup (``mcmc/base.py:39-54``) runs the same scan in tuning mode for
+  ``n_warmup_iterations`` and keeps the tuned kernel (no deepcopy needed —
+  state is an explicit pytree);
+* Metropolis adaptation (``mcmc/base.py:142-161``): EMA of per-dimension
+  chain variance into ``inv_mass_diag`` plus Nesterov dual averaging of the
+  step size, both as pure pytree updates inside the scan.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.driver import ChunkedScanDriver, StepInfo
+from ...core.output import MCMCOutput
+from ...core.sampler import MCMCKernel, MCMCParameters, Sampler
+from ...core.tuning import (
+    DualAveragingParams,
+    DualAveragingState,
+    da_init,
+    da_step,
+)
+from ...utils import as_numpy, event_size_of
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MetropolisState:
+    """Scan-carried numeric state for Metropolis-family kernels."""
+
+    step_size: jax.Array  # f32 scalar
+    inv_mass_diag: jax.Array  # (event_size,)
+    da: DualAveragingState
+
+
+@dataclass
+class MetropolisKernel(MCMCKernel):
+    """User-facing tunable state; reference ``mcmc/base.py:105-123``."""
+
+    event_size: int = 0
+    inv_mass_diag: Optional[np.ndarray] = None
+    step_size: float = 0.01
+    da_params: Optional[DualAveragingParams] = None
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.inv_mass_diag is None:
+            self.inv_mass_diag = np.ones(self.event_size, dtype=np.float32)
+        else:
+            self.inv_mass_diag = np.asarray(self.inv_mass_diag, dtype=np.float32)
+            if self.inv_mass_diag.shape != (self.event_size,):
+                raise ValueError(
+                    f"inv_mass_diag shape {self.inv_mass_diag.shape} != ({self.event_size},)"
+                )
+        if self.da_params is None:
+            self.da_params = DualAveragingParams()
+
+    def make_state(self) -> MetropolisState:
+        return MetropolisState(
+            step_size=jnp.asarray(self.step_size, dtype=jnp.float32),
+            inv_mass_diag=jnp.asarray(self.inv_mass_diag, dtype=jnp.float32),
+            da=da_init(self.step_size, self.da_params),
+        )
+
+    def sync_from_state(self, state: MetropolisState) -> None:
+        self.step_size = float(state.step_size)
+        self.inv_mass_diag = as_numpy(state.inv_mass_diag)
+
+    def __repr__(self):
+        return (
+            f"log step: {math.log(self.step_size):.2f}, "
+            f"mass norm: {float(np.max(np.abs(self.inv_mass_diag))):.2f}"
+        )
+
+
+@dataclass
+class MetropolisParameters(MCMCParameters):
+    """Reference ``mcmc/base.py:126-131``."""
+
+    tune_inv_mass_diag: bool = True
+    tune_step_size: bool = True
+    adjustment: bool = True
+    imd_adjustment: float = 1e-3
+
+
+class MCMCSampler(Sampler):
+    """Shared scan-driven MCMC runner; reference ``mcmc/base.py:13-102``."""
+
+    def __init__(
+        self,
+        event_shape,
+        target: Callable,
+        kernel: MCMCKernel,
+        params: MCMCParameters,
+        data_transform: Optional[Callable] = None,
+    ):
+        super().__init__(event_shape, target, kernel, params)
+        self.data_transform = data_transform
+        self._driver: Optional[ChunkedScanDriver] = None
+        self._driver_config = None
+
+    @property
+    def name(self) -> str:
+        return "Generic MCMC"
+
+    # ---- to be provided by subclasses -------------------------------------
+    def make_propose(self) -> Callable:
+        """Return pure fn ``(x, mstate, key) -> (x_prime, accept_mask, diverged)``."""
+        raise NotImplementedError
+
+    def calls_per_iter(self, n_chains: int) -> int:
+        raise NotImplementedError
+
+    def grads_per_iter(self, n_chains: int) -> int:
+        raise NotImplementedError
+
+    def _static_config(self) -> Tuple:
+        """Static config participating in jit specialization; subclasses extend."""
+        p = self.params
+        return (
+            getattr(p, "adjustment", None),
+            getattr(p, "tune_inv_mass_diag", None),
+            getattr(p, "tune_step_size", None),
+            getattr(p, "imd_adjustment", None),
+        )
+
+    # ---- kernel adaptation -------------------------------------------------
+    def make_update_kernel(self) -> Callable:
+        """Pure tuning update; reference ``MetropolisSampler.update_kernel``
+        (``mcmc/base.py:142-161``)."""
+        p = self.params
+        kern = self.kernel
+        tune_imd = getattr(p, "tune_inv_mass_diag", False)
+        tune_step = getattr(p, "tune_step_size", False) and getattr(p, "adjustment", False)
+        imd_adjustment = getattr(p, "imd_adjustment", 1e-3)
+        da_params = getattr(kern, "da_params", None) or DualAveragingParams()
+
+        def update(mstate: MetropolisState, x: jax.Array, mask: jax.Array) -> MetropolisState:
+            n_chains = x.shape[0]
+            inv_mass_diag = mstate.inv_mass_diag
+            if tune_imd and n_chains > 1:
+                var = jnp.var(x.reshape(n_chains, -1), axis=0)
+                inv_mass_diag = (
+                    imd_adjustment * var + (1.0 - imd_adjustment) * inv_mass_diag
+                )
+            da = mstate.da
+            step_size = mstate.step_size
+            if tune_step:
+                acc_rate = jnp.mean(mask.astype(jnp.float32))
+                error = da_params.target_acceptance_rate - acc_rate
+                da = da_step(da, error, da_params)
+                step_size = jnp.exp(da.log_step_averaged)
+            return MetropolisState(step_size=step_size, inv_mass_diag=inv_mass_diag, da=da)
+
+        return update
+
+    # ---- scan step construction ---------------------------------------------
+    def _make_step(self, tuning: bool) -> Callable:
+        propose = self.make_propose()
+        update_kernel = self.make_update_kernel()
+        event_ndim = len(self.event_shape)
+
+        def step(x, mstate, key):
+            x_prime, mask, diverged = propose(x, mstate, key)
+            bmask = mask.reshape(mask.shape + (1,) * event_ndim)
+            x_new = jnp.where(bmask, x_prime, x)
+            if tuning:
+                mstate = update_kernel(mstate, x_new, mask)
+            info = StepInfo(
+                n_accepted=jnp.sum(mask).astype(jnp.int32),
+                diverged=diverged.astype(jnp.int32),
+            )
+            return x_new, mstate, info
+
+        return step
+
+    def _get_driver(self) -> ChunkedScanDriver:
+        config = self._static_config()
+        if self._driver is None or self._driver_config != config:
+            self._driver = ChunkedScanDriver(
+                self.event_shape, self._make_step, data_transform=self.data_transform
+            )
+            self._driver_config = config
+        return self._driver
+
+    # ---- public API ----------------------------------------------------------
+    def warmup(
+        self,
+        x0,
+        show_progress: bool = True,
+        time_limit_seconds: Optional[float] = None,
+        key=None,
+        seed=None,
+    ) -> MCMCOutput:
+        """Tuning run of ``n_warmup_iterations``; keeps the tuned kernel.
+
+        Same contract as reference ``mcmc/base.py:39-54`` (deepcopy-free: the
+        tuned state is synced back into ``self.kernel``).
+        """
+        return self._run(
+            x0,
+            n_iterations=self.params.n_warmup_iterations,
+            tuning=True,
+            show_progress=show_progress,
+            time_limit_seconds=time_limit_seconds,
+            key=self._key(key, seed),
+            desc=f"{self.name} (tuning)",
+        )
+
+    def sample(
+        self,
+        x0,
+        show_progress: bool = True,
+        time_limit_seconds: Optional[float] = None,
+        key=None,
+        seed=None,
+    ) -> MCMCOutput:
+        return self._run(
+            x0,
+            n_iterations=self.params.n_iterations,
+            tuning=self.params.tuning,
+            show_progress=show_progress,
+            time_limit_seconds=time_limit_seconds,
+            key=self._key(key, seed),
+            desc=self.name,
+        )
+
+    def _run(
+        self,
+        x0,
+        n_iterations: int,
+        tuning: bool,
+        show_progress: bool,
+        time_limit_seconds,
+        key,
+        desc: str,
+    ) -> MCMCOutput:
+        x0 = jnp.asarray(x0, dtype=jnp.float32)
+        n_chains = x0.shape[0]
+        out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples)
+        out.running_samples.store_samples = self.params.store_samples
+
+        mstate = self.kernel.make_state()
+        driver = self._get_driver()
+        x, mstate = driver.run(
+            x0,
+            mstate,
+            key,
+            n_iterations,
+            stats=out.statistics,
+            samples=out.running_samples,
+            calls_per_iter=self.calls_per_iter(n_chains),
+            grads_per_iter=self.grads_per_iter(n_chains),
+            tuning=tuning,
+            collect=self.params.store_samples,
+            time_limit_seconds=time_limit_seconds,
+            show_progress=show_progress,
+            desc=desc,
+        )
+        self.kernel.sync_from_state(mstate)
+        out.kernel = self.kernel
+        return out
+
+
+class MetropolisSampler(MCMCSampler):
+    def __init__(self, event_shape, target, kernel: MetropolisKernel, params: MetropolisParameters, **kw):
+        super().__init__(event_shape, target, kernel, params, **kw)

@@ -1,0 +1,188 @@
+"""Elliptical slice sampling (Murray, Adams & MacKay 2010), fully vectorized.
+
+Parity with reference ``nfmc/algorithms/sampling/mcmc/ess.py``:
+
+* ellipse ``nu ~ N(0, cov)``, threshold ``log y = -nll(f) + log u``, bracket
+  ``[theta - 2 pi, theta]`` and a fixed ``max_iterations = 5`` shrink loop with
+  first-acceptance-wins masks (``ess.py:12-64``) — here a masked
+  ``lax.fori_loop`` inside the jitted scan step;
+* the all-accept hack ``mask = ones`` (``ess.py:107``);
+* quirk kept for parity: ``ESS.sample`` discards ``x0`` and redraws from the
+  prior (``ess.py:121-127``);
+* counters: ``(max_iterations + 1) * B`` target calls per iteration, 0 grads
+  (``ess.py:114``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.sampler import MCMCKernel, MCMCParameters
+from ...utils import get_batch_shape
+from .base import MCMCSampler
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ESSState:
+    """Scan-carried state: Cholesky factor of the prior covariance (or None)."""
+
+    chol: Optional[jax.Array]
+
+
+@dataclass
+class ESSKernel(MCMCKernel):
+    event_shape: Tuple[int, ...] = ()
+    cov: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.event_shape = tuple(self.event_shape)
+
+    def make_state(self) -> ESSState:
+        if self.cov is None:
+            return ESSState(chol=None)
+        return ESSState(chol=jnp.linalg.cholesky(jnp.asarray(self.cov, dtype=jnp.float32)))
+
+    def sync_from_state(self, state: ESSState) -> None:
+        pass
+
+    def __repr__(self):
+        return "ESS kernel"
+
+
+@dataclass
+class ESSParameters(MCMCParameters):
+    max_ess_step_iterations: int = 5
+
+
+def elliptical_slice_sampling_step(
+    f: jax.Array,
+    negative_log_likelihood: Callable,
+    event_shape: Tuple[int, ...],
+    key: jax.Array,
+    chol: Optional[jax.Array] = None,
+    max_iterations: int = 5,
+):
+    """One vectorized ESS step; reference ``ess.py:12-64``.
+
+    Functionally identical to the reference loop: once a chain first accepts,
+    its proposal is frozen (first-accept-wins masking); the bracket keeps
+    shrinking for not-yet-accepted chains.
+    """
+    batch_shape = get_batch_shape(f, event_shape)
+    d = int(np.prod(event_shape)) if event_shape else 1
+    k_nu, k_u, k_theta, k_shrink = jax.random.split(key, 4)
+
+    # 1. Choose ellipse
+    if chol is None:
+        nu = jax.random.normal(k_nu, f.shape)
+    else:
+        z = jax.random.normal(k_nu, (*batch_shape, d))
+        nu = (z @ chol.T).reshape(f.shape)
+
+    # 2. Log-likelihood threshold
+    u = jax.random.uniform(k_u, batch_shape)
+    log_y = -negative_log_likelihood(f) + jnp.log(u)
+
+    # 3. Initial proposal angle defines the bracket
+    expand = (*batch_shape, *([1] * len(event_shape)))
+    theta = jax.random.uniform(k_theta, expand) * (2.0 * math.pi)
+    theta_min = theta - 2.0 * math.pi
+    theta_max = theta
+
+    accepted = jnp.zeros(batch_shape, dtype=bool)
+    f_proposed = f
+    shrink_keys = jax.random.split(k_shrink, max_iterations)
+
+    def body(i, carry):
+        f_proposed, accepted, theta, theta_min, theta_max = carry
+        f_prime = f * jnp.cos(theta) + nu * jnp.sin(theta)
+        newly = (-negative_log_likelihood(f_prime) > log_y) & (~accepted)
+        bmask = newly.reshape(expand)
+        f_proposed = jnp.where(bmask, f_prime, f_proposed)
+
+        theta_neg = theta < 0
+        theta_min = jnp.where(theta_neg, theta, theta_min)
+        theta_max = jnp.where(~theta_neg, theta, theta_max)
+        noise = jax.random.uniform(shrink_keys[i], expand)
+        theta = noise * (theta_max - theta_min) + theta_min
+        accepted = accepted | newly
+        return f_proposed, accepted, theta, theta_min, theta_max
+
+    f_proposed, accepted, *_ = jax.lax.fori_loop(
+        0, max_iterations, body, (f_proposed, accepted, theta, theta_min, theta_max)
+    )
+    return f_proposed, accepted
+
+
+class ESS(MCMCSampler):
+    def __init__(self, event_shape, target, negative_log_likelihood,
+                 kernel: Optional[ESSKernel] = None, params: Optional[ESSParameters] = None):
+        if kernel is None:
+            kernel = ESSKernel(event_shape)
+        if params is None:
+            params = ESSParameters()
+        super().__init__(event_shape, target, kernel, params)
+        self.negative_log_likelihood = negative_log_likelihood
+
+    @property
+    def name(self):
+        return "ESS"
+
+    def _static_config(self):
+        return (self.params.max_ess_step_iterations,)
+
+    def make_propose(self):
+        nll = self.negative_log_likelihood
+        event_shape = self.event_shape
+        max_iterations = self.params.max_ess_step_iterations
+
+        def propose(x, state: ESSState, key):
+            x_prime, _accepted = elliptical_slice_sampling_step(
+                x, nll, event_shape, key, chol=state.chol, max_iterations=max_iterations
+            )
+            n_chains = x.shape[0]
+            # All-accept hack, matching reference ``ess.py:107``.
+            mask = jnp.ones((n_chains,), dtype=bool)
+            finite = jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
+            mask = mask & finite
+            diverged = (~jnp.all(finite)).astype(jnp.int32)
+            return x_prime, mask, diverged
+
+        return propose
+
+    def make_update_kernel(self):
+        def update(state, x, mask):
+            return state
+
+        return update
+
+    def calls_per_iter(self, n_chains: int) -> int:
+        return (self.params.max_ess_step_iterations + 1) * n_chains
+
+    def grads_per_iter(self, n_chains: int) -> int:
+        return 0
+
+    def sample(self, x0, show_progress: bool = True, time_limit_seconds=None, key=None, seed=None):
+        """Quirk parity (reference ``ess.py:121-127``): redraw x0 from the prior."""
+        key = self._key(key, seed)
+        k0, krun = jax.random.split(key)
+        n_chains = jnp.asarray(x0).shape[0]
+        state = self.kernel.make_state()
+        if state.chol is None:
+            x0 = jax.random.normal(k0, (n_chains, *self.event_shape))
+        else:
+            d = state.chol.shape[0]
+            z = jax.random.normal(k0, (n_chains, d))
+            x0 = (z @ state.chol.T).reshape(n_chains, *self.event_shape)
+        return super().sample(
+            x0, show_progress=show_progress,
+            time_limit_seconds=time_limit_seconds, key=krun,
+        )

@@ -1,0 +1,136 @@
+"""Hamiltonian Monte Carlo (adjusted HMC / unadjusted UHMC).
+
+Parity with reference ``nfmc/algorithms/sampling/mcmc/hmc.py``:
+
+* ``n_leapfrog_steps = 20`` default (``hmc.py:13``);
+* leapfrog with diagonal inverse-mass preconditioning (``hmc.py:26-37,51-77``);
+* momentum init ``randn / sqrt(inv_mass_diag)`` (``hmc.py:100``);
+* MH accept on the Hamiltonian ``U + 0.5 p^T M^{-1} p`` (``hmc.py:103-113``);
+* counter contract: ``2 L B`` calls and grads (+``2B`` calls when adjusted;
+  ``hmc.py:122-125``).
+
+TPU-native notes. The reference evaluates the gradient twice per leapfrog
+step (B-A-B with a fresh autograd pass in each B half-kick, ``hmc.py:61-77``);
+the trailing half-kick of step j and the leading half-kick of step j+1 use the
+*same* position, so this implementation computes each gradient once and
+carries it through a ``lax.fori_loop`` — numerically identical trajectories
+with half the gradient work (L+1 instead of 2L passes). The reported
+``n_target_gradient_calls`` keeps the reference's 2LB contract (SURVEY.md
+section 2.8) so throughput counters stay comparable.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...utils import batched_grad, flatten_event, sum_except_batch
+from .base import MetropolisKernel, MetropolisParameters, MetropolisSampler
+
+
+@dataclass
+class HMCKernel(MetropolisKernel):
+    n_leapfrog_steps: int = 20
+
+    def __repr__(self):
+        import math
+        import numpy as np
+
+        return (
+            f"log step: {math.log(self.step_size):.2f}, "
+            f"leapfrogs: {self.n_leapfrog_steps}, "
+            f"mass norm: {float(np.max(np.abs(self.inv_mass_diag))):.2f}"
+        )
+
+
+@dataclass
+class HMCParameters(MetropolisParameters):
+    pass
+
+
+class HMC(MetropolisSampler):
+    def __init__(self, event_shape, target, kernel: Optional[HMCKernel] = None,
+                 params: Optional[HMCParameters] = None):
+        if kernel is None:
+            kernel = HMCKernel(event_size=int(jnp.prod(jnp.asarray(event_shape))))
+        if params is None:
+            params = HMCParameters()
+        super().__init__(event_shape, target, kernel, params)
+
+    @property
+    def name(self):
+        return "HMC"
+
+    def _static_config(self):
+        return super()._static_config() + (self.kernel.n_leapfrog_steps,)
+
+    def make_propose(self):
+        target = self.target
+        event_shape = self.event_shape
+        adjustment = self.params.adjustment
+        n_leapfrog = self.kernel.n_leapfrog_steps
+        grad_u = batched_grad(target)
+
+        def propose(x, mstate, key):
+            n_chains = x.shape[0]
+            k_mom, k_accept = jax.random.split(key)
+            inv_mass = mstate.inv_mass_diag  # (d,)
+            eps = mstate.step_size
+
+            p_flat = jax.random.normal(k_mom, (n_chains, inv_mass.shape[0])) / jnp.sqrt(inv_mass)[None]
+            p0 = p_flat.reshape(x.shape)
+
+            def precondition(v):
+                v_flat = flatten_event(v, event_shape)
+                return (v_flat * inv_mass[None]).reshape(v.shape)
+
+            # Leapfrog with one gradient per position (mathematically identical
+            # to the reference's B-A-B double-B structure; see module docstring).
+            g = grad_u(x)
+
+            def body(_, carry):
+                xq, pq, gq = carry
+                pq = pq - 0.5 * eps * gq
+                xq = xq + eps * precondition(pq)
+                gq = grad_u(xq)
+                pq = pq - 0.5 * eps * gq
+                return xq, pq, gq
+
+            x_prime, p_prime, _ = jax.lax.fori_loop(0, n_leapfrog, body, (x, p0, g))
+
+            finite_prop = jnp.all(
+                jnp.isfinite(flatten_event(x_prime, event_shape)), axis=-1
+            )
+            if adjustment:
+                h_start = target(x) + 0.5 * sum_except_batch(precondition(p0) * p0, event_shape)
+                h_end = target(x_prime) + 0.5 * sum_except_batch(precondition(p_prime) * p_prime, event_shape)
+                log_prob_accept = -h_end + h_start
+                log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
+                mask = (log_u < log_prob_accept) & finite_prop
+            else:
+                mask = finite_prop
+            diverged = (~jnp.all(finite_prop)).astype(jnp.int32)
+            return x_prime, mask, diverged
+
+        return propose
+
+    def calls_per_iter(self, n_chains: int) -> int:
+        n = 2 * self.kernel.n_leapfrog_steps * n_chains
+        if self.params.adjustment:
+            n += 2 * n_chains
+        return n
+
+    def grads_per_iter(self, n_chains: int) -> int:
+        return 2 * self.kernel.n_leapfrog_steps * n_chains
+
+
+class UHMC(HMC):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.params.adjustment = False
+
+    @property
+    def name(self):
+        return "UHMC"

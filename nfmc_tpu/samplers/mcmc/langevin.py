@@ -1,0 +1,134 @@
+"""Langevin Monte Carlo (MALA / ULA).
+
+Parity with reference ``nfmc/algorithms/sampling/mcmc/langevin.py``:
+
+* step-size default ``event_size ** (-1/3)`` (``langevin.py:17-18``);
+* drift ``-tau / m^2 * grad U`` and noise ``sqrt(2 tau) / m * xi`` with
+  ``m = inv_mass_diag`` (``langevin.py:74-76``);
+* MALA adjustment via the proposal potential
+  ``||x' - x + tau a grad U||^2_{a^{-1}} / (4 tau)`` with ``a = 1/m^2``
+  (``langevin.py:31-42,87-106``);
+* counters: B calls + B grads per iteration, doubled when adjusted
+  (``langevin.py:116-120``).
+
+TPU-native: ``U`` and ``grad U`` evaluate in one fused reverse-mode pass for
+the entire chain batch (``value_and_batched_grad``) rather than a per-call
+torch autograd graph; divergence = non-finite detection instead of
+``except ValueError`` (``langevin.py:111-114``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...utils import (
+    flatten_event,
+    metropolis_acceptance_log_ratio,
+    value_and_batched_grad,
+)
+from .base import MetropolisKernel, MetropolisParameters, MetropolisSampler
+
+
+@dataclass
+class LangevinKernel(MetropolisKernel):
+    step_size: Optional[float] = None
+
+    def __post_init__(self):
+        if self.step_size is None:
+            self.step_size = self.event_size ** (-1.0 / 3.0)
+        super().__post_init__()
+
+
+@dataclass
+class LangevinParameters(MetropolisParameters):
+    pass
+
+
+def proposal_potential(x_prime_flat, x_flat, grad_u_x_flat, a_diag, tau):
+    """Langevin proposal potential q(x'|x); reference ``langevin.py:31-42``."""
+    term = x_prime_flat - x_flat + tau * a_diag[None] * grad_u_x_flat
+    return jnp.sum(term * (1.0 / a_diag[None]) * term, axis=-1) / (4.0 * tau)
+
+
+class Langevin(MetropolisSampler):
+    def __init__(self, event_shape, target, kernel: Optional[LangevinKernel] = None,
+                 params: Optional[LangevinParameters] = None):
+        if kernel is None:
+            kernel = LangevinKernel(event_size=int(jnp.prod(jnp.asarray(event_shape))))
+        if params is None:
+            params = LangevinParameters()
+        super().__init__(event_shape, target, kernel, params)
+
+    @property
+    def name(self):
+        return "LMC"
+
+    def make_propose(self):
+        target = self.target
+        event_shape = self.event_shape
+        adjustment = self.params.adjustment
+        u_and_grad = value_and_batched_grad(target)
+
+        def propose(x, mstate, key):
+            n_chains = x.shape[0]
+            k_noise, k_accept = jax.random.split(key)
+            noise = jax.random.normal(k_noise, x.shape)
+            tau = mstate.step_size
+            inv_mass = mstate.inv_mass_diag  # (d,)
+
+            u_x, grad_u_x = u_and_grad(x)
+            g_flat = flatten_event(grad_u_x, event_shape)
+            x_flat = flatten_event(x, event_shape)
+            grad_term = -tau / (inv_mass[None] ** 2) * g_flat
+            noise_term = jnp.sqrt(2.0 * tau) / inv_mass[None] * flatten_event(noise, event_shape)
+            xp_flat = x_flat + grad_term + noise_term
+            x_prime = xp_flat.reshape(x.shape)
+
+            finite_prop = jnp.all(jnp.isfinite(xp_flat), axis=-1)
+            if adjustment:
+                u_xp, grad_u_xp = u_and_grad(x_prime)
+                gp_flat = flatten_event(grad_u_xp, event_shape)
+                a_diag = 1.0 / inv_mass**2
+                log_ratio = metropolis_acceptance_log_ratio(
+                    log_prob_target_curr=-u_x,
+                    log_prob_target_prime=-u_xp,
+                    log_prob_proposal_curr=-proposal_potential(x_flat, xp_flat, gp_flat, a_diag, tau),
+                    log_prob_proposal_prime=-proposal_potential(xp_flat, x_flat, g_flat, a_diag, tau),
+                )
+                log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
+                mask = (log_u < log_ratio) & finite_prop
+            else:
+                mask = finite_prop
+            diverged = (~jnp.all(finite_prop)).astype(jnp.int32)
+            return x_prime, mask, diverged
+
+        return propose
+
+    def calls_per_iter(self, n_chains: int) -> int:
+        return 2 * n_chains if self.params.adjustment else n_chains
+
+    def grads_per_iter(self, n_chains: int) -> int:
+        return 2 * n_chains if self.params.adjustment else n_chains
+
+
+class MALA(Langevin):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.params.adjustment = True
+
+    @property
+    def name(self):
+        return "MALA"
+
+
+class ULA(Langevin):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.params.adjustment = False
+
+    @property
+    def name(self):
+        return "ULA"

@@ -1,0 +1,86 @@
+"""Random-walk Metropolis-Hastings.
+
+Parity with reference ``nfmc/algorithms/sampling/mcmc/mh.py``: proposal
+``x' = x + randn * inv_mass_diag`` (the scale is ``inv_mass_diag`` directly,
+``mh.py:51-54``), MH-adjusted (``MH``) or always-accept (``RandomWalk``);
+``MHParameters`` pins ``tune_step_size=False``, ``tune_inv_mass_diag=True``,
+``imd_adjustment=1e-5`` (``mh.py:20-25``). Counters: 2B target calls per
+iteration when adjusted, 0 gradients (``mh.py:68-72``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...utils import metropolis_acceptance_log_ratio
+from .base import MetropolisKernel, MetropolisParameters, MetropolisSampler
+
+
+@dataclass
+class MHKernel(MetropolisKernel):
+    pass
+
+
+@dataclass
+class MHParameters(MetropolisParameters):
+    imd_adjustment: float = 1e-5
+
+    def __post_init__(self):
+        super().__post_init__()
+        self.tune_step_size = False
+        self.tune_inv_mass_diag = True
+
+
+class MH(MetropolisSampler):
+    def __init__(self, event_shape, target, kernel: Optional[MHKernel] = None,
+                 params: Optional[MHParameters] = None):
+        if kernel is None:
+            kernel = MHKernel(event_size=int(jnp.prod(jnp.asarray(event_shape))))
+        if params is None:
+            params = MHParameters()
+        super().__init__(event_shape, target, kernel, params)
+
+    @property
+    def name(self):
+        return "MH"
+
+    def make_propose(self):
+        target = self.target
+        event_shape = self.event_shape
+        adjustment = self.params.adjustment
+
+        def propose(x, mstate, key):
+            n_chains = x.shape[0]
+            k_noise, k_accept = jax.random.split(key)
+            noise = jax.random.normal(k_noise, (n_chains, mstate.inv_mass_diag.shape[0]))
+            noise = (noise * mstate.inv_mass_diag).reshape(x.shape)
+            x_prime = x + noise
+
+            finite_prop = jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
+            if adjustment:
+                log_ratio = metropolis_acceptance_log_ratio(
+                    -target(x), -target(x_prime), 0.0, 0.0
+                )
+                log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
+                mask = (log_u < log_ratio) & finite_prop
+            else:
+                mask = finite_prop
+            diverged = (~jnp.all(finite_prop)).astype(jnp.int32)
+            return x_prime, mask, diverged
+
+        return propose
+
+    def calls_per_iter(self, n_chains: int) -> int:
+        return 2 * n_chains if self.params.adjustment else 0
+
+    def grads_per_iter(self, n_chains: int) -> int:
+        return 0
+
+
+class RandomWalk(MH):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.params.adjustment = False
