@@ -1,0 +1,195 @@
+"""Flow subsystem core: Bijection protocol + Flow wrapper.
+
+TPU-native equivalent of the ``torchflows`` surface the reference consumes
+(SURVEY.md section 2.9): ``Flow(bijection)``, ``flow.event_shape``,
+``bijection.forward/inverse`` returning ``(y, log_det)``, ``flow.sample(n,
+return_log_prob=...)``, ``flow.log_prob(x)``, overridable
+``flow.base_log_prob``, ``fit``/``variational_fit``, and
+``state_dict``/``load_state_dict`` (a pytree copy here).
+
+Design: bijections are *static config objects*; numeric parameters live in an
+explicit pytree so samplers can carry flow parameters through ``lax.scan`` and
+training is a pure jitted step. The stateful convenience API (``forward(x)``
+without params) reads ``self.params`` for reference-parity call sites.
+
+Convention (matches torchflows): ``forward`` maps data -> latent and its
+log-det is d log z / d x; ``sample`` draws from the base and applies
+``inverse``; ``log_prob(x) = base_log_prob(forward(x)) + log_det_forward``.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.rng import resolve_key
+from ..utils import event_size_of, std_normal_log_prob
+
+
+class Bijection:
+    """Invertible map with static config; params are an explicit pytree."""
+
+    def __init__(self, event_shape: Sequence[int]):
+        self.event_shape: Tuple[int, ...] = tuple(int(s) for s in event_shape)
+        self.params: Any = None  # set by Flow / init()
+
+    @property
+    def event_size(self) -> int:
+        return event_size_of(self.event_shape)
+
+    # ---- pure functional API (used inside scans / training) ---------------
+    def init(self, key: jax.Array):
+        raise NotImplementedError
+
+    def forward_fn(self, params, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """data -> latent; returns (z, log_det) with log_det shaped (batch,)."""
+        raise NotImplementedError
+
+    def inverse_fn(self, params, z: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """latent -> data; returns (x, log_det)."""
+        raise NotImplementedError
+
+    # ---- stateful convenience (reference-parity call sites) ---------------
+    def forward(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        return self.forward_fn(self.params, x)
+
+    def inverse(self, z: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        return self.inverse_fn(self.params, z)
+
+    def n_parameters(self) -> int:
+        return sum(p.size for p in jax.tree_util.tree_leaves(self.params))
+
+
+class Inverse(Bijection):
+    """Swap forward/inverse of a bijection."""
+
+    def __init__(self, inner: Bijection):
+        super().__init__(inner.event_shape)
+        self.inner = inner
+
+    def init(self, key):
+        return self.inner.init(key)
+
+    def forward_fn(self, params, x):
+        return self.inner.inverse_fn(params, x)
+
+    def inverse_fn(self, params, z):
+        return self.inner.forward_fn(params, z)
+
+
+class Chain(Bijection):
+    """Composition: forward applies bijections in order (data -> latent)."""
+
+    def __init__(self, bijections: Sequence[Bijection]):
+        assert len(bijections) > 0
+        super().__init__(bijections[0].event_shape)
+        self.bijections = list(bijections)
+
+    def init(self, key):
+        keys = jax.random.split(key, len(self.bijections))
+        return [b.init(k) for b, k in zip(self.bijections, keys)]
+
+    def forward_fn(self, params, x):
+        log_det = jnp.zeros(x.shape[: x.ndim - len(self.event_shape)])
+        for b, p in zip(self.bijections, params):
+            x, ld = b.forward_fn(p, x)
+            log_det = log_det + ld
+        return x, log_det
+
+    def inverse_fn(self, params, z):
+        log_det = jnp.zeros(z.shape[: z.ndim - len(self.event_shape)])
+        for b, p in zip(reversed(self.bijections), reversed(params)):
+            z, ld = b.inverse_fn(p, z)
+            log_det = log_det + ld
+        return z, log_det
+
+
+class Flow:
+    """Normalizing flow = bijection + base distribution (standard normal).
+
+    Parity with the ``torchflows.flows.Flow`` surface consumed by the
+    reference (SURVEY.md section 2.9). ``base_log_prob`` is an overridable
+    attribute (AFT swaps it for an annealed potential; reference
+    ``annealed_flow_transport.py:238``).
+    """
+
+    def __init__(self, bijection: Bijection, key: Optional[jax.Array] = None, seed: Optional[int] = None):
+        self.bijection = bijection
+        if bijection.params is None:
+            bijection.params = bijection.init(resolve_key(key, seed))
+        self._base_log_prob_override: Optional[Callable] = None
+
+    # ---- params plumbing ----------------------------------------------------
+    @property
+    def params(self):
+        return self.bijection.params
+
+    @params.setter
+    def params(self, value):
+        self.bijection.params = value
+
+    @property
+    def event_shape(self) -> Tuple[int, ...]:
+        return self.bijection.event_shape
+
+    def state_dict(self):
+        """Snapshot of the parameter pytree (reference uses torch state_dict
+        for weight rollback, ``jump.py:130,151``)."""
+        return jax.tree_util.tree_map(lambda p: p, self.params)
+
+    def load_state_dict(self, state) -> None:
+        self.params = state
+
+    def to(self, device=None):  # device placement is a no-op on a TPU mesh
+        return self
+
+    def get_device(self):
+        return None
+
+    # ---- pure functional API -------------------------------------------------
+    def base_log_prob_fn(self, z: jax.Array) -> jax.Array:
+        if self._base_log_prob_override is not None:
+            return self._base_log_prob_override(z)
+        return std_normal_log_prob(z, self.event_shape)
+
+    def set_base_log_prob(self, fn: Optional[Callable]) -> None:
+        self._base_log_prob_override = fn
+
+    def log_prob_fn(self, params, x: jax.Array) -> jax.Array:
+        z, log_det = self.bijection.forward_fn(params, x)
+        return self.base_log_prob_fn(z) + log_det
+
+    def sample_base_fn(self, key: jax.Array, n: int) -> jax.Array:
+        return jax.random.normal(key, (n, *self.event_shape))
+
+    def sample_fn(self, params, key: jax.Array, n: int, return_log_prob: bool = False):
+        z = self.sample_base_fn(key, n)
+        x, log_det_inv = self.bijection.inverse_fn(params, z)
+        if return_log_prob:
+            # log q(x) = base_log_prob(z) - log|det d x / d z|
+            return x, self.base_log_prob_fn(z) - log_det_inv
+        return x
+
+    # ---- stateful reference-parity API ----------------------------------------
+    def base_log_prob(self, z: jax.Array) -> jax.Array:
+        return self.base_log_prob_fn(z)
+
+    def log_prob(self, x: jax.Array) -> jax.Array:
+        return self.log_prob_fn(self.params, x)
+
+    def sample(self, n: int, no_grad: bool = True, return_log_prob: bool = False,
+               key: Optional[jax.Array] = None, seed: Optional[int] = None):
+        return self.sample_fn(self.params, resolve_key(key, seed), int(n), return_log_prob)
+
+    # ---- training --------------------------------------------------------------
+    def fit(self, x_train, **kwargs):
+        from .train import fit as _fit
+
+        return _fit(self, x_train, **kwargs)
+
+    def variational_fit(self, target_log_prob, **kwargs):
+        from .train import variational_fit as _vfit
+
+        return _vfit(self, target_log_prob, **kwargs)

@@ -1,0 +1,272 @@
+"""Flow training: forward-KL MLE ``fit`` and reverse-KL ``variational_fit``.
+
+API parity with the torchflows surface the reference consumes (SURVEY.md
+section 2.9; kwargs observed at reference ``base.py:55-61``,
+``jump.py:30-38,139-149``, ``imh.py:27-36,67-72,173``, ``neutra.py:24-33``):
+``early_stopping``, ``early_stopping_threshold``, ``keep_best_weights``,
+``batch_size='adaptive'``, ``time_limit_seconds``, ``check_for_divergences``,
+``n_samples``/``n_epochs``/``lr``.
+
+TPU-native: one jitted Adam train step; epochs run in jitted blocks of
+``check_every`` epochs with best-weight tracking *inside* the scan, so a 50k
+epoch NeuTra warmup (reference default, ``neutra.py:24-33``) costs ~50k/128
+host round trips instead of 50k. Training failures surface as ``ValueError``
+(detected from non-finite losses) to preserve the reference's
+rollback-on-ValueError contract (``jump.py:130,150-151``, ``imh.py:171-175``).
+"""
+from __future__ import annotations
+
+import math
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.rng import resolve_key
+
+
+def _adaptive_batch_size(n_train: int) -> int:
+    """'adaptive' rule: ~n/10 clamped to [32, 4096], rounded to a power of two."""
+    if n_train <= 32:
+        return max(n_train, 1)
+    target = max(32, min(4096, n_train // 10 if n_train >= 320 else n_train))
+    return 1 << int(math.floor(math.log2(target)))
+
+
+def _pad_to_multiple(x: np.ndarray, multiple: int):
+    n = len(x)
+    n_pad = (-n) % multiple
+    if n_pad:
+        pad = np.repeat(x[-1:], n_pad, axis=0)
+        x = np.concatenate([x, pad], axis=0)
+    weights = np.ones(len(x), dtype=np.float32)
+    weights[n:] = 0.0
+    return x, weights
+
+
+def fit(
+    flow,
+    x_train,
+    x_val=None,
+    n_epochs: int = 500,
+    lr: float = 0.05,
+    batch_size="adaptive",
+    shuffle: bool = True,
+    early_stopping: bool = False,
+    early_stopping_threshold: int = 50,
+    keep_best_weights: bool = True,
+    show_progress: bool = False,
+    time_limit_seconds: Optional[float] = None,
+    check_for_divergences: bool = False,
+    key=None,
+    seed=None,
+) -> None:
+    """Forward-KL MLE on samples; mutates ``flow.params`` in place."""
+    t_start = time.time()
+    key = resolve_key(key, seed)
+
+    x_train = np.asarray(jax.device_get(x_train), dtype=np.float32)
+    x_train = x_train.reshape(len(x_train), *flow.event_shape)
+    n_train = len(x_train)
+    if n_train == 0:
+        raise ValueError("empty training set")
+    if batch_size == "adaptive" or batch_size is None:
+        bs = _adaptive_batch_size(n_train)
+    else:
+        bs = min(int(batch_size), n_train)
+
+    x_train_p, w_train = _pad_to_multiple(x_train, bs)
+    n_batches = len(x_train_p) // bs
+    data = jnp.asarray(x_train_p)
+    w_data = jnp.asarray(w_train)
+
+    has_val = x_val is not None and len(np.asarray(x_val)) > 0
+    if has_val:
+        x_val = np.asarray(jax.device_get(x_val), dtype=np.float32)
+        x_val = x_val.reshape(len(x_val), *flow.event_shape)
+        val_data = jnp.asarray(x_val)
+
+    opt = optax.adam(lr)
+    params = flow.params
+    opt_state = opt.init(params)
+
+    log_prob_fn = flow.log_prob_fn
+
+    def loss_fn(p, xb, wb):
+        lp = log_prob_fn(p, xb)
+        return -jnp.sum(lp * wb) / jnp.maximum(jnp.sum(wb), 1.0)
+
+    def train_epoch(carry, epoch_key):
+        p, os = carry
+        perm = jax.random.permutation(epoch_key, data.shape[0])
+        xs = data[perm].reshape(n_batches, bs, *flow.event_shape)
+        ws = w_data[perm].reshape(n_batches, bs)
+
+        def batch_step(c, batch):
+            p, os = c
+            xb, wb = batch
+            loss, grads = jax.value_and_grad(loss_fn)(p, xb, wb)
+            updates, os = opt.update(grads, os, p)
+            p = optax.apply_updates(p, updates)
+            return (p, os), loss
+
+        (p, os), losses = jax.lax.scan(batch_step, (p, os), (xs, ws))
+        return (p, os), jnp.mean(losses)
+
+    if has_val:
+        eval_loss = lambda p: -jnp.mean(log_prob_fn(p, val_data))
+    else:
+        eval_loss = lambda p: loss_fn(p, data, w_data)
+
+    def run_block(params, opt_state, best_params, best_loss, keys):
+        def body(carry, ek):
+            p, os, bp, bl = carry
+            (p, os), train_loss = train_epoch((p, os), ek)
+            vl = eval_loss(p)
+            better = vl < bl
+            bl = jnp.where(better, vl, bl)
+            if keep_best_weights:
+                bp = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(better, new, old), p, bp
+                )
+            return (p, os, bp, bl), vl
+
+        (params, opt_state, best_params, best_loss), vls = jax.lax.scan(
+            body, (params, opt_state, best_params, best_loss), keys
+        )
+        return params, opt_state, best_params, best_loss, vls
+
+    run_block = jax.jit(run_block)
+
+    check_every = max(1, min(64, early_stopping_threshold if early_stopping else 64, n_epochs))
+    best_params = params
+    best_loss = jnp.asarray(jnp.inf, dtype=jnp.float32)
+    epochs_done = 0
+    epochs_since_best = 0
+    global_best = math.inf
+
+    while epochs_done < n_epochs:
+        if time_limit_seconds is not None and time.time() - t_start > time_limit_seconds:
+            break
+        block = min(check_every, n_epochs - epochs_done)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, block)
+        params, opt_state, best_params, best_loss, vls = run_block(
+            params, opt_state, best_params, best_loss, keys
+        )
+        vls = np.asarray(vls)
+        epochs_done += block
+        if not np.all(np.isfinite(vls)):
+            # Preserve the reference's ValueError contract so callers roll back.
+            if check_for_divergences or not np.isfinite(vls[-1]):
+                flow.params = best_params if keep_best_weights else params
+                raise ValueError("flow training diverged (non-finite loss)")
+        # host-side early stopping on the block's val losses
+        for vl in vls:
+            if vl < global_best - 0.0:
+                global_best = float(vl)
+                epochs_since_best = 0
+            else:
+                epochs_since_best += 1
+        if early_stopping and epochs_since_best >= early_stopping_threshold:
+            break
+
+    flow.params = best_params if keep_best_weights else params
+
+
+def variational_fit(
+    flow,
+    target_log_prob: Callable,
+    n_samples: int = 128,
+    n_epochs: int = 500,
+    lr: float = 0.05,
+    early_stopping: bool = False,
+    early_stopping_threshold: int = 50,
+    keep_best_weights: bool = True,
+    show_progress: bool = False,
+    time_limit_seconds: Optional[float] = None,
+    check_for_divergences: bool = False,
+    key=None,
+    seed=None,
+) -> None:
+    """Reverse-KL fit to an unnormalized ``target_log_prob`` (= -U).
+
+    loss = E_z[ -target_log_prob(x) - log_det_inv ], x = bijection.inverse(z);
+    the base entropy is constant and dropped. Mutates ``flow.params``.
+    """
+    t_start = time.time()
+    key = resolve_key(key, seed)
+    n_samples = max(1, int(n_samples))
+
+    opt = optax.adam(lr)
+    params = flow.params
+    opt_state = opt.init(params)
+    bijection = flow.bijection
+    event_shape = flow.event_shape
+
+    def loss_fn(p, k):
+        z = jax.random.normal(k, (n_samples, *event_shape))
+        x, log_det_inv = bijection.inverse_fn(p, z)
+        return jnp.mean(-target_log_prob(x) - log_det_inv)
+
+    def run_block(params, opt_state, best_params, best_loss, keys):
+        def body(carry, k):
+            p, os, bp, bl = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, k)
+            updates, os = opt.update(grads, os, p)
+            p_new = optax.apply_updates(p, updates)
+            finite = jnp.isfinite(loss)
+            # skip non-finite updates entirely
+            p = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), p_new, p
+            )
+            better = finite & (loss < bl)
+            bl = jnp.where(better, loss, bl)
+            if keep_best_weights:
+                bp = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(better, new, old), p, bp
+                )
+            return (p, os, bp, bl), loss
+
+        (params, opt_state, best_params, best_loss), losses = jax.lax.scan(
+            body, (params, opt_state, best_params, best_loss), keys
+        )
+        return params, opt_state, best_params, best_loss, losses
+
+    run_block = jax.jit(run_block)
+
+    check_every = max(1, min(128, n_epochs))
+    best_params = params
+    best_loss = jnp.asarray(jnp.inf, dtype=jnp.float32)
+    epochs_done = 0
+    epochs_since_best = 0
+    global_best = math.inf
+    n_nonfinite = 0
+
+    while epochs_done < n_epochs:
+        if time_limit_seconds is not None and time.time() - t_start > time_limit_seconds:
+            break
+        block = min(check_every, n_epochs - epochs_done)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, block)
+        params, opt_state, best_params, best_loss, losses = run_block(
+            params, opt_state, best_params, best_loss, keys
+        )
+        losses = np.asarray(losses)
+        epochs_done += block
+        n_nonfinite += int(np.sum(~np.isfinite(losses)))
+        if check_for_divergences and n_nonfinite > block:
+            break  # persistent divergence: stop early, keep best weights
+        for l in losses:
+            if np.isfinite(l) and l < global_best:
+                global_best = float(l)
+                epochs_since_best = 0
+            else:
+                epochs_since_best += 1
+        if early_stopping and epochs_since_best >= early_stopping_threshold:
+            break
+
+    flow.params = best_params if keep_best_weights else params
