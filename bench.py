@@ -1,0 +1,245 @@
+"""Benchmark: canonical jump_mala workload (BASELINE.md / reference README.md:39-57).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+* value: ESS/sec of nfmc-tpu's fused jump_mala (RealNVP proposal, 100 chains,
+  25-d standard Gaussian) on the default JAX device (TPU under the driver).
+* vs_baseline: throughput ratio against a faithful *eager torch CPU* replica
+  of the reference's computation pattern (per-iteration Python loop, one
+  autograd call per gradient, eager RealNVP passes — the reference library
+  itself depends on torchflows, which is not installed here; the replica
+  mirrors ``nfmc/algorithms/sampling/mcmc/langevin.py`` and ``nfmc/jump.py``
+  math and per-iteration structure 1:1). Both sides run the same algorithm,
+  so the ratio is wall-clock per outer iteration, normalized by ESS yield.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+EVENT_DIM = 100  # BASELINE.md: 100 chains x 100-d Gaussian
+N_CHAINS = 100
+INNER_N = 5
+OUTER_OURS = 1000
+OUTER_TORCH = 60
+FLOW_LAYERS = 4
+HIDDEN = 128
+
+
+def ess_per_dim(x: np.ndarray) -> float:
+    """Mean (over dims) of summed-over-chains ESS via Geyer initial positive
+    sequence. x: (n_samples, n_chains, d)."""
+    n, c, d = x.shape
+    if n < 8:
+        return float(n * c)
+    x = x - x.mean(axis=0, keepdims=True)
+    # autocovariance per (chain, dim) via FFT (biased normalization, matching
+    # nfmc_tpu.diagnostics so both sides use the identical estimator)
+    nfft = 1 << int(np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(x, n=nfft, axis=0)
+    acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=0)[:n].real
+    acov /= n
+    rho = acov / np.maximum(acov[0:1], 1e-12)
+    ess_sum = 0.0
+    for j in range(c):
+        for k in range(d):
+            r = rho[:, j, k]
+            # Geyer: sum consecutive pairs while positive
+            s = 0.0
+            for t in range(1, n - 1, 2):
+                pair = r[t] + r[t + 1]
+                if pair < 0:
+                    break
+                s += pair
+            ess_sum += n / (1.0 + 2.0 * s)
+    return float(ess_sum / d)
+
+
+def run_ours():
+    import jax
+    import nfmc_tpu
+    from nfmc_tpu.core.sampler import NFMCKernel
+    from nfmc_tpu.flows import Flow, RealNVP
+    from nfmc_tpu.samplers.mcmc.langevin import LangevinKernel, LangevinParameters
+    from nfmc_tpu.samplers.nfmc import JumpMALA
+
+    nfmc_tpu.set_seed(0)
+
+    def target(x):
+        return 0.5 * jax.numpy.sum(x.reshape(x.shape[0], -1) ** 2, axis=-1)
+
+    def build():
+        s = JumpMALA(
+            (EVENT_DIM,), target,
+            kernel=NFMCKernel(
+                (EVENT_DIM,),
+                flow=Flow(RealNVP((EVENT_DIM,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN), seed=0),
+            ),
+            inner_params=LangevinParameters(n_iterations=INNER_N),
+        )
+        return s
+
+    from nfmc_tpu.diagnostics import effective_sample_size
+
+    x0 = jax.random.normal(jax.random.key(1), (N_CHAINS, EVENT_DIM))
+
+    # Samples stay in HBM; only reduced scalars cross the (tunneled) host link.
+    s = build()
+    s.params.store_samples_on_device = True
+
+    # compile warm-up on the SAME instance (hits every chunk size incl. 256),
+    # excluded from timing like any serving deployment
+    s.params.n_iterations = 341
+    s.sample(x0, show_progress=False, seed=0)
+
+    s.params.n_iterations = OUTER_OURS
+    t0 = time.time()
+    out = s.sample(x0, show_progress=False, seed=0)
+    jax.block_until_ready(out.running_samples.last_sample)
+    wall = time.time() - t0  # sampling only; ESS estimation is analysis
+
+    samples_dev = out.running_samples.as_tensor()  # stays on device
+    ess = float(jax.numpy.mean(effective_sample_size(samples_dev)))
+
+    moment_err = float(np.max(np.abs(out.mean)))  # truth: zeros
+    second_err = float(np.max(np.abs(out.second_moment - 1.0)))  # truth: ones
+    return {
+        "wall_s": wall,
+        "iters_per_s": OUTER_OURS / wall,
+        "ess": ess,
+        "ess_per_s": ess / wall,
+        "moment_err": moment_err,
+        "second_moment_err": second_err,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def run_torch_baseline():
+    """Eager torch CPU replica of the reference jump_mala pattern."""
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    d, C = EVENT_DIM, N_CHAINS
+
+    def target(x):
+        return 0.5 * (x**2).flatten(1).sum(-1)
+
+    class CouplingLayer(torch.nn.Module):
+        def __init__(self, parity):
+            super().__init__()
+            self.idx_a = torch.arange(d)[(torch.arange(d) + parity) % 2 == 0]
+            self.idx_b = torch.arange(d)[(torch.arange(d) + parity) % 2 == 1]
+            self.net = torch.nn.Sequential(
+                torch.nn.Linear(len(self.idx_a), HIDDEN), torch.nn.Tanh(),
+                torch.nn.Linear(HIDDEN, HIDDEN), torch.nn.Tanh(),
+                torch.nn.Linear(HIDDEN, 2 * len(self.idx_b)),
+            )
+            torch.nn.init.zeros_(self.net[-1].weight)
+            torch.nn.init.zeros_(self.net[-1].bias)
+
+        def forward(self, x):
+            xa, xb = x[:, self.idx_a], x[:, self.idx_b]
+            raw = self.net(xa).view(len(x), -1, 2)
+            t, ls = raw[..., 0], 3.0 * torch.tanh(raw[..., 1] / 3.0)
+            zb = (xb - t) * torch.exp(-ls)
+            out = torch.empty_like(x)
+            out[:, self.idx_a], out[:, self.idx_b] = xa, zb
+            return out, -ls.sum(-1)
+
+        def inverse(self, z):
+            za, zb = z[:, self.idx_a], z[:, self.idx_b]
+            raw = self.net(za).view(len(z), -1, 2)
+            t, ls = raw[..., 0], 3.0 * torch.tanh(raw[..., 1] / 3.0)
+            xb = zb * torch.exp(ls) + t
+            out = torch.empty_like(z)
+            out[:, self.idx_a], out[:, self.idx_b] = za, xb
+            return out, ls.sum(-1)
+
+    layers = [CouplingLayer(i) for i in range(FLOW_LAYERS)]
+
+    @torch.no_grad()
+    def flow_sample(n):
+        z = torch.randn(n, d)
+        lp = -0.5 * (z**2).sum(-1) - 0.5 * d * np.log(2 * np.pi)
+        log_det = torch.zeros(n)
+        for lay in reversed(layers):
+            z, ld = lay.inverse(z)
+            log_det += ld
+        return z, lp - log_det
+
+    @torch.no_grad()
+    def flow_log_prob(x):
+        log_det = torch.zeros(len(x))
+        for lay in layers:
+            x, ld = lay.forward(x)
+            log_det += ld
+        return -0.5 * (x**2).sum(-1) - 0.5 * d * np.log(2 * np.pi) + log_det
+
+    step_size = d ** (-1 / 3)
+    inv_mass = torch.ones(d)
+
+    def mala_step(x):
+        # mirrors reference langevin.py:59-120: fresh autograd per call
+        x = x.detach().requires_grad_(True)
+        u_x = target(x)
+        (grad_u_x,) = torch.autograd.grad(u_x.sum(), x)
+        x = x.detach()
+        noise = torch.randn_like(x)
+        x_prime = x - step_size / inv_mass**2 * grad_u_x + np.sqrt(2 * step_size) / inv_mass * noise
+        x_prime = x_prime.detach().requires_grad_(True)
+        u_xp = target(x_prime)
+        (grad_u_xp,) = torch.autograd.grad(u_xp.sum(), x_prime)
+        x_prime = x_prime.detach()
+        a = 1 / inv_mass**2
+
+        def qpot(xp, xc, g):
+            term = xp - xc + step_size * a * g
+            return (term * (1 / a) * term).sum(-1) / (4 * step_size)
+
+        log_ratio = (-u_xp.detach()) - (-u_x.detach()) + (-qpot(x, x_prime, grad_u_xp)) - (-qpot(x_prime, x, grad_u_x))
+        mask = torch.rand(C).log() < log_ratio
+        x[mask] = x_prime[mask]
+        return x
+
+    x = torch.randn(C, d)
+    samples = []
+    t0 = time.time()
+    for _ in range(OUTER_TORCH):
+        for _ in range(INNER_N):
+            x = mala_step(x)
+            samples.append(x.clone())
+        with torch.no_grad():
+            x_prime, f_prime = flow_sample(C)
+            log_alpha = (-target(x_prime)) - (-target(x)) + flow_log_prob(x) - f_prime
+            mask = torch.rand(C).log() < log_alpha
+            x[mask] = x_prime[mask]
+            samples.append(x.clone())
+    wall = time.time() - t0
+    arr = torch.stack(samples).numpy()
+    ess = ess_per_dim(arr)
+    return {"wall_s": wall, "iters_per_s": OUTER_TORCH / wall, "ess": ess, "ess_per_s": ess / wall}
+
+
+def main():
+    ours = run_ours()
+    base = run_torch_baseline()
+    # normalize ESS yield per outer iteration, compare rates
+    ours_eff = ours["ess_per_s"]
+    base_eff = base["ess_per_s"]
+    result = {
+        "metric": "jump_mala ESS/sec (100 chains, 100-d Gaussian, RealNVP proposal)",
+        "value": round(ours_eff, 2),
+        "unit": "ESS/s",
+        "vs_baseline": round(ours_eff / base_eff, 2),
+        "wall_s_per_1000_outer_iters": round(ours["wall_s"] * 1000 / OUTER_OURS, 3),
+        "ours": {k: round(v, 4) if isinstance(v, float) else v for k, v in ours.items()},
+        "torch_cpu_baseline": {k: round(v, 4) for k, v in base.items()},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

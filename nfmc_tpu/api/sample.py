@@ -1,0 +1,252 @@
+"""Front door: ``create_sampler`` and ``sample``.
+
+Signature/dispatch parity with reference ``nfmc/sample.py:20-314``:
+strategy-string dispatch to (kernel, params, inner kernel/params) -> Sampler;
+default ``x0 ~ N(0, I)``; optional warmup whose draws are reshuffled into a
+new ``x0`` (``sample.py:307-313``); the jump_hmc inner default of 5 iterations
+(``sample.py:161-162``). ``device`` is accepted for API compatibility and is a
+no-op (everything runs on the default JAX device/mesh).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.output import MCMCOutput
+from ..core.rng import resolve_key
+from ..core.sampler import NFMCKernel, Sampler
+from ..flows import Flow
+from ..potentials import Potential
+from ..samplers.mcmc import (
+    ESS,
+    HMC,
+    MALA,
+    MH,
+    UHMC,
+    ULA,
+    ESSKernel,
+    ESSParameters,
+    HMCKernel,
+    HMCParameters,
+    LangevinKernel,
+    LangevinParameters,
+    MHKernel,
+    MHParameters,
+)
+from ..samplers.nfmc import (
+    DLMC,
+    TESS,
+    AdaptiveIMH,
+    DLMCKernel,
+    DLMCParameters,
+    FixedIMH,
+    IMHKernel,
+    IMHParameters,
+    JumpESS,
+    JumpHMC,
+    JumpMALA,
+    JumpMH,
+    JumpNFMCParameters,
+    JumpUHMC,
+    JumpULA,
+    NeuTraHMC,
+    NeuTraKernel,
+    NeuTraMH,
+    NeuTraParameters,
+    TESSKernel,
+    TESSParameters,
+)
+from .registry import create_flow_object
+
+
+def create_sampler(
+    target,
+    event_shape: Optional[Tuple[int, ...]] = None,
+    flow: Optional[Union[str, Flow]] = "realnvp",
+    strategy: str = "imh",
+    negative_log_likelihood=None,
+    kernel_kwargs: Optional[dict] = None,
+    param_kwargs: Optional[dict] = None,
+    inner_kernel_kwargs: Optional[dict] = None,
+    inner_param_kwargs: Optional[dict] = None,
+    device=None,
+    flow_kwargs: Optional[dict] = None,
+) -> Sampler:
+    """Build a Sampler; parity with reference ``sample.py:20-240``."""
+    flow_kwargs = flow_kwargs or {}
+    kernel_kwargs = kernel_kwargs or {}
+    param_kwargs = param_kwargs or {"n_iterations": 100}
+    inner_kernel_kwargs = inner_kernel_kwargs or {}
+    inner_param_kwargs = dict(inner_param_kwargs or {})
+
+    if flow is not None and not isinstance(flow, str):
+        event_shape = flow.event_shape
+    elif isinstance(target, Potential):
+        event_shape = target.event_shape
+    if event_shape is None:
+        raise ValueError("event_shape could not be resolved")
+    event_shape = tuple(int(s) for s in event_shape)
+    event_size = int(np.prod(event_shape))
+
+    if strategy in ("hmc", "uhmc", "ula", "mala", "mh", "ess"):
+        if strategy == "hmc":
+            return HMC(event_shape, target, HMCKernel(event_size=event_size, **kernel_kwargs),
+                       HMCParameters(**param_kwargs))
+        if strategy == "uhmc":
+            return UHMC(event_shape, target, HMCKernel(event_size=event_size, **kernel_kwargs),
+                        HMCParameters(**param_kwargs))
+        if strategy == "mala":
+            return MALA(event_shape, target, LangevinKernel(event_size=event_size, **kernel_kwargs),
+                        LangevinParameters(**param_kwargs))
+        if strategy == "ula":
+            return ULA(event_shape, target, LangevinKernel(event_size=event_size, **kernel_kwargs),
+                       LangevinParameters(**param_kwargs))
+        if strategy == "mh":
+            return MH(event_shape, target, MHKernel(event_size=event_size, **kernel_kwargs),
+                      MHParameters(**param_kwargs))
+        if strategy == "ess":
+            if negative_log_likelihood is None:
+                raise ValueError("Negative log likelihood must be provided")
+            return ESS(event_shape, target, negative_log_likelihood,
+                       ESSKernel(event_shape=event_shape, **kernel_kwargs),
+                       ESSParameters(**param_kwargs))
+
+    nfmc_strategies = (
+        "imh", "fixed_imh", "adaptive_imh",
+        "jump_mala", "jump_ula", "jump_hmc", "jump_uhmc", "jump_ess", "jump_mh",
+        "neutra_hmc", "neutra_mh", "tess", "dlmc",
+    )
+    if strategy not in nfmc_strategies:
+        raise ValueError(f"Unsupported sampling strategy: {strategy}")
+
+    if flow is None:
+        raise ValueError("Flow object must be provided")
+    if isinstance(flow, str):
+        flow_object = create_flow_object(flow_string=flow, event_shape=event_shape, **flow_kwargs)
+    elif isinstance(flow, Flow):
+        flow_object = flow
+    else:
+        raise ValueError(f"Unknown type for normalizing flow: {type(flow)}")
+
+    if strategy in ("imh", "fixed_imh"):
+        return FixedIMH(event_shape, target, IMHKernel(event_shape, flow=flow_object),
+                        IMHParameters(**param_kwargs))
+    if strategy == "adaptive_imh":
+        # Reference quirk parity: AdaptiveIMH ignores param_kwargs (``sample.py:127-130``).
+        return AdaptiveIMH(event_shape, target, IMHKernel(event_shape, flow=flow_object),
+                           IMHParameters())
+
+    if strategy.startswith("jump_"):
+        kernel = NFMCKernel(event_shape, flow=flow_object)
+        params = JumpNFMCParameters(**param_kwargs)
+        inner = strategy[len("jump_"):]
+        if inner in ("mala", "ula"):
+            inner_kernel = LangevinKernel(event_size=event_size, **inner_kernel_kwargs)
+            inner_params = LangevinParameters(**inner_param_kwargs)
+            cls = JumpMALA if inner == "mala" else JumpULA
+            return cls(event_shape, target, kernel=kernel, params=params,
+                       inner_kernel=inner_kernel, inner_params=inner_params)
+        if inner in ("hmc", "uhmc"):
+            inner_kernel = HMCKernel(event_size=event_size, **inner_kernel_kwargs)
+            if inner == "hmc" and "n_iterations" not in inner_param_kwargs:
+                inner_param_kwargs["n_iterations"] = 5  # reference ``sample.py:161-162``
+            inner_params = HMCParameters(**inner_param_kwargs)
+            cls = JumpHMC if inner == "hmc" else JumpUHMC
+            return cls(event_shape, target, kernel=kernel, params=params,
+                       inner_kernel=inner_kernel, inner_params=inner_params)
+        if inner == "mh":
+            return JumpMH(event_shape, target, kernel=kernel, params=params,
+                          inner_kernel=MHKernel(event_size=event_size, **inner_kernel_kwargs),
+                          inner_params=MHParameters(**inner_param_kwargs))
+        if inner == "ess":
+            if negative_log_likelihood is None:
+                raise ValueError("Negative log likelihood must be provided")
+            return JumpESS(event_shape, target, negative_log_likelihood=negative_log_likelihood,
+                           kernel=kernel, params=params,
+                           inner_kernel=ESSKernel(event_shape=event_shape, **inner_kernel_kwargs),
+                           inner_params=ESSParameters(**inner_param_kwargs))
+
+    if strategy == "tess":
+        if negative_log_likelihood is None:
+            raise ValueError("Negative log likelihood must be provided")
+        return TESS(event_shape, target, negative_log_likelihood,
+                    TESSKernel(event_shape, flow=flow_object), TESSParameters(**param_kwargs))
+    if strategy == "dlmc":
+        if negative_log_likelihood is None:
+            raise ValueError("Negative log likelihood must be provided")
+        return DLMC(event_shape, target, negative_log_likelihood,
+                    DLMCKernel(event_shape, flow=flow_object), DLMCParameters(**param_kwargs))
+    if strategy == "neutra_hmc":
+        return NeuTraHMC(event_shape, target,
+                         inner_kernel=HMCKernel(event_size=event_size, **inner_kernel_kwargs),
+                         inner_params=HMCParameters(**inner_param_kwargs),
+                         kernel=NeuTraKernel(event_shape, flow=flow_object),
+                         params=NeuTraParameters(**param_kwargs))
+    if strategy == "neutra_mh":
+        return NeuTraMH(event_shape, target,
+                        inner_kernel=MHKernel(event_size=event_size, **inner_kernel_kwargs),
+                        inner_params=MHParameters(**inner_param_kwargs),
+                        kernel=NeuTraKernel(event_shape, flow=flow_object),
+                        params=NeuTraParameters(**param_kwargs))
+    raise ValueError(f"Unsupported sampling strategy: {strategy}")
+
+
+def sample(
+    target,
+    event_shape: Optional[Tuple[int, ...]] = None,
+    flow: Optional[Union[str, Flow]] = "realnvp",
+    strategy: str = "imh",
+    n_iterations: int = 100,
+    n_warmup_iterations: int = 100,
+    n_chains: int = 100,
+    x0=None,
+    warmup: bool = False,
+    show_progress: bool = True,
+    sampling_time_limit_seconds: Optional[float] = None,
+    warmup_time_limit_seconds: Optional[float] = None,
+    seed: Optional[int] = None,
+    **kwargs,
+) -> MCMCOutput:
+    """One-call sampling entry; parity with reference ``sample.py:243-314``."""
+    if flow == "None":
+        flow = None
+    if flow is not None and not isinstance(flow, str):
+        event_shape = flow.event_shape
+    elif isinstance(target, Potential):
+        event_shape = target.event_shape
+
+    kwargs.setdefault("param_kwargs", {})
+    kwargs["param_kwargs"] = {
+        **(kwargs["param_kwargs"] or {}),
+        "n_iterations": n_iterations,
+        "n_warmup_iterations": n_warmup_iterations,
+    }
+
+    sampler = create_sampler(
+        target=target, event_shape=event_shape, flow=flow, strategy=strategy, **kwargs
+    )
+
+    key = resolve_key(None, seed)
+    k_x0, k_warm, k_samp, k_shuffle = jax.random.split(key, 4)
+    if x0 is None:
+        x0 = jax.random.normal(k_x0, (n_chains, *sampler.event_shape))
+    x0 = jnp.asarray(x0, dtype=jnp.float32)
+
+    if warmup:
+        warmup_output = sampler.warmup(
+            x0=x0, show_progress=show_progress,
+            time_limit_seconds=warmup_time_limit_seconds, key=k_warm,
+        )
+        if warmup_output.samples is not None:
+            flat = warmup_output.samples.reshape(-1, *sampler.event_shape)
+            perm = np.asarray(jax.random.permutation(k_shuffle, len(flat)))
+            x0 = jnp.asarray(flat[perm][: x0.shape[0]])
+        else:
+            x0 = jnp.asarray(warmup_output.running_samples.last_sample)
+    return sampler.sample(
+        x0=x0, show_progress=show_progress,
+        time_limit_seconds=sampling_time_limit_seconds, key=k_samp,
+    )

@@ -79,23 +79,29 @@ StepFn = Callable[[jax.Array, object, jax.Array], Tuple[jax.Array, object, StepI
 
 
 def chunk_schedule(n_iterations: int, max_chunk: int = 128):
-    """Yield power-of-two chunk sizes: 1,1,2,4,... capped, tail decomposed.
+    """Yield chunk sizes growing 1, 4, 16, ... capped, tail decomposed into
+    already-seen sizes.
 
-    Keeps the number of distinct compiled scan lengths at O(log max_chunk)
-    while checking wall-clock limits early and often.
+    Each distinct length is a separate XLA compilation of the scan (~seconds
+    on TPU), so growth is geometric with factor 4: at most
+    O(log4 max_chunk) compiles, while the small early chunks still give
+    prompt wall-clock-limit checks.
     """
+    sizes = [1]
+    while sizes[-1] * 4 <= max_chunk:
+        sizes.append(sizes[-1] * 4)
     remaining = n_iterations
-    size = 1
-    first = True
+    i = 0
     while remaining > 0:
-        if size > remaining:
-            # largest power of two <= remaining (already compiled earlier)
-            size = 1 << (remaining.bit_length() - 1)
+        if i < len(sizes) and sizes[i] <= remaining:
+            size = sizes[i]
+            i += 1
+        else:
+            # largest already-compiled size <= remaining
+            size = max((s for s in sizes[: max(i, 1)] if s <= remaining), default=1)
+            size = min(size, remaining)
         yield size
         remaining -= size
-        if not first:
-            size = min(size * 2, max_chunk)
-        first = False
 
 
 class ChunkedScanDriver:
@@ -110,10 +116,17 @@ class ChunkedScanDriver:
         event_shape: Tuple[int, ...],
         make_step: Callable[[bool], StepFn],
         data_transform: Optional[Callable[[jax.Array], jax.Array]] = None,
+        emit_transform: Optional[Callable[[jax.Array], jax.Array]] = None,
     ):
         self.event_shape = tuple(event_shape)
         self.make_step = make_step
+        # data_transform feeds the in-scan moment accumulators (NeuTra maps
+        # latent -> data, reference ``neutra.py:122``); emit_transform maps the
+        # carried state to what gets *stored* (TESS stores x = f^{-1}(u) while
+        # carrying u, reference ``tess.py:53-75``). XLA CSEs the recompute when
+        # the step already evaluated the same transform.
         self.data_transform = data_transform or (lambda v: v)
+        self.emit_transform = emit_transform
         self._runners = {}
 
     def _runner(self, tuning: bool, collect: bool):
@@ -121,13 +134,17 @@ class ChunkedScanDriver:
         if cache_key not in self._runners:
             step_fn = self.make_step(tuning)
             data_transform = self.data_transform
+            emit_transform = self.emit_transform
 
             def run_chunk(x, kstate, acc, keys):
                 def body(carry, key):
                     x, ks, acc = carry
                     x_new, ks_new, info = step_fn(x, ks, key)
                     acc_new = acc.add(info, data_transform(x_new))
-                    emit = x_new if collect else None
+                    if collect:
+                        emit = emit_transform(x_new) if emit_transform else x_new
+                    else:
+                        emit = None
                     return (x_new, ks_new, acc_new), emit
 
                 (x, kstate, acc), ys = jax.lax.scan(body, (x, kstate, acc), keys)
@@ -155,13 +172,32 @@ class ChunkedScanDriver:
         max_chunk: int = 128,
         kernel_repr: Optional[Callable[[object], str]] = None,
     ):
-        """Run the chain; mutates ``stats``/``samples``; returns (x, kstate)."""
+        """Run the chain; mutates ``stats``/``samples``; returns (x, kstate).
+
+        The statistics accumulator is carried on-device across ALL chunks and
+        fetched in a single host transfer at the end of the run — on a
+        remote/tunneled device, per-chunk transfers would dominate wall-clock.
+        With ``show_progress`` the fetch happens per chunk instead so the bar
+        can display live rates.
+        """
         runner = self._runner(tuning, collect)
         # Copy: chunk runners donate their carry buffers; never consume the
         # caller's x0 storage.
         x = jnp.array(x0, dtype=jnp.float32, copy=True)
         n_chains = x.shape[0]
 
+        def flush(acc_host, iters):
+            stats.update_counters(
+                n_accepted_trajectories=int(acc_host.n_accepted),
+                n_attempted_trajectories=iters * n_chains,
+                n_divergences=int(acc_host.n_divergences),
+                n_target_calls=iters * calls_per_iter,
+                n_target_gradient_calls=iters * grads_per_iter,
+            )
+            stats.update_moments_from_sums(acc_host.sum_x, acc_host.sum_x2, iters * n_chains)
+
+        acc = StatsAccum.zeros(self.event_shape)
+        iters_done = 0
         pbar = tqdm(total=n_iterations, desc=desc, disable=not show_progress)
         for chunk in chunk_schedule(n_iterations, max_chunk=max_chunk):
             if (
@@ -172,30 +208,28 @@ class ChunkedScanDriver:
             t0 = time.time()
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, chunk)
-            acc = StatsAccum.zeros(self.event_shape)
             x, kstate, acc, ys = runner(x, kstate, acc, keys)
-            # Block so elapsed-time accounting reflects real device work.
+            # Block so elapsed-time accounting (and time limits) see real work.
             jax.block_until_ready(x)
-
-            stats.update_counters(
-                n_accepted_trajectories=int(acc.n_accepted),
-                n_attempted_trajectories=chunk * n_chains,
-                n_divergences=int(acc.n_divergences),
-                n_target_calls=chunk * calls_per_iter,
-                n_target_gradient_calls=chunk * grads_per_iter,
-            )
-            stats.update_moments_from_sums(acc.sum_x, acc.sum_x2, chunk * n_chains)
+            iters_done += chunk
             if samples is not None:
                 if collect:
                     samples.add(ys)
+                elif self.emit_transform is not None:
+                    samples.add(self.emit_transform(x))
                 else:
                     samples.add(x)
             stats.update_elapsed_time(time.time() - t0)
             if show_progress:
+                flush(jax.device_get(acc), iters_done)
+                acc = StatsAccum.zeros(self.event_shape)
+                iters_done = 0
                 pbar.update(chunk)
                 postfix = f"{stats}"
                 if kernel_repr is not None:
                     postfix += f" | {kernel_repr(kstate)}"
                 pbar.set_postfix_str(postfix)
         pbar.close()
+        if iters_done:
+            flush(jax.device_get(acc), iters_done)
         return x, kstate

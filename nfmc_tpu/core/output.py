@@ -22,12 +22,14 @@ class MCMCOutput:
         kernel=None,
         store_samples: bool = True,
         max_samples: Optional[int] = None,
+        on_device: bool = False,
     ):
         self.event_shape = tuple(event_shape)
         self.store_samples = store_samples
         self.max_samples = max_samples
         self.running_samples = running_samples or MCMCSamples(
-            self.event_shape, store_samples=store_samples, max_samples=max_samples
+            self.event_shape, store_samples=store_samples, max_samples=max_samples,
+            on_device=on_device,
         )
         self.statistics = statistics or MCMCStatistics(self.event_shape)
         self.kernel = kernel

@@ -35,6 +35,10 @@ class MCMCParameters:
     n_warmup_iterations: int = 100
     tuning: bool = False
     store_samples: bool = True
+    # TPU-native extension: keep stored samples as device arrays instead of
+    # streaming to host per chunk (critical when the host link is slow; see
+    # core/samples.py). Reference-parity default is host storage.
+    store_samples_on_device: bool = False
 
     def __post_init__(self):
         pass

@@ -1,8 +1,14 @@
-"""Host-side sample store with thinning / max_samples / last-sample semantics.
+"""Sample store with thinning / max_samples / last-sample semantics.
 
-Parity with reference ``nfmc/algorithms/sampling/base.py:215-271``. Samples are
-streamed off-device once per scan chunk (a `(k, n_chains, *event)` block) and
-kept as numpy on host RAM, so HBM holds only the live chain state.
+Parity with reference ``nfmc/algorithms/sampling/base.py:215-271``. Two
+storage modes:
+
+* host (default, reference parity): blocks are copied to numpy once per scan
+  chunk — chain state in HBM stays minimal;
+* on-device (``on_device=True``): blocks stay as device arrays. Essential
+  when the host link is thin (e.g. a tunneled TPU) or when downstream
+  consumers (flow training, diagnostics like ESS) run on device anyway —
+  fetching only scalars instead of the full chain history.
 """
 from __future__ import annotations
 
@@ -20,52 +26,90 @@ class MCMCSamples:
         store_samples: bool = True,
         thinning: int = 1,
         max_samples: Optional[int] = None,
+        on_device: bool = False,
     ):
         self.event_shape: Tuple[int, ...] = tuple(event_shape)
         self.store_samples = store_samples
         self.thinning = int(thinning)
         self.max_samples = max_samples
-        self.last_sample: Optional[np.ndarray] = None  # (n_chains, *event)
+        self.on_device = on_device
+        self.last_sample = None  # (n_chains, *event)
         self.seen_samples = 0
-        self._running: List[np.ndarray] = []
+        self._running: List = []  # host mode: per-iteration arrays; device mode: blocks
         self.n_samples = 0
 
     def __getitem__(self, index):
         if index == -1 or index == self.n_samples - 1:
             return self.last_sample
-        return self._running[index]
+        if not self.on_device:
+            return self._running[index]
+        # device mode: walk blocks
+        if index < 0:
+            index += self.n_samples
+        for blk in self._running:
+            if index < len(blk):
+                return blk[index]
+            index -= len(blk)
+        raise IndexError(index)
 
     def add(self, x) -> None:
         """Add a `(n_chains, *event)` state or a `(k, n_chains, *event)` block."""
-        x = as_numpy(x)
         ne = len(self.event_shape)
-        if x.ndim == ne + 1 and x.shape[1:] == self.event_shape:
+        if self.on_device:
+            import jax.numpy as jnp
+
+            x = jnp.asarray(x)
+        else:
+            x = as_numpy(x)
+        if x.ndim == ne + 1 and tuple(x.shape[1:]) == self.event_shape:
             x = x[None]
-        elif x.ndim == ne + 2 and x.shape[2:] == self.event_shape:
+        elif x.ndim == ne + 2 and tuple(x.shape[2:]) == self.event_shape:
             pass
         else:
             raise ValueError(
                 f"Expected trailing dims {self.event_shape}, got shape {x.shape}"
             )
 
-        self.last_sample = np.array(x[-1], copy=True)
+        if self.on_device:
+            self.last_sample = x[-1]
+        else:
+            self.last_sample = np.array(x[-1], copy=True)
 
         if not self.store_samples:
-            return
+            return  # seen_samples untouched, reference parity (``base.py:251-252``)
 
         idx = np.arange(self.seen_samples, self.seen_samples + len(x))
-        thinning_mask = (idx % self.thinning) == 0
+        kept_idx = np.nonzero(idx % self.thinning == 0)[0]
         self.seen_samples += len(x)
+        if len(kept_idx) == 0:
+            return
 
-        kept = x[thinning_mask]
-        self._running.extend(list(kept))
-        self.n_samples += len(kept)
+        if self.on_device:
+            self._running.append(x[kept_idx])
+            self.n_samples += len(kept_idx)
+            if self.max_samples is not None:
+                while self.n_samples > self.max_samples:
+                    excess = self.n_samples - self.max_samples
+                    head = self._running[0]
+                    if len(head) <= excess:
+                        self._running.pop(0)
+                        self.n_samples -= len(head)
+                    else:
+                        self._running[0] = head[excess:]
+                        self.n_samples -= excess
+        else:
+            kept = x[kept_idx]
+            self._running.extend(list(kept))
+            self.n_samples += len(kept)
+            if self.max_samples is not None and self.n_samples > self.max_samples:
+                self._running = self._running[-self.max_samples :]
+                self.n_samples = self.max_samples
 
-        if self.max_samples is not None and self.n_samples > self.max_samples:
-            self._running = self._running[-self.max_samples:]
-            self.n_samples = self.max_samples
+    def as_tensor(self):
+        if self.on_device:
+            import jax.numpy as jnp
 
-    def as_tensor(self) -> np.ndarray:
+            return jnp.concatenate(self._running, axis=0)
         return np.stack(self._running, axis=0)
 
     def reset(self) -> None:

@@ -14,6 +14,38 @@ from .masked import (
     MaskedAutoregressiveRQNSF,
 )
 from .train import fit, variational_fit
+from .naf import (
+    CouplingDeepDenseSF,
+    CouplingDeepSF,
+    CouplingDenseSF,
+    InverseAutoregressiveDeepDenseSF,
+    InverseAutoregressiveDeepSF,
+    InverseAutoregressiveDenseSF,
+    MaskedAutoregressiveDeepDenseSF,
+    MaskedAutoregressiveDeepSF,
+    MaskedAutoregressiveDenseSF,
+)
+from .residual import (
+    InvertibleResNet,
+    PlanarFlow,
+    ProximalResFlow,
+    RadialFlow,
+    ResFlow,
+    SylvesterFlow,
+)
+from .continuous import FFJORD, OTFlow, RNODE, DeepDiffeomorphicBijection
+from .multiscale import (
+    AffineGlow,
+    ConvolutionalFFJORD,
+    ConvolutionalInvertibleResNet,
+    ConvolutionalResFlow,
+    MultiscaleFlow,
+    MultiscaleNICE,
+    MultiscaleRealNVP,
+    MultiscaleRQNSF,
+    RQSGlow,
+    ShiftGlow,
+)
 
 __all__ = [
     "Bijection", "Chain", "Flow", "Inverse",
@@ -21,5 +53,16 @@ __all__ = [
     "MaskedAutoregressive", "MAF", "IAF",
     "MaskedAutoregressiveRQNSF", "InverseAutoregressiveRQNSF",
     "MaskedAutoregressiveLRS", "InverseAutoregressiveLRS",
+    "CouplingDeepSF", "CouplingDenseSF", "CouplingDeepDenseSF",
+    "MaskedAutoregressiveDeepSF", "MaskedAutoregressiveDenseSF",
+    "MaskedAutoregressiveDeepDenseSF",
+    "InverseAutoregressiveDeepSF", "InverseAutoregressiveDenseSF",
+    "InverseAutoregressiveDeepDenseSF",
+    "PlanarFlow", "RadialFlow", "SylvesterFlow",
+    "InvertibleResNet", "ResFlow", "ProximalResFlow",
+    "FFJORD", "RNODE", "OTFlow", "DeepDiffeomorphicBijection",
+    "MultiscaleFlow", "MultiscaleRealNVP", "MultiscaleNICE", "MultiscaleRQNSF",
+    "AffineGlow", "ShiftGlow", "RQSGlow",
+    "ConvolutionalFFJORD", "ConvolutionalInvertibleResNet", "ConvolutionalResFlow",
     "fit", "variational_fit",
 ]

@@ -78,6 +78,10 @@ class Inverse(Bijection):
     def inverse_fn(self, params, z):
         return self.inner.forward_fn(params, z)
 
+    @property
+    def layers(self):
+        return getattr(self.inner, "layers", [])
+
 
 class Chain(Bijection):
     """Composition: forward applies bijections in order (data -> latent)."""

@@ -31,7 +31,8 @@ class Coupling(Bijection):
         n_layers: int = 2,
         hidden_size: Optional[int] = None,
         n_hidden_layers: int = 2,
-        **conditioner_kwargs,
+        conditioner_kwargs: Optional[dict] = None,
+        **_ignored,
     ):
         super().__init__(event_shape)
         d = self.event_size
@@ -39,6 +40,11 @@ class Coupling(Bijection):
             raise ValueError("Coupling flows need event_size >= 2")
         self.transform = transform
         self.n_layers = int(n_layers)
+        # torchflows-style conditioner kwargs ({'n_layers', 'n_hidden'}) are
+        # accepted for DSL parity (reference ``test/test_flow_kwargs.py:49``).
+        if conditioner_kwargs:
+            n_hidden_layers = conditioner_kwargs.get("n_layers", n_hidden_layers)
+            hidden_size = conditioner_kwargs.get("n_hidden", hidden_size)
         if hidden_size is None:
             hidden_size = int(min(max(32, 2 ** int(np.ceil(np.log2(max(4 * d, 32))))), 128))
         self.hidden = [int(hidden_size)] * int(n_hidden_layers)
@@ -51,6 +57,11 @@ class Coupling(Bijection):
             b = ids[(ids + l) % 2 == 1]  # transformed part
             inv_perm = np.argsort(np.concatenate([a, b]))
             self.layer_idx.append((jnp.asarray(a), jnp.asarray(b), jnp.asarray(inv_perm)))
+
+    @property
+    def layers(self):
+        """Per-layer descriptors (torchflows ``bijection.layers`` parity)."""
+        return self.layer_idx
 
     def init(self, key):
         keys = jax.random.split(key, self.n_layers)

@@ -58,11 +58,15 @@ class MaskedAutoregressive(Bijection):
         n_layers: int = 2,
         hidden_size: int = 128,
         n_hidden_layers: int = 2,
+        conditioner_kwargs=None,
         **_,
     ):
         super().__init__(event_shape)
         self.transform = transform
         self.n_layers = int(n_layers)
+        if conditioner_kwargs:
+            n_hidden_layers = conditioner_kwargs.get("n_layers", n_hidden_layers)
+            hidden_size = conditioner_kwargs.get("n_hidden", hidden_size)
         self.hidden = [int(hidden_size)] * int(n_hidden_layers)
         self.masks = [
             jnp.asarray(m)
@@ -71,6 +75,10 @@ class MaskedAutoregressive(Bijection):
                 np.random.default_rng(0),
             )
         ]
+
+    @property
+    def layers(self):
+        return list(range(self.n_layers))
 
     def init(self, key):
         keys = jax.random.split(key, self.n_layers)

@@ -249,8 +249,8 @@ class MCMCSampler(Sampler):
     ) -> MCMCOutput:
         x0 = jnp.asarray(x0, dtype=jnp.float32)
         n_chains = x0.shape[0]
-        out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples)
-        out.running_samples.store_samples = self.params.store_samples
+        out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples,
+                         on_device=getattr(self.params, 'store_samples_on_device', False))
 
         mstate = self.kernel.make_state()
         driver = self._get_driver()

@@ -170,6 +170,17 @@ class ESS(MCMCSampler):
     def grads_per_iter(self, n_chains: int) -> int:
         return 0
 
+    def resample_x0_fn(self, key, x):
+        """Prior redraw used by ESS.sample and the fused Jump path (quirk
+        parity with reference ``ess.py:121-127``)."""
+        state = self.kernel.make_state()
+        n_chains = x.shape[0]
+        if state.chol is None:
+            return jax.random.normal(key, (n_chains, *self.event_shape))
+        d = state.chol.shape[0]
+        z = jax.random.normal(key, (n_chains, d))
+        return (z @ state.chol.T).reshape(n_chains, *self.event_shape)
+
     def sample(self, x0, show_progress: bool = True, time_limit_seconds=None, key=None, seed=None):
         """Quirk parity (reference ``ess.py:121-127``): redraw x0 from the prior."""
         key = self._key(key, seed)

@@ -1,0 +1,24 @@
+from .imh import AbstractIMH, AdaptiveIMH, FixedIMH, IMHKernel, IMHParameters
+from .jump import (
+    JumpESS,
+    JumpHMC,
+    JumpMALA,
+    JumpMH,
+    JumpNFMC,
+    JumpNFMCParameters,
+    JumpNUTS,
+    JumpUHMC,
+    JumpULA,
+)
+from .neutra import NeuTra, NeuTraHMC, NeuTraKernel, NeuTraMH, NeuTraParameters
+from .tess import TESS, TESSKernel, TESSParameters
+from .dlmc import DLMC, DLMCKernel, DLMCParameters
+
+__all__ = [
+    "AbstractIMH", "AdaptiveIMH", "FixedIMH", "IMHKernel", "IMHParameters",
+    "JumpNFMC", "JumpNFMCParameters", "JumpHMC", "JumpUHMC", "JumpMALA",
+    "JumpULA", "JumpMH", "JumpESS", "JumpNUTS",
+    "NeuTra", "NeuTraHMC", "NeuTraMH", "NeuTraKernel", "NeuTraParameters",
+    "TESS", "TESSKernel", "TESSParameters",
+    "DLMC", "DLMCKernel", "DLMCParameters",
+]

@@ -1,0 +1,258 @@
+"""Independence Metropolis-Hastings with a flow proposal (fixed + adaptive).
+
+Parity with reference ``nfmc/algorithms/sampling/nfmc/imh.py``:
+
+* warmup = reverse-KL ``variational_fit`` to the target, output = one batch of
+  flow samples (``imh.py:27-36,67-75``);
+* ``FixedIMH``: flow proposal + MH accept with the cached ``flow_log_prob_x``
+  updated on acceptance (``imh.py:214-236``); 2B target calls/iter
+  (``imh.py:244``). TPU-native: the flow is *fixed* during sampling, so the
+  entire run is one jitted chunked scan — proposal sampling (base draw +
+  coupling inverse), target evals, and accept masks never leave the device;
+* ``AdaptiveIMH``: same accept step (jitted, flow params threaded as an
+  argument), then with probability ``adaptation_dropoff ** i`` a 1-epoch refit
+  on one stored historical batch chosen by ``train_distribution`` in
+  {uniform, bounded_geom_approx, bounded_geom} (``imh.py:152-175``), with
+  weight rollback on failure. Counter quirk kept for parity: the reference
+  logs the 2B accept-step evaluations as *gradient* calls (``imh.py:146``).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.driver import ChunkedScanDriver, StepInfo
+from ...core.output import MCMCOutput
+from ...core.rng import resolve_key
+from ...core.sampler import NFMCKernel, NFMCParameters, Sampler
+from ...utils import metropolis_acceptance_log_ratio
+
+try:
+    from tqdm import tqdm
+except Exception:  # pragma: no cover
+    def tqdm(it, **kwargs):
+        return it
+
+
+@dataclass
+class IMHKernel(NFMCKernel):
+    pass
+
+
+@dataclass
+class IMHParameters(NFMCParameters):
+    train_distribution: str = "uniform"
+    adaptation_dropoff: float = 0.9999
+    warmup_fit_kwargs: Optional[dict] = None
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.train_distribution not in ("bounded_geom_approx", "bounded_geom", "uniform"):
+            raise ValueError(f"bad train_distribution: {self.train_distribution}")
+        if self.warmup_fit_kwargs is None:
+            # Reference defaults at ``imh.py:27-36`` use n_samples=1 (one draw
+            # per reverse-KL step); we default to a 128-draw batch — same
+            # estimator, far lower gradient variance, near-free on the MXU.
+            self.warmup_fit_kwargs = {
+                "early_stopping": True,
+                "early_stopping_threshold": 50,
+                "keep_best_weights": True,
+                "n_samples": 128,
+                "n_epochs": 500,
+                "lr": 0.05,
+                "check_for_divergences": True,
+            }
+
+
+def sample_bounded_geom(rng: np.random.Generator, p: float, max_val: int) -> int:
+    """Exact bounded-geometric index sampler; reference ``imh.py:39-45``."""
+    v = np.arange(0, max_val + 1)
+    pdf = p * (1 - p) ** (max_val - v) / (1 - (1 - p) ** (max_val + 1))
+    cdf = np.cumsum(pdf)
+    return int(np.searchsorted(cdf, rng.uniform(), side="right"))
+
+
+class AbstractIMH(Sampler):
+    def __init__(self, event_shape, target, kernel: Optional[IMHKernel] = None,
+                 params: Optional[IMHParameters] = None):
+        if kernel is None:
+            kernel = IMHKernel(event_shape)
+        if params is None:
+            params = IMHParameters()
+        super().__init__(event_shape, target, kernel, params)
+
+    @property
+    def name(self):
+        return "Abstract IMH"
+
+    def warmup(self, x0, show_progress: bool = True, time_limit_seconds=None,
+               key=None, seed=None) -> MCMCOutput:
+        key = self._key(key, seed)
+        k_fit, k_draw = jax.random.split(key)
+        self.kernel.flow.variational_fit(
+            lambda v: -self.target(v),
+            **self.params.warmup_fit_kwargs,
+            show_progress=show_progress,
+            time_limit_seconds=time_limit_seconds,
+            key=k_fit,
+        )
+        out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples)
+        out.running_samples.add(self.kernel.flow.sample(x0.shape[0], key=k_draw))
+        return out
+
+    def _make_accept_step(self):
+        """Pure fn (params, x, flp_x, key) -> (x', flp', mask, diverged)."""
+        flow = self.kernel.flow
+        target = self.target
+        event_ndim = len(self.event_shape)
+
+        def accept_step(params, x, flp_x, key):
+            n_chains = x.shape[0]
+            k_prop, k_acc = jax.random.split(key)
+            x_prime, flp_prime = flow.sample_fn(params, k_prop, n_chains, return_log_prob=True)
+            log_alpha = metropolis_acceptance_log_ratio(
+                log_prob_target_curr=-target(x),
+                log_prob_target_prime=-target(x_prime),
+                log_prob_proposal_curr=flp_x,
+                log_prob_proposal_prime=flp_prime,
+            )
+            finite = (
+                jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
+                & jnp.isfinite(log_alpha)
+            )
+            log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
+            mask = (log_u < log_alpha) & finite
+            bmask = mask.reshape(mask.shape + (1,) * event_ndim)
+            x_new = jnp.where(bmask, x_prime, x)
+            flp_new = jnp.where(mask, flp_prime, flp_x)
+            diverged = (~jnp.all(finite)).astype(jnp.int32)
+            return x_new, flp_new, mask, diverged
+
+        return accept_step
+
+
+class FixedIMH(AbstractIMH):
+    @property
+    def name(self):
+        return "Fixed IMH"
+
+    def sample(self, x0, show_progress: bool = True, time_limit_seconds=None,
+               key=None, seed=None) -> MCMCOutput:
+        key = self._key(key, seed)
+        x0 = jnp.asarray(x0, dtype=jnp.float32)
+        n_chains = x0.shape[0]
+        out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples,
+                         on_device=getattr(self.params, 'store_samples_on_device', False))
+
+        accept_step = self._make_accept_step()
+        flow = self.kernel.flow
+
+        def make_step(tuning):
+            def step(x, kstate, key):
+                params, flp_x = kstate
+                x_new, flp_new, mask, diverged = accept_step(params, x, flp_x, key)
+                info = StepInfo(
+                    n_accepted=jnp.sum(mask).astype(jnp.int32), diverged=diverged
+                )
+                return x_new, (params, flp_new), info
+
+            return step
+
+        driver = ChunkedScanDriver(self.event_shape, make_step)
+        t0 = time.time()
+        flp0 = flow.log_prob(x0)
+        out.statistics.update_elapsed_time(time.time() - t0)
+        driver.run(
+            x0,
+            (flow.params, flp0),
+            key,
+            self.params.n_iterations,
+            stats=out.statistics,
+            samples=out.running_samples,
+            calls_per_iter=2 * n_chains,
+            grads_per_iter=0,
+            collect=self.params.store_samples,
+            time_limit_seconds=time_limit_seconds,
+            show_progress=show_progress,
+            desc=self.name,
+        )
+        out.kernel = self.kernel
+        return out
+
+
+class AdaptiveIMH(AbstractIMH):
+    def __init__(self, event_shape, target, kernel=None, params=None):
+        super().__init__(event_shape, target, kernel, params)
+        if not self.params.store_samples:
+            print("Warning: params.store_samples is False")
+            print("Warning: setting params.store_samples to True")
+            self.params.store_samples = True
+
+    @property
+    def name(self):
+        return "Adaptive IMH"
+
+    def sample(self, x0, show_progress: bool = True, time_limit_seconds=None,
+               key=None, seed=None) -> MCMCOutput:
+        key = self._key(key, seed)
+        if not self.params.store_samples:
+            self.params.store_samples = True
+        x0 = jnp.asarray(x0, dtype=jnp.float32)
+        n_chains = x0.shape[0]
+        out = MCMCOutput(self.event_shape, store_samples=True)
+        rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+
+        accept_step = jax.jit(self._make_accept_step())
+        flow = self.kernel.flow
+
+        t0 = time.time()
+        x = x0
+        flp_x = flow.log_prob(x)
+        out.statistics.update_elapsed_time(time.time() - t0)
+
+        for i in tqdm(range(self.params.n_iterations), desc=self.name, disable=not show_progress):
+            if (
+                time_limit_seconds is not None
+                and out.statistics.elapsed_time_seconds >= time_limit_seconds
+            ):
+                break
+            t0 = time.time()
+            key, k_step = jax.random.split(key)
+            x, flp_x, mask, diverged = accept_step(flow.params, x, flp_x, k_step)
+            out.statistics.update_counters(
+                # Reference-bug parity: accept-step target evals logged as
+                # gradient calls (``imh.py:146``).
+                n_target_gradient_calls=2 * n_chains,
+                n_accepted_trajectories=int(jnp.sum(mask)),
+                n_attempted_trajectories=n_chains,
+                n_divergences=int(diverged),
+            )
+            out.statistics.expectations.update(x)
+            out.running_samples.add(x)
+
+            # probabilistic adaptation on one stored historical batch
+            alpha_prime = self.params.adaptation_dropoff**i
+            if rng.uniform() < alpha_prime:
+                n_samples = out.running_samples.n_samples
+                if self.params.train_distribution == "uniform":
+                    k = int(rng.integers(0, n_samples))
+                elif self.params.train_distribution == "bounded_geom_approx":
+                    k = int(rng.integers(max(0, n_samples - 100), n_samples))
+                else:
+                    k = sample_bounded_geom(rng, p=0.025, max_val=n_samples - 1)
+                x_train = out.running_samples[k]
+                flow_weights = flow.state_dict()
+                try:
+                    flow.fit(x_train, n_epochs=1, show_progress=False)
+                    flp_x = flow.log_prob(x)  # cached proposal density is stale
+                except ValueError:
+                    flow.load_state_dict(flow_weights)
+            out.statistics.update_elapsed_time(time.time() - t0)
+
+        out.kernel = self.kernel
+        return out

@@ -1,0 +1,429 @@
+"""Jump NFMC: inner MCMC trajectories interleaved with flow jump proposals.
+
+Parity with reference ``nfmc/algorithms/sampling/nfmc/jump.py``:
+
+* per outer iteration: run the inner sampler for ``inner.n_iterations`` steps,
+  optionally refit the flow on those samples (``fit_nf``, gated by
+  ``n_jumps_before_training``; ``jump.py:193-201``), then an MH-adjusted flow
+  jump in data space (``jump.py:203-231``; unadjusted mode accepts all);
+* output interleaving law: ``(n_iterations * (inner_n + 1), C, *event)``
+  (asserted by reference ``test/test_samplers.py:140-144``);
+* separate jump counters ``n_accepted/attempted_jumps`` (``jump.py:41-73``);
+* warmup: inner-sampler warmup on 70% of the time budget, then a flow MLE fit
+  on the warmup samples with weight rollback on failure (``jump.py:111-151``).
+
+TPU-native: with ``fit_nf=False`` (the default) the flow is frozen during
+sampling, so the *entire* outer loop compiles to a chunked scan whose body
+nests the inner sampler's scan — one device program per chunk instead of the
+reference's (outer x inner) eager Python iterations. With ``fit_nf=True`` the
+outer loop runs host-side (flow training has data-dependent control flow) with
+the inner trajectory + jump step still jitted.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.driver import StatsAccum, chunk_schedule
+from ...core.output import JumpNFMCOutput, MCMCOutput
+from ...core.sampler import MCMCKernel, MCMCParameters, NFMCKernel, NFMCParameters, Sampler
+from ...core.tuning import train_val_split
+from ...utils import metropolis_acceptance_log_ratio
+from ..mcmc.ess import ESS
+from ..mcmc.hmc import HMC, UHMC
+from ..mcmc.langevin import MALA, ULA
+from ..mcmc.mh import MH
+from ..mcmc.nuts import NUTS
+
+try:
+    from tqdm import tqdm
+except Exception:  # pragma: no cover
+    def tqdm(it, **kwargs):
+        return it
+
+
+@dataclass
+class JumpNFMCParameters(NFMCParameters):
+    adjusted_jumps: bool = True
+    fit_nf: bool = False
+    warmup_fit_kwargs: Optional[dict] = None
+    n_jumps_before_training: int = 10
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.warmup_fit_kwargs is None:
+            self.warmup_fit_kwargs = {
+                "early_stopping": True,
+                "early_stopping_threshold": 50,
+                "keep_best_weights": True,
+                "n_epochs": 500,
+                "lr": 0.05,
+            }
+
+
+class JumpNFMC(Sampler):
+    """Requires a flow with efficient inverse (sampling); adjusted jumps also
+    need an efficient forward (reference docstring, ``jump.py:85-90``)."""
+
+    def __init__(self, event_shape, target, inner_sampler: Sampler,
+                 kernel: Optional[NFMCKernel] = None,
+                 params: Optional[JumpNFMCParameters] = None):
+        if kernel is None:
+            kernel = NFMCKernel(event_shape)
+        if params is None:
+            params = JumpNFMCParameters()
+        super().__init__(event_shape, target, kernel, params)
+        self.inner_sampler = inner_sampler
+        self._fused = None
+        self._fused_config = None
+
+    @property
+    def name(self):
+        return "Jump MCMC"
+
+    # ------------------------------------------------------------------ warmup
+    def warmup(self, x0, show_progress: bool = True, time_limit_seconds=None,
+               key=None, seed=None) -> MCMCOutput:
+        key = self._key(key, seed)
+        k_inner, k_fit = jax.random.split(key)
+        inner_time_limit = 0.7 * time_limit_seconds if time_limit_seconds is not None else None
+
+        t0 = time.time()
+        self.inner_sampler.params.store_samples = True
+        warmup_output = self.inner_sampler.warmup(
+            x0, show_progress=show_progress,
+            time_limit_seconds=inner_time_limit, key=k_inner,
+        )
+
+        x_train, x_val = train_val_split(
+            warmup_output.samples,
+            train_pct=self.params.train_pct,
+            max_train_size=self.params.max_train_size,
+            max_val_size=self.params.max_val_size,
+        )
+        flow_params = self.kernel.flow.state_dict()
+        elapsed = time.time() - t0
+        fit_limit = (time_limit_seconds - elapsed) if time_limit_seconds is not None else None
+        try:
+            self.kernel.flow.fit(
+                x_train, x_val=x_val,
+                **{
+                    **self.params.flow_fit_kwargs,
+                    **dict(show_progress=show_progress, time_limit_seconds=fit_limit),
+                },
+                key=k_fit,
+            )
+        except ValueError:
+            self.kernel.flow.load_state_dict(flow_params)
+        # Prefer MCMC warmup draws as x0 (flow sampling can produce outliers).
+        return warmup_output
+
+    # ---------------------------------------------------------------- jump step
+    def _make_jump_step(self):
+        flow = self.kernel.flow
+        target = self.target
+        adjusted = self.params.adjusted_jumps
+        event_ndim = len(self.event_shape)
+
+        def jump_step(params, x, key):
+            n_chains = x.shape[0]
+            k_prop, k_acc = jax.random.split(key)
+            x_prime, f_x_prime = flow.sample_fn(params, k_prop, n_chains, return_log_prob=True)
+            if adjusted:
+                u_x = target(x)
+                u_x_prime = target(x_prime)
+                f_x = flow.log_prob_fn(params, x)
+                log_alpha = metropolis_acceptance_log_ratio(
+                    log_prob_target_curr=-u_x,
+                    log_prob_target_prime=-u_x_prime,
+                    log_prob_proposal_curr=f_x,
+                    log_prob_proposal_prime=f_x_prime,
+                )
+                finite = (
+                    jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
+                    & jnp.isfinite(log_alpha)
+                )
+                log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
+                mask = (log_u < log_alpha) & finite
+            else:
+                mask = jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
+            bmask = mask.reshape(mask.shape + (1,) * event_ndim)
+            x_new = jnp.where(bmask, x_prime, x)
+            return x_new, mask
+
+        return jump_step
+
+    def _jump_calls_per_iter(self, n_chains: int) -> int:
+        return 2 * n_chains if self.params.adjusted_jumps else 0
+
+    # ------------------------------------------------- fused path (fit_nf=False)
+    def _get_fused_runner(self, inner_n: int):
+        config = (inner_n, self.params.adjusted_jumps, self.params.store_samples,
+                  self.inner_sampler._static_config())
+        if self._fused is not None and self._fused_config == config:
+            return self._fused
+
+        inner_step = self.inner_sampler._make_step(tuning=False)
+        jump_step = self._make_jump_step()
+        collect = self.params.store_samples
+        resample_x0 = getattr(self.inner_sampler, "resample_x0_fn", None)
+
+        def run_chunk(x, inner_kstate, flow_params, acc, jump_acc, keys):
+            def outer_body(carry, key):
+                x, ks, acc, jump_acc = carry
+                k_inner, k_jump, k_reset = jax.random.split(key, 3)
+                if resample_x0 is not None:
+                    x = resample_x0(k_reset, x)
+
+                def inner_body(c, k):
+                    x, ks, acc = c
+                    x2, ks2, info = inner_step(x, ks, k)
+                    return (x2, ks2, acc.add(info, x2)), (x2 if collect else None)
+
+                (x, ks, acc), inner_xs = jax.lax.scan(
+                    inner_body, (x, ks, acc), jax.random.split(k_inner, inner_n)
+                )
+                x, jmask = jump_step(flow_params, x, k_jump)
+                jump_acc = jump_acc.add_jump(jmask, x)
+                if collect:
+                    emit = jnp.concatenate([inner_xs, x[None]], axis=0)
+                else:
+                    emit = None
+                return (x, ks, acc, jump_acc), emit
+
+            (x, inner_kstate, acc, jump_acc), ys = jax.lax.scan(
+                outer_body, (x, inner_kstate, acc, jump_acc), keys
+            )
+            return x, inner_kstate, acc, jump_acc, ys
+
+        self._fused = jax.jit(run_chunk, donate_argnums=(0, 3, 4))
+        self._fused_config = config
+        return self._fused
+
+    # ------------------------------------------------------------------- sample
+    def sample(self, x0, show_progress: bool = True, time_limit_seconds=None,
+               key=None, seed=None) -> MCMCOutput:
+        if not self.inner_sampler.params.store_samples:
+            raise ValueError("Inner sampler in jump NFMC must store samples")
+        key = self._key(key, seed)
+        x0 = jnp.asarray(x0, dtype=jnp.float32)
+        n_chains = x0.shape[0]
+        inner_n = self.inner_sampler.params.n_iterations
+        out = JumpNFMCOutput(event_shape=self.event_shape, store_samples=self.params.store_samples,
+                             on_device=getattr(self.params, 'store_samples_on_device', False))
+
+        if not self.params.fit_nf:
+            self._sample_fused(x0, out, key, inner_n, n_chains, time_limit_seconds, show_progress)
+        else:
+            self._sample_host(x0, out, key, inner_n, n_chains, time_limit_seconds, show_progress)
+        out.kernel = self.kernel
+        return out
+
+    def _account_outer_iters(self, out, n_outer, n_chains, inner_n, acc, jump_acc):
+        import jax as _jax
+
+        # one host transfer for both accumulators (remote-device friendly)
+        acc, jump_acc = _jax.device_get((acc, jump_acc))
+        inner_calls = self.inner_sampler.calls_per_iter(n_chains)
+        inner_grads = self.inner_sampler.grads_per_iter(n_chains)
+        out.statistics.update_counters(
+            n_accepted_trajectories=int(acc.n_accepted),
+            n_attempted_trajectories=n_outer * inner_n * n_chains,
+            n_divergences=int(acc.n_divergences),
+            n_target_calls=n_outer * (inner_n * inner_calls + self._jump_calls_per_iter(n_chains)),
+            n_target_gradient_calls=n_outer * inner_n * inner_grads,
+            n_accepted_jumps=int(jump_acc.n_accepted),
+            n_attempted_jumps=n_outer * n_chains,
+        )
+        out.statistics.update_moments_from_sums(
+            acc.sum_x + jump_acc.sum_x,
+            acc.sum_x2 + jump_acc.sum_x2,
+            n_outer * (inner_n + 1) * n_chains,
+        )
+
+    def _sample_fused(self, x0, out, key, inner_n, n_chains, time_limit_seconds, show_progress):
+        runner = self._get_fused_runner(inner_n)
+        inner_kstate = self.inner_sampler.kernel.make_state()
+        flow_params = self.kernel.flow.params
+        x = jnp.array(x0, copy=True)
+
+        # Accumulators are carried on-device across chunks; one host fetch at
+        # the end (per chunk only when a live progress bar is shown).
+        acc = StatsAccum.zeros(self.event_shape)
+        jump_acc = _JumpAccum.zeros(self.event_shape)
+        outer_done = 0
+        pbar = tqdm(total=self.params.n_iterations, desc=self.name, disable=not show_progress)
+        for chunk in chunk_schedule(self.params.n_iterations, max_chunk=256):
+            if (
+                time_limit_seconds is not None
+                and out.statistics.elapsed_time_seconds >= time_limit_seconds
+            ):
+                break
+            t0 = time.time()
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, chunk)
+            x, inner_kstate, acc, jump_acc, ys = runner(
+                x, inner_kstate, flow_params, acc, jump_acc, keys
+            )
+            jax.block_until_ready(x)
+            outer_done += chunk
+            if self.params.store_samples:
+                # (chunk, inner_n+1, C, *e) -> (chunk*(inner_n+1), C, *e)
+                out.running_samples.add(
+                    ys.reshape(chunk * (inner_n + 1), n_chains, *self.event_shape)
+                )
+            else:
+                out.running_samples.add(x)
+            out.statistics.update_elapsed_time(time.time() - t0)
+            pbar.update(chunk)
+            if show_progress:
+                self._account_outer_iters(out, outer_done, n_chains, inner_n, acc, jump_acc)
+                acc = StatsAccum.zeros(self.event_shape)
+                jump_acc = _JumpAccum.zeros(self.event_shape)
+                outer_done = 0
+                pbar.set_postfix_str(f"{out.statistics}")
+        pbar.close()
+        if outer_done:
+            self._account_outer_iters(out, outer_done, n_chains, inner_n, acc, jump_acc)
+        self.inner_sampler.kernel.sync_from_state(inner_kstate)
+
+    def _sample_host(self, x0, out, key, inner_n, n_chains, time_limit_seconds, show_progress):
+        jump_step = jax.jit(self._make_jump_step())
+        flow = self.kernel.flow
+        x = x0
+
+        pbar = tqdm(range(self.params.n_iterations), desc=self.name, disable=not show_progress)
+        for i in pbar:
+            if (
+                time_limit_seconds is not None
+                and out.statistics.elapsed_time_seconds >= time_limit_seconds
+            ):
+                break
+            key, k_inner, k_jump, k_fit = jax.random.split(key, 4)
+            mcmc_output = self.inner_sampler.sample(x0=x, show_progress=False, key=k_inner)
+
+            st = mcmc_output.statistics
+            out.statistics.update_counters(
+                n_accepted_trajectories=st.n_accepted_trajectories,
+                n_attempted_trajectories=st.n_attempted_trajectories,
+                n_divergences=st.n_divergences,
+                n_target_calls=st.n_target_calls,
+                n_target_gradient_calls=st.n_target_gradient_calls,
+            )
+            out.statistics.update_elapsed_time(st.elapsed_time_seconds)
+            out.statistics.expectations.update(mcmc_output.samples)
+            out.running_samples.add(mcmc_output.samples)
+
+            t0 = time.time()
+            if self.params.fit_nf and i >= self.params.n_jumps_before_training:
+                x_train, x_val = train_val_split(
+                    mcmc_output.samples,
+                    train_pct=self.params.train_pct,
+                    max_train_size=self.params.max_train_size,
+                    max_val_size=self.params.max_val_size,
+                )
+                flow_params_snapshot = flow.state_dict()
+                try:
+                    flow.fit(x_train, x_val=x_val, **self.params.flow_fit_kwargs, key=k_fit)
+                except ValueError:
+                    flow.load_state_dict(flow_params_snapshot)
+
+            x = jnp.asarray(mcmc_output.running_samples.last_sample)
+            x, jmask = jump_step(flow.params, x, k_jump)
+            out.statistics.update_elapsed_time(time.time() - t0)
+            out.statistics.update_counters(
+                n_target_calls=self._jump_calls_per_iter(n_chains),
+                n_attempted_jumps=n_chains,
+                n_accepted_jumps=int(jnp.sum(jmask)),
+            )
+            out.statistics.expectations.update(x)
+            out.running_samples.add(x)
+            if show_progress:
+                pbar.set_postfix_str(f"{out.statistics}")
+
+
+import dataclasses
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class _JumpAccum:
+    """Chunk-local jump counters + post-jump moment sums."""
+
+    n_accepted: jax.Array
+    sum_x: jax.Array
+    sum_x2: jax.Array
+
+    @staticmethod
+    def zeros(event_shape):
+        return _JumpAccum(
+            n_accepted=jnp.zeros((), dtype=jnp.int32),
+            sum_x=jnp.zeros(event_shape, dtype=jnp.float32),
+            sum_x2=jnp.zeros(event_shape, dtype=jnp.float32),
+        )
+
+    def add_jump(self, mask, x):
+        xf = x.astype(jnp.float32)
+        return _JumpAccum(
+            n_accepted=self.n_accepted + jnp.sum(mask).astype(jnp.int32),
+            sum_x=self.sum_x + jnp.sum(xf, axis=0),
+            sum_x2=self.sum_x2 + jnp.sum(xf * xf, axis=0),
+        )
+
+
+class JumpHMC(JumpNFMC):
+    def __init__(self, event_shape, target, kernel=None, params=None,
+                 inner_kernel: Optional[MCMCKernel] = None,
+                 inner_params: Optional[MCMCParameters] = None):
+        super().__init__(event_shape, target, HMC(event_shape, target, inner_kernel, inner_params),
+                         kernel, params)
+
+
+class JumpUHMC(JumpNFMC):
+    def __init__(self, event_shape, target, kernel=None, params=None,
+                 inner_kernel=None, inner_params=None):
+        super().__init__(event_shape, target, UHMC(event_shape, target, inner_kernel, inner_params),
+                         kernel, params)
+
+
+class JumpMALA(JumpNFMC):
+    def __init__(self, event_shape, target, kernel=None, params=None,
+                 inner_kernel=None, inner_params=None):
+        super().__init__(event_shape, target, MALA(event_shape, target, inner_kernel, inner_params),
+                         kernel, params)
+
+
+class JumpULA(JumpNFMC):
+    def __init__(self, event_shape, target, kernel=None, params=None,
+                 inner_kernel=None, inner_params=None):
+        super().__init__(event_shape, target, ULA(event_shape, target, inner_kernel, inner_params),
+                         kernel, params)
+
+
+class JumpMH(JumpNFMC):
+    def __init__(self, event_shape, target, kernel=None, params=None,
+                 inner_kernel=None, inner_params=None):
+        super().__init__(event_shape, target, MH(event_shape, target, inner_kernel, inner_params),
+                         kernel, params)
+
+
+class JumpESS(JumpNFMC):
+    def __init__(self, event_shape, target, negative_log_likelihood,
+                 kernel=None, params=None, inner_kernel=None, inner_params=None):
+        super().__init__(
+            event_shape, target,
+            ESS(event_shape, target, negative_log_likelihood, inner_kernel, inner_params),
+            kernel, params,
+        )
+
+
+class JumpNUTS(JumpNFMC):
+    def __init__(self, event_shape, target, kernel=None, params=None,
+                 inner_kernel=None, inner_params=None):
+        super().__init__(event_shape, target, NUTS(event_shape, target, inner_kernel, inner_params),
+                         kernel, params)

@@ -1,0 +1,235 @@
+"""TESS: transport elliptical slice sampling.
+
+Parity with reference ``nfmc/algorithms/sampling/nfmc/tess.py``:
+
+* state lives in latent ``u``; per step draw ellipse ``v ~ N(0, cov)``,
+  threshold ``log s = log pi^(u) + log phi(v) + log w`` where
+  ``log pi^(u) = -U(f^{-1}(u)) - log_det`` and ``log phi`` is the flow base
+  log-prob (``tess.py:26-42``); rotate ``(u, v)`` through a <=5-round bracket
+  shrink with first-accept-wins masks; return data-space ``x = f^{-1}(u)``
+  (``tess.py:53-75``);
+* warmup (default 20 iterations, ``tess.py:85-86``): alternate TESS step +
+  flow MLE fit on the produced ``x``; stores *latent* draws (``tess.py:116-144``);
+* ``sample`` treats ``x0`` as latent ``u0`` (``tess.py:158-161``);
+* counters: ``(max_iterations + 1) * B`` target calls per iteration.
+
+TPU-native: with the flow frozen, ``sample`` is one chunked scan; the flow
+inverse runs inside the bracket ``fori_loop`` on device (the reference ships
+u to the flow device and x back to CPU per round, ``tess.py:27-35``).
+"""
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.driver import ChunkedScanDriver, StepInfo
+from ...core.output import MCMCOutput
+from ...core.sampler import NFMCKernel, NFMCParameters, Sampler
+from ...utils import get_batch_shape
+
+try:
+    from tqdm import tqdm
+except Exception:  # pragma: no cover
+    def tqdm(it, **kwargs):
+        return it
+
+
+@dataclass
+class TESSKernel(NFMCKernel):
+    cov: Optional[np.ndarray] = None
+
+    def chol(self):
+        if self.cov is None:
+            return None
+        return jnp.linalg.cholesky(jnp.asarray(self.cov, dtype=jnp.float32))
+
+
+@dataclass
+class TESSParameters(NFMCParameters):
+    n_warmup_iterations: int = 20
+    max_ess_step_iterations: int = 5
+
+
+def make_tess_step(flow, potential, event_shape: Tuple[int, ...],
+                   max_iterations: int = 5, chol=None):
+    """Pure fn (flow_params, u, key) -> (x, u', accepted_mask)."""
+    event_ndim = len(event_shape)
+
+    def log_phi(params, inputs):
+        return flow.base_log_prob_fn(inputs)
+
+    def log_pi_hat(params, inputs):
+        x, log_det = flow.bijection.inverse_fn(params, inputs)
+        return -potential(x) - log_det, x
+
+    def tess_step(params, u, key):
+        batch_shape = get_batch_shape(u, event_shape)
+        k_v, k_w, k_theta, k_shrink = jax.random.split(key, 4)
+
+        if chol is None:
+            v = jax.random.normal(k_v, u.shape)
+        else:
+            d = chol.shape[0]
+            z = jax.random.normal(k_v, (*batch_shape, d))
+            v = (z @ chol.T).reshape(u.shape)
+
+        w = jax.random.uniform(k_w, batch_shape)
+        lp_u, x0 = log_pi_hat(params, u)
+        log_s = lp_u + log_phi(params, v) + jnp.log(w)
+
+        expand = (*batch_shape, *([1] * event_ndim))
+        # Reference quirk (``tess.py:44``): theta ~ Normal * 2*pi, not Uniform.
+        theta = jax.random.normal(k_theta, expand) * (2.0 * math.pi)
+        theta_min = theta - 2.0 * math.pi
+        theta_max = theta
+
+        accepted = jnp.zeros(batch_shape, dtype=bool)
+        u_prop = u
+        x_prop = x0
+        shrink_keys = jax.random.split(k_shrink, max_iterations)
+
+        def body(i, carry):
+            u_prop, x_prop, accepted, theta, theta_min, theta_max = carry
+            u_prime = u * jnp.cos(theta) + v * jnp.sin(theta)
+            v_prime = v * jnp.cos(theta) - u * jnp.sin(theta)
+            lp, x_prime = log_pi_hat(params, u_prime)
+            newly = ((lp + log_phi(params, v_prime)) > log_s) & (~accepted)
+            bmask = newly.reshape(expand)
+            u_prop = jnp.where(bmask, u_prime, u_prop)
+            x_prop = jnp.where(bmask, x_prime, x_prop)
+
+            theta_neg = theta < 0
+            theta_min = jnp.where(theta_neg, theta, theta_min)
+            theta_max = jnp.where(~theta_neg, theta, theta_max)
+            noise = jax.random.uniform(shrink_keys[i], expand)
+            theta = noise * (theta_max - theta_min) + theta_min
+            accepted = accepted | newly
+            return u_prop, x_prop, accepted, theta, theta_min, theta_max
+
+        u_prop, x_prop, accepted, *_ = jax.lax.fori_loop(
+            0, max_iterations, body,
+            (u_prop, x_prop, accepted, theta, theta_min, theta_max),
+        )
+        return x_prop, u_prop, accepted
+
+    return tess_step
+
+
+class TESS(Sampler):
+    def __init__(self, event_shape, target, negative_log_likelihood,
+                 kernel: Optional[TESSKernel] = None,
+                 params: Optional[TESSParameters] = None):
+        if kernel is None:
+            kernel = TESSKernel(event_shape)
+        if params is None:
+            params = TESSParameters()
+        super().__init__(event_shape, target, kernel, params)
+        self.negative_log_likelihood = negative_log_likelihood
+
+    @property
+    def name(self):
+        return "TESS"
+
+    def warmup(self, x0, show_progress: bool = True, time_limit_seconds=None,
+               key=None, seed=None) -> MCMCOutput:
+        key = self._key(key, seed)
+        out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples)
+        flow = self.kernel.flow
+        n_chains = x0.shape[0]
+        max_iter = self.params.max_ess_step_iterations
+        tess_step = jax.jit(
+            make_tess_step(flow, self.negative_log_likelihood, self.event_shape,
+                           max_iterations=max_iter, chol=self.kernel.chol())
+        )
+
+        t0 = time.time()
+        key, k0 = jax.random.split(key)
+        u = jax.random.normal(k0, (n_chains, *self.event_shape))
+        out.statistics.update_elapsed_time(time.time() - t0)
+
+        pbar = tqdm(range(self.params.n_warmup_iterations), desc="[Warmup] TESS",
+                    disable=not show_progress)
+        for _ in pbar:
+            if (
+                time_limit_seconds is not None
+                and out.statistics.elapsed_time_seconds >= time_limit_seconds
+            ):
+                break
+            t0 = time.time()
+            key, k_step, k_fit = jax.random.split(key, 3)
+            x, u, accepted = tess_step(flow.params, u, k_step)
+            # Reference stores *latent* draws during warmup (``tess.py:131-132``).
+            out.running_samples.add(u)
+            out.statistics.expectations.update(u)
+            out.statistics.update_counters(
+                n_target_calls=(max_iter + 1) * n_chains,
+                n_accepted_trajectories=int(jnp.sum(accepted)),
+                n_attempted_trajectories=n_chains,
+            )
+            x_np = np.asarray(x)
+            perm = np.random.default_rng(int(jax.random.randint(k_fit, (), 0, 2**31 - 1))).permutation(n_chains)
+            x_np = x_np[perm]
+            n_train = int(len(x_np) * self.params.train_pct)
+            try:
+                flow.fit(x_np[:n_train], x_val=x_np[n_train:],
+                         **self.params.flow_fit_kwargs, key=k_fit)
+            except ValueError:
+                pass
+            out.statistics.update_elapsed_time(time.time() - t0)
+
+        out.kernel = self.kernel
+        return out
+
+    def sample(self, x0, show_progress: bool = True, time_limit_seconds=None,
+               key=None, seed=None) -> MCMCOutput:
+        key = self._key(key, seed)
+        u0 = jnp.asarray(x0, dtype=jnp.float32)  # x0 is latent (``tess.py:158-161``)
+        n_chains = u0.shape[0]
+        out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples,
+                         on_device=getattr(self.params, 'store_samples_on_device', False))
+        flow = self.kernel.flow
+        max_iter = self.params.max_ess_step_iterations
+        tess_step = make_tess_step(
+            flow, self.negative_log_likelihood, self.event_shape,
+            max_iterations=max_iter, chol=self.kernel.chol(),
+        )
+
+        def make_step(tuning):
+            def step(u, kstate, key):
+                params = kstate
+                x, u_new, accepted = tess_step(params, u, key)
+                info = StepInfo(
+                    n_accepted=jnp.sum(accepted).astype(jnp.int32),
+                    diverged=(~jnp.all(jnp.isfinite(u_new))).astype(jnp.int32),
+                )
+                return u_new, params, info
+
+            return step
+
+        inverse_x = lambda u: flow.bijection.inverse_fn(flow.params, u)[0]
+        driver = ChunkedScanDriver(
+            self.event_shape, make_step,
+            data_transform=inverse_x, emit_transform=inverse_x,
+        )
+        driver.run(
+            u0,
+            flow.params,
+            key,
+            self.params.n_iterations,
+            stats=out.statistics,
+            samples=out.running_samples,
+            calls_per_iter=(max_iter + 1) * n_chains,
+            grads_per_iter=0,
+            collect=self.params.store_samples,
+            time_limit_seconds=time_limit_seconds,
+            show_progress=show_progress,
+            desc="TESS sampling",
+        )
+        out.kernel = self.kernel
+        return out

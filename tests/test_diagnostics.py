@@ -1,0 +1,70 @@
+"""On-device diagnostics: ESS + split R-hat sanity."""
+import jax
+import numpy as np
+
+from nfmc_tpu.diagnostics import effective_sample_size, potential_scale_reduction, summarize
+
+
+def test_ess_iid_close_to_n():
+    x = jax.random.normal(jax.random.key(0), (512, 4, 3))
+    ess = np.asarray(effective_sample_size(x))
+    # iid draws: ESS per dim ~ n_draws * n_chains
+    assert np.all(ess > 0.5 * 512 * 4)
+    assert np.all(ess < 1.6 * 512 * 4)
+
+
+def test_ess_correlated_much_smaller():
+    key = jax.random.key(1)
+    n, c, d = 512, 4, 2
+    eps = jax.random.normal(key, (n, c, d))
+    # AR(1) with phi=0.95 -> ESS ratio ~ (1-phi)/(1+phi) ~ 0.026
+    import jax.numpy as jnp
+
+    def body(carry, e):
+        x = 0.95 * carry + e
+        return x, x
+
+    _, x = jax.lax.scan(body, jnp.zeros((c, d)), eps)
+    ess = np.asarray(effective_sample_size(x))
+    assert np.all(ess < 0.2 * n * c)
+
+
+def test_rhat_mixed_chains_near_one():
+    x = jax.random.normal(jax.random.key(2), (256, 8, 3))
+    rhat = np.asarray(potential_scale_reduction(x))
+    assert np.all(np.abs(rhat - 1.0) < 0.1)
+
+
+def test_rhat_detects_unmixed_chains():
+    x = np.array(jax.random.normal(jax.random.key(3), (256, 4, 2)), copy=True)
+    x[:, 0] += 10.0  # one chain stuck elsewhere
+    rhat = np.asarray(potential_scale_reduction(x))
+    assert np.all(rhat > 1.5)
+
+
+def test_summarize_scalars():
+    s = summarize(jax.random.normal(jax.random.key(4), (128, 4, 5)))
+    assert set(s) == {"ess_mean", "ess_min", "rhat_max"}
+    assert all(np.isfinite(v) for v in s.values())
+
+
+def test_on_device_sample_store_matches_host():
+    from nfmc_tpu.samplers.mcmc import MALA
+
+    from tests.util import standard_gaussian_potential
+
+    x0 = jax.random.normal(jax.random.key(0), (6, 3))
+    a = MALA(event_shape=(3,), target=standard_gaussian_potential)
+    a.params.n_iterations = 5
+    out_host = a.sample(x0, show_progress=False, seed=11)
+
+    b = MALA(event_shape=(3,), target=standard_gaussian_potential)
+    b.params.n_iterations = 5
+    b.params.store_samples_on_device = True
+    out_dev = b.sample(x0, show_progress=False, seed=11)
+
+    assert np.allclose(out_host.samples, np.asarray(out_dev.samples), atol=1e-6)
+    assert np.allclose(
+        out_host.running_samples.last_sample,
+        np.asarray(out_dev.running_samples.last_sample),
+    )

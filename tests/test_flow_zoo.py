@@ -1,0 +1,144 @@
+"""Correctness of the extended flow zoo: NAF, residual, continuous,
+multiscale/Glow, conv variants — inverse identity + log-det vs autodiff."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nfmc_tpu.flows.base import Flow
+
+
+def _check(bij, x, scale=0.1, recon_tol=1e-3, ld_tol=5e-2, check_ld=True):
+    f = Flow(bij, seed=3)
+    f.params = jax.tree_util.tree_map(
+        lambda p: p + scale * jax.random.normal(jax.random.key(5), p.shape), f.params
+    )
+    z, ld_f = f.bijection.forward(x)
+    x2, ld_i = f.bijection.inverse(z)
+    assert float(jnp.max(jnp.abs(x2 - x))) < recon_tol
+    assert np.isfinite(np.asarray(ld_f)).all()
+    if check_ld:
+        J = jax.vmap(jax.jacfwd(lambda v: f.bijection.forward_fn(f.params, v[None])[0][0]))(x[:2])
+        J = J.reshape(2, x[0].size, x[0].size)
+        ld_auto = jnp.linalg.slogdet(J)[1]
+        assert float(jnp.max(jnp.abs(ld_auto - ld_f[:2]))) < ld_tol
+    # sampling path end to end
+    s = f.sample(3, seed=7)
+    assert np.isfinite(np.asarray(s)).all()
+
+
+X6 = jax.random.normal(jax.random.key(2), (4, 6)) * 1.2
+XIMG = jax.random.normal(jax.random.key(2), (2, 8, 8)) * 1.2
+
+
+def test_coupling_deep_sf():
+    from nfmc_tpu.flows.naf import CouplingDeepSF
+
+    _check(CouplingDeepSF((6,), n_layers=2, hidden_size=16), X6, recon_tol=1e-4, ld_tol=1e-4)
+
+
+def test_coupling_dense_sf():
+    from nfmc_tpu.flows.naf import CouplingDenseSF
+
+    _check(CouplingDenseSF((6,), n_layers=2, hidden_size=16), X6, recon_tol=1e-4, ld_tol=1e-4)
+
+
+def test_coupling_deep_dense_sf():
+    from nfmc_tpu.flows.naf import CouplingDeepDenseSF
+
+    _check(CouplingDeepDenseSF((6,), n_layers=2, hidden_size=16), X6, recon_tol=1e-3, ld_tol=1e-3)
+
+
+def test_planar():
+    from nfmc_tpu.flows.residual import PlanarFlow
+
+    _check(PlanarFlow((6,), n_layers=4), X6, recon_tol=1e-4, ld_tol=1e-4)
+
+
+def test_radial():
+    from nfmc_tpu.flows.residual import RadialFlow
+
+    _check(RadialFlow((6,), n_layers=4), X6, recon_tol=1e-4, ld_tol=1e-4)
+
+
+def test_sylvester():
+    from nfmc_tpu.flows.residual import SylvesterFlow
+
+    _check(SylvesterFlow((6,), n_layers=2), X6, recon_tol=1e-4, ld_tol=1e-4)
+
+
+def test_iresnet():
+    from nfmc_tpu.flows.residual import InvertibleResNet
+
+    _check(InvertibleResNet((6,), n_layers=2, hidden_size=16), X6, recon_tol=1e-4, ld_tol=1e-4)
+
+
+def test_ffjord():
+    from nfmc_tpu.flows.continuous import FFJORD
+
+    # mild perturbation: the discrete RK4 map's exact Jacobian differs from
+    # the integrated continuous-time log-det by O(h^4) (documented)
+    _check(FFJORD((6,), hidden_size=16, n_steps=6), X6, scale=0.02,
+           recon_tol=1e-3, ld_tol=2e-2)
+
+
+def test_otflow():
+    from nfmc_tpu.flows.continuous import OTFlow
+
+    _check(OTFlow((6,), hidden_size=16, n_steps=6), X6, scale=0.02,
+           recon_tol=1e-3, ld_tol=5e-2)
+
+
+def test_ddb():
+    from nfmc_tpu.flows.continuous import DeepDiffeomorphicBijection
+
+    _check(DeepDiffeomorphicBijection((6,), hidden_size=16, n_steps=20), X6,
+           scale=0.02, recon_tol=2e-2, ld_tol=5e-2)
+
+
+def test_multiscale_realnvp():
+    from nfmc_tpu.flows.multiscale import MultiscaleRealNVP
+
+    _check(MultiscaleRealNVP((8, 8)), XIMG, recon_tol=1e-4, ld_tol=1e-3)
+
+
+def test_glow_affine():
+    from nfmc_tpu.flows.multiscale import AffineGlow
+
+    _check(AffineGlow((8, 8)), XIMG, recon_tol=1e-4, ld_tol=1e-3)
+
+
+def test_glow_rqs():
+    from nfmc_tpu.flows.multiscale import RQSGlow
+
+    _check(RQSGlow((8, 8)), XIMG, scale=0.05, recon_tol=1e-3, ld_tol=1e-2)
+
+
+def test_conv_iresnet():
+    from nfmc_tpu.flows.multiscale import ConvolutionalInvertibleResNet
+
+    _check(ConvolutionalInvertibleResNet((8, 8), n_layers=2), XIMG,
+           recon_tol=1e-4, ld_tol=1e-1)
+
+
+def test_multiscale_3channel():
+    from nfmc_tpu.flows.multiscale import MultiscaleRealNVP
+
+    x = jax.random.normal(jax.random.key(9), (2, 3, 8, 8))
+    _check(MultiscaleRealNVP((3, 8, 8)), x, recon_tol=1e-4, ld_tol=1e-3)
+
+
+def test_registry_constructs_all_names():
+    """Every canonical registry name must construct and round-trip."""
+    from nfmc_tpu.api.registry import FLOW_NAMES, create_flow_object
+
+    vector_names = [
+        "realnvp", "nice", "maf", "iaf", "c-rqnsf", "ma-rqnsf", "ia-rqnsf",
+        "c-lrsnsf", "ma-lrsnsf", "ia-lrsnsf", "c-naf-deep", "c-naf-dense",
+        "c-naf-deep-dense", "planar", "radial", "sylvester", "i-resnet",
+        "resflow", "proximal-resflow",
+    ]
+    for name in vector_names:
+        flow = create_flow_object(name, (4,), n_layers=1)
+        lp = flow.log_prob(jnp.zeros((2, 4)))
+        assert np.isfinite(np.asarray(lp)).all(), name

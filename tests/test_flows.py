@@ -1,0 +1,97 @@
+"""Flow-subsystem unit tests the reference lacks (SURVEY.md section 4):
+inverse(forward) identity, analytic log-det vs autodiff Jacobian, training."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nfmc_tpu.flows import (
+    IAF,
+    MAF,
+    NICE,
+    CouplingLRS,
+    CouplingRQNSF,
+    Flow,
+    RealNVP,
+)
+
+ARCHS = {
+    "realnvp": lambda: RealNVP((4,), n_layers=2, hidden_size=16),
+    "nice": lambda: NICE((4,), n_layers=2, hidden_size=16),
+    "maf": lambda: MAF((4,), n_layers=2, hidden_size=16),
+    "iaf": lambda: IAF((4,), n_layers=2, hidden_size=16),
+    "c-rqnsf": lambda: CouplingRQNSF((4,), n_layers=2, hidden_size=16, n_bins=4),
+    "c-lrsnsf": lambda: CouplingLRS((4,), n_layers=2, hidden_size=16, n_bins=4),
+}
+
+
+def _perturbed_flow(arch):
+    f = Flow(ARCHS[arch](), seed=3)
+    f.params = jax.tree_util.tree_map(
+        lambda p: p + 0.2 * jax.random.normal(jax.random.key(5), p.shape), f.params
+    )
+    return f
+
+
+@pytest.mark.parametrize("arch", list(ARCHS))
+def test_inverse_forward_identity(arch):
+    f = _perturbed_flow(arch)
+    x = jax.random.normal(jax.random.key(2), (5, 4))
+    z, ld_f = f.bijection.forward(x)
+    x2, ld_i = f.bijection.inverse(z)
+    tol = 1e-3 if "ma" in arch or arch == "iaf" else 1e-4
+    assert float(jnp.max(jnp.abs(x2 - x))) < tol
+    assert float(jnp.max(jnp.abs(ld_f + ld_i))) < 1e-2
+
+
+@pytest.mark.parametrize("arch", ["realnvp", "nice", "maf", "c-rqnsf", "c-lrsnsf"])
+def test_log_det_vs_autodiff(arch):
+    f = _perturbed_flow(arch)
+    x = jax.random.normal(jax.random.key(2), (3, 4))
+    _, ld = f.bijection.forward(x)
+    J = jax.vmap(jax.jacfwd(lambda v: f.bijection.forward_fn(f.params, v[None])[0][0]))(x)
+    ld_auto = jnp.linalg.slogdet(J)[1]
+    assert float(jnp.max(jnp.abs(ld_auto - ld))) < 5e-2
+
+
+def test_log_prob_normalized_realnvp():
+    """Identity-initialized flow log_prob == standard normal log density."""
+    f = Flow(RealNVP((4,), n_layers=2, hidden_size=16), seed=0)
+    x = jax.random.normal(jax.random.key(1), (10, 4))
+    lp = f.log_prob(x)
+    expected = -0.5 * jnp.sum(x**2, axis=-1) - 2 * jnp.log(2 * jnp.pi)
+    assert float(jnp.max(jnp.abs(lp - expected))) < 1e-5
+
+
+def test_sample_log_prob_consistency():
+    f = _perturbed_flow("realnvp")
+    s, slp = f.sample(64, return_log_prob=True, seed=4)
+    lp = f.log_prob(s)
+    assert float(jnp.max(jnp.abs(lp - slp))) < 1e-3
+
+
+def test_fit_improves_likelihood():
+    rng = np.random.default_rng(0)
+    data = (rng.normal(size=(512, 4)) * np.array([0.5, 1, 2, 3]) + 2).astype(np.float32)
+    f = Flow(RealNVP((4,), n_layers=3, hidden_size=32), seed=1)
+    lp_before = float(f.log_prob(jnp.asarray(data)).mean())
+    f.fit(data, n_epochs=40, lr=0.02)
+    lp_after = float(f.log_prob(jnp.asarray(data)).mean())
+    assert lp_after > lp_before + 1.0
+
+
+def test_variational_fit_moves_toward_target():
+    def neg_u(x):
+        return -0.5 * jnp.sum(((x - 3.0) / 0.7) ** 2, axis=-1)
+
+    f = Flow(RealNVP((3,), n_layers=3, hidden_size=32), seed=2)
+    f.variational_fit(neg_u, n_samples=64, n_epochs=200, lr=0.02)
+    s = np.asarray(f.sample(1024, seed=5))
+    assert np.all(np.abs(s.mean(axis=0) - 3.0) < 0.5)
+    assert np.all(np.abs(s.std(axis=0) - 0.7) < 0.4)
+
+
+def test_divergent_fit_raises_value_error():
+    f = Flow(RealNVP((3,), n_layers=2, hidden_size=16), seed=0)
+    with pytest.raises(ValueError):
+        f.fit(np.full((64, 3), 1e30, dtype=np.float32), n_epochs=5, check_for_divergences=True)

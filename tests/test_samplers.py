@@ -1,0 +1,223 @@
+"""Shape/finiteness matrix for every sampler class and sample() strategy.
+
+Mirrors reference ``test/test_samplers.py`` including the jump interleaving
+law ``(n_iter * (inner + 1), C, *event)``; NUTS is additionally covered
+multi-chain (the reference excludes it, ``test_samplers.py:24``).
+"""
+import jax
+import numpy as np
+import pytest
+
+from nfmc_tpu import sample
+from nfmc_tpu.core.output import MCMCOutput
+from nfmc_tpu.core.sampler import NFMCKernel
+from nfmc_tpu.samplers.mcmc import ESS, HMC, MALA, MH, NUTS, RandomWalk, UHMC, ULA
+from nfmc_tpu.samplers.nfmc import (
+    DLMC,
+    TESS,
+    AdaptiveIMH,
+    DLMCKernel,
+    FixedIMH,
+    IMHKernel,
+    JumpESS,
+    JumpHMC,
+    JumpMALA,
+    JumpMH,
+    JumpUHMC,
+    JumpULA,
+    NeuTraHMC,
+    TESSKernel,
+)
+
+from tests.util import fast_fit_kwargs, small_flow, standard_gaussian_potential
+
+N_ITERATIONS, N_CHAINS, EVENT_SHAPE = 3, 4, (5,)
+
+
+def _x0():
+    return jax.random.normal(jax.random.key(1), (N_CHAINS, *EVENT_SHAPE))
+
+
+@pytest.mark.parametrize("sampler_class", [MH, RandomWalk, HMC, UHMC, MALA, ULA])
+def test_mcmc(sampler_class):
+    sampler = sampler_class(event_shape=EVENT_SHAPE, target=standard_gaussian_potential)
+    sampler.params.n_iterations = N_ITERATIONS
+    output = sampler.sample(x0=_x0(), show_progress=False)
+    assert isinstance(output, MCMCOutput)
+    assert output.samples.shape == (N_ITERATIONS, N_CHAINS, *EVENT_SHAPE)
+    assert np.isfinite(output.samples).all()
+
+
+def test_nuts_multichain():
+    sampler = NUTS(event_shape=EVENT_SHAPE, target=standard_gaussian_potential)
+    sampler.kernel.max_tree_depth = 4
+    sampler.params.n_iterations = N_ITERATIONS
+    output = sampler.sample(x0=_x0(), show_progress=False)
+    assert output.samples.shape == (N_ITERATIONS, N_CHAINS, *EVENT_SHAPE)
+    assert np.isfinite(output.samples).all()
+
+
+def test_ess():
+    sampler = ESS(
+        event_shape=EVENT_SHAPE,
+        target=standard_gaussian_potential,
+        negative_log_likelihood=standard_gaussian_potential,
+    )
+    sampler.params.n_iterations = N_ITERATIONS
+    output = sampler.sample(x0=_x0(), show_progress=False)
+    assert output.samples.shape == (N_ITERATIONS, N_CHAINS, *EVENT_SHAPE)
+    assert np.isfinite(output.samples).all()
+
+
+@pytest.mark.parametrize("sampler_class", [JumpMALA, JumpMH, JumpHMC, JumpUHMC, JumpULA])
+def test_jump_nfmc(sampler_class):
+    sampler = sampler_class(
+        event_shape=EVENT_SHAPE,
+        target=standard_gaussian_potential,
+        kernel=NFMCKernel(EVENT_SHAPE, flow=small_flow()),
+    )
+    sampler.params.n_iterations = N_ITERATIONS
+    sampler.inner_sampler.params.n_iterations = 5
+    output = sampler.sample(x0=_x0(), show_progress=False)
+    assert output.samples.shape == (
+        N_ITERATIONS * (sampler.inner_sampler.params.n_iterations + 1),
+        N_CHAINS,
+        *EVENT_SHAPE,
+    )
+    assert np.isfinite(output.samples).all()
+
+
+def test_jump_ess():
+    sampler = JumpESS(
+        event_shape=EVENT_SHAPE,
+        target=standard_gaussian_potential,
+        negative_log_likelihood=standard_gaussian_potential,
+        kernel=NFMCKernel(EVENT_SHAPE, flow=small_flow()),
+    )
+    sampler.params.n_iterations = N_ITERATIONS
+    sampler.inner_sampler.params.n_iterations = 5
+    output = sampler.sample(x0=_x0(), show_progress=False)
+    assert output.samples.shape == (N_ITERATIONS * 6, N_CHAINS, *EVENT_SHAPE)
+    assert np.isfinite(output.samples).all()
+
+
+@pytest.mark.parametrize("sampler_class", [TESS, DLMC])
+def test_nfmc_with_nll(sampler_class):
+    kernel_cls = TESSKernel if sampler_class is TESS else DLMCKernel
+    sampler = sampler_class(
+        event_shape=EVENT_SHAPE,
+        target=standard_gaussian_potential,
+        negative_log_likelihood=standard_gaussian_potential,
+        kernel=kernel_cls(EVENT_SHAPE, flow=small_flow()),
+    )
+    sampler.params.n_iterations = N_ITERATIONS
+    sampler.params.flow_fit_kwargs = fast_fit_kwargs()
+    output = sampler.sample(x0=_x0(), show_progress=False)
+    assert output.samples.shape == (N_ITERATIONS, N_CHAINS, *EVENT_SHAPE)
+    assert np.isfinite(output.samples).all()
+
+
+@pytest.mark.parametrize("sampler_class", [FixedIMH, AdaptiveIMH])
+def test_imh(sampler_class):
+    sampler = sampler_class(
+        event_shape=EVENT_SHAPE,
+        target=standard_gaussian_potential,
+        kernel=IMHKernel(EVENT_SHAPE, flow=small_flow()),
+    )
+    sampler.params.n_iterations = N_ITERATIONS
+    output = sampler.sample(x0=_x0(), show_progress=False)
+    assert output.samples.shape == (N_ITERATIONS, N_CHAINS, *EVENT_SHAPE)
+    assert np.isfinite(output.samples).all()
+
+
+def test_neutra_hmc():
+    sampler = NeuTraHMC(event_shape=EVENT_SHAPE, target=standard_gaussian_potential)
+    sampler.kernel.flow = small_flow()
+    sampler.params.n_iterations = N_ITERATIONS
+    output = sampler.sample(x0=_x0(), show_progress=False)
+    assert output.samples.shape == (N_ITERATIONS, N_CHAINS, *EVENT_SHAPE)
+    assert np.isfinite(output.samples).all()
+
+
+@pytest.mark.parametrize("strategy", ["hmc", "uhmc", "ula", "mala", "mh", "imh", "neutra_hmc"])
+def test_sample_wrapper_no_jump(strategy):
+    output = sample(
+        standard_gaussian_potential,
+        event_shape=EVENT_SHAPE,
+        strategy=strategy,
+        n_chains=N_CHAINS,
+        n_iterations=N_ITERATIONS,
+        flow_kwargs={"n_layers": 2, "hidden_size": 16},
+        show_progress=False,
+    )
+    assert isinstance(output, MCMCOutput)
+    assert output.samples.shape == (N_ITERATIONS, N_CHAINS, *EVENT_SHAPE)
+    assert np.isfinite(output.samples).all()
+
+
+@pytest.mark.parametrize("strategy", ["dlmc", "tess", "ess"])
+def test_sample_wrapper_nll(strategy):
+    output = sample(
+        standard_gaussian_potential,
+        event_shape=EVENT_SHAPE,
+        strategy=strategy,
+        negative_log_likelihood=standard_gaussian_potential,
+        n_chains=N_CHAINS,
+        n_iterations=N_ITERATIONS,
+        flow_kwargs={"n_layers": 2, "hidden_size": 16},
+        param_kwargs=(
+            {"flow_fit_kwargs": fast_fit_kwargs()} if strategy in ("dlmc", "tess") else None
+        ),
+        show_progress=False,
+    )
+    assert output.samples.shape == (N_ITERATIONS, N_CHAINS, *EVENT_SHAPE)
+    assert np.isfinite(output.samples).all()
+
+
+@pytest.mark.parametrize("strategy", ["jump_mala", "jump_ula", "jump_hmc", "jump_uhmc", "jump_mh"])
+def test_sample_wrapper_jump(strategy):
+    n_trajectories_per_jump = 7
+    output = sample(
+        standard_gaussian_potential,
+        event_shape=EVENT_SHAPE,
+        strategy=strategy,
+        n_chains=N_CHAINS,
+        n_iterations=N_ITERATIONS,
+        inner_param_kwargs={"n_iterations": n_trajectories_per_jump},
+        flow_kwargs={"n_layers": 2, "hidden_size": 16},
+        show_progress=False,
+    )
+    assert output.samples.shape == (
+        N_ITERATIONS * (n_trajectories_per_jump + 1), N_CHAINS, *EVENT_SHAPE
+    )
+    assert np.isfinite(output.samples).all()
+
+
+def test_sample_wrapper_jump_ess():
+    n_trajectories_per_jump = 7
+    output = sample(
+        standard_gaussian_potential,
+        event_shape=EVENT_SHAPE,
+        strategy="jump_ess",
+        n_chains=N_CHAINS,
+        n_iterations=N_ITERATIONS,
+        negative_log_likelihood=standard_gaussian_potential,
+        inner_param_kwargs={"n_iterations": n_trajectories_per_jump},
+        flow_kwargs={"n_layers": 2, "hidden_size": 16},
+        show_progress=False,
+    )
+    assert output.samples.shape == (
+        N_ITERATIONS * (n_trajectories_per_jump + 1), N_CHAINS, *EVENT_SHAPE
+    )
+    assert np.isfinite(output.samples).all()
+
+
+def test_jump_default_inner_n_iterations():
+    """jump_hmc inner default n_iterations=5 (reference ``sample.py:161-162``)."""
+    from nfmc_tpu import create_sampler
+
+    s = create_sampler(
+        standard_gaussian_potential, event_shape=EVENT_SHAPE, strategy="jump_hmc",
+        flow_kwargs={"n_layers": 2, "hidden_size": 16},
+    )
+    assert s.inner_sampler.params.n_iterations == 5

@@ -1,0 +1,107 @@
+"""Counter contract (SURVEY.md section 2.8), streaming expectations, and
+sample-store semantics (thinning / max_samples)."""
+import jax
+import numpy as np
+import pytest
+
+from nfmc_tpu.core.samples import MCMCSamples
+from nfmc_tpu.core.statistics import MCMCExpectation, MCMCStatistics
+from nfmc_tpu.samplers.mcmc import ESS, HMC, MALA, MH, UHMC, ULA
+
+from tests.util import standard_gaussian_potential
+
+N_ITER, N_CHAINS, D = 3, 4, 5
+
+
+def _run(sampler):
+    sampler.params.n_iterations = N_ITER
+    x0 = jax.random.normal(jax.random.key(0), (N_CHAINS, D))
+    return sampler.sample(x0, show_progress=False)
+
+
+@pytest.mark.parametrize(
+    "cls,calls,grads",
+    [
+        (MH, 2 * N_CHAINS, 0),
+        (MALA, 2 * N_CHAINS, 2 * N_CHAINS),
+        (ULA, N_CHAINS, N_CHAINS),
+        (HMC, 2 * 20 * N_CHAINS + 2 * N_CHAINS, 2 * 20 * N_CHAINS),
+        (UHMC, 2 * 20 * N_CHAINS, 2 * 20 * N_CHAINS),
+    ],
+)
+def test_counter_contract(cls, calls, grads):
+    out = _run(cls(event_shape=(D,), target=standard_gaussian_potential))
+    assert out.statistics.n_target_calls == N_ITER * calls
+    assert out.statistics.n_target_gradient_calls == N_ITER * grads
+    assert out.statistics.n_attempted_trajectories == N_ITER * N_CHAINS
+
+
+def test_ess_counter_contract():
+    s = ESS(event_shape=(D,), target=standard_gaussian_potential,
+            negative_log_likelihood=standard_gaussian_potential)
+    out = _run(s)
+    assert out.statistics.n_target_calls == N_ITER * (5 + 1) * N_CHAINS
+    assert out.statistics.n_target_gradient_calls == 0
+    assert out.statistics.acceptance_rate == 1.0  # all-accept hack parity
+
+
+def test_expectation_streaming_matches_batch():
+    rng = np.random.default_rng(0)
+    exp = MCMCExpectation((3,), f=lambda v: v)
+    chunks = [rng.normal(size=(2, 4, 3)), rng.normal(size=(5, 4, 3)), rng.normal(size=(1, 4, 3))]
+    for c in chunks:
+        exp.update(c)
+    full = np.concatenate(chunks, axis=0)
+    assert np.allclose(exp.as_tensor(), full.mean(axis=(0, 1)), atol=1e-12)
+
+
+def test_expectation_from_sums_matches_batch():
+    rng = np.random.default_rng(0)
+    exp = MCMCExpectation((3,), f=lambda v: v)
+    data = rng.normal(size=(7, 4, 3))
+    exp.update_from_sums(data.sum(axis=(0, 1)), 28)
+    assert np.allclose(exp.as_tensor(), data.mean(axis=(0, 1)), atol=1e-12)
+
+
+def test_samples_thinning():
+    store = MCMCSamples((2,), thinning=3)
+    for i in range(10):
+        store.add(np.full((1, 4, 2), i))
+    assert store.n_samples == 4  # indices 0, 3, 6, 9
+    assert np.all(store.as_tensor()[:, 0, 0] == [0, 3, 6, 9])
+
+
+def test_samples_max_samples():
+    store = MCMCSamples((2,), max_samples=3)
+    block = np.arange(10)[:, None, None] * np.ones((10, 4, 2))
+    store.add(block)
+    assert store.n_samples == 3
+    assert np.all(store.as_tensor()[:, 0, 0] == [7, 8, 9])
+    assert np.all(store.last_sample == block[-1])
+
+
+def test_samples_block_vs_single_equivalence():
+    a = MCMCSamples((2,), thinning=2)
+    b = MCMCSamples((2,), thinning=2)
+    data = np.random.default_rng(0).normal(size=(9, 3, 2))
+    a.add(data)
+    for row in data:
+        b.add(row)
+    assert np.allclose(a.as_tensor(), b.as_tensor())
+    assert np.allclose(a.last_sample, b.last_sample)
+
+
+def test_acceptance_rate_nan_when_no_attempts():
+    stats = MCMCStatistics((2,))
+    assert np.isnan(stats.acceptance_rate)
+
+
+def test_determinism_same_seed():
+    s1 = MALA(event_shape=(D,), target=standard_gaussian_potential)
+    s1.params.n_iterations = 4
+    x0 = jax.random.normal(jax.random.key(0), (N_CHAINS, D))
+    out1 = s1.sample(x0, show_progress=False, seed=123)
+    s2 = MALA(event_shape=(D,), target=standard_gaussian_potential)
+    s2.params.n_iterations = 4
+    out2 = s2.sample(x0, show_progress=False, seed=123)
+    assert np.allclose(out1.samples, out2.samples)
