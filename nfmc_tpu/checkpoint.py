@@ -1,0 +1,74 @@
+"""First-class checkpoint/resume for sampler state.
+
+The reference has no checkpointing (SURVEY.md section 5: only in-memory flow
+``state_dict`` snapshots). Here all sampler state is explicit pytrees
+(positions, kernel params, flow params, RNG key, counters), so a checkpoint
+is a flat dict of arrays + a JSON-serializable metadata dict, written with
+``numpy.savez`` — no framework dependencies, portable across hosts.
+"""
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def save_checkpoint(path: str, state: Any, metadata: Optional[Dict] = None) -> None:
+    """Save a pytree of arrays (+ JSON metadata) to ``path`` (.npz)."""
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(jax.device_get(l)) for i, l in enumerate(leaves)}
+    arrays["__treedef__"] = np.frombuffer(
+        json.dumps(jax.tree_util.tree_structure(state).__repr__()).encode(), dtype=np.uint8
+    )
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(metadata or {}).encode(), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(path: str, like: Any) -> Tuple[Any, Dict]:
+    """Load a checkpoint written by :func:`save_checkpoint`.
+
+    ``like`` is a pytree with the same structure (e.g. a freshly built state);
+    its structure is used to rebuild the tree, its leaves are replaced.
+    """
+    if not str(path).endswith(".npz"):
+        path = str(path) + ".npz"
+    data = np.load(path)
+    leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    n = len(leaves_like)
+    leaves = [data[f"leaf_{i}"] for i in range(n)]
+    meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
+    return jax.tree_util.tree_unflatten(treedef, leaves), meta
+
+
+def sampler_state(sampler, x, key) -> Dict[str, Any]:
+    """Canonical resumable state for a sampler mid-run."""
+    state: Dict[str, Any] = {
+        "x": x,
+        "key": jax.random.key_data(key),
+    }
+    kernel = sampler.kernel
+    if hasattr(kernel, "make_state"):
+        state["kernel"] = kernel.make_state()
+    flow = getattr(kernel, "flow", None)
+    if flow is not None:
+        state["flow_params"] = flow.params
+    return state
+
+
+def restore_sampler_state(sampler, state: Dict[str, Any]):
+    """Apply a saved state back onto a sampler; returns (x, key)."""
+    kernel = sampler.kernel
+    if "kernel" in state and hasattr(kernel, "sync_from_state"):
+        fresh = kernel.make_state()
+        restored = jax.tree_util.tree_map(lambda _, s: s, fresh, state["kernel"])
+        kernel.sync_from_state(restored)
+    if "flow_params" in state and getattr(kernel, "flow", None) is not None:
+        kernel.flow.params = jax.tree_util.tree_map(
+            lambda p, s: s, kernel.flow.params, state["flow_params"]
+        )
+    key = jax.random.wrap_key_data(np.asarray(state["key"]))
+    return state["x"], key

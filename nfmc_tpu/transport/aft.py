@@ -1,0 +1,195 @@
+"""Annealed Flow Transport (Arbel, Matthews & Doucet 2021), corrected.
+
+Reference sketch at ``nfmc/algorithms/transport/annealed_flow_transport.py:
+152-293`` is non-functional (it passes the module ``mh`` as a callable,
+``:120-128``) and its SMC arithmetic is wrong: ``log_w = logaddexp(log_W,
+log_G)`` should be ``log_W + log_G`` and ``delta_log_Z = sum(log_w)`` should
+be ``logsumexp`` (``:21-27,104``); its ``log_G`` also carries the potentials
+with flipped signs. This implementation follows the published algorithm:
+
+per level k (linear schedule lam_k = k/(K-1)):
+  1. train the flow T_k on the current (train) particles to push
+     eta_{k-1} toward pi_k: minimize  sum_i W_i [u_k(T(x_i)) - log|det T'|];
+  2. transport & reweight: log_G = u_{k-1}(x) - u_k(T(x)) + log|det T'|,
+     delta log_Z = logsumexp(log_W + log_G), then normalize log_W;
+  3. resample (multinomial) when ESS/n < threshold; 4. MALA correction at pi_k.
+
+Three particle groups (base / train / val) as in the reference design:
+log_Z from base, flow fitting from train with val early stopping.
+"""
+from __future__ import annotations
+
+import math
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.rng import resolve_key
+from ..utils import as_numpy
+from .common import log_ess, make_mala_sweep, systematic_resample, tempered
+
+try:
+    from tqdm import tqdm
+except Exception:  # pragma: no cover
+    def tqdm(it, **kwargs):
+        return it
+
+
+class AnnealedFlowTransport:
+    def __init__(
+        self,
+        prior_potential: Callable,
+        target_potential: Callable,
+        flow,
+        n_steps: int = 20,
+        sampling_threshold: Optional[float] = None,
+        n_mcmc_steps: int = 5,
+        mcmc_step_size: float = 0.05,
+        n_train_epochs: int = 50,
+        train_lr: float = 1e-2,
+    ):
+        self.prior_potential = prior_potential
+        self.target_potential = target_potential
+        self.flow = flow
+        self.n_steps = int(n_steps)
+        self.sampling_threshold = sampling_threshold
+        self.n_train_epochs = int(n_train_epochs)
+        self.u = tempered(prior_potential, target_potential)
+        self.mala_sweep = jax.jit(
+            make_mala_sweep(self.u, n_steps=n_mcmc_steps, step_size=mcmc_step_size)
+        )
+        self.opt = optax.adam(train_lr)
+        self._train_step = jax.jit(self._make_train_step())
+        self._transport = jax.jit(self._make_transport())
+
+    def _make_train_step(self):
+        flow = self.flow
+
+        def loss_fn(params, x, w, lam):
+            x_t, log_det = flow.bijection.forward_fn(params, x)
+            return jnp.sum(w * (self.u(x_t, lam) - log_det))
+
+        def train_step(params, opt_state, x, w, lam):
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, w, lam)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return train_step
+
+    def _make_transport(self):
+        flow = self.flow
+
+        def transport(params, x, log_W, lam_prev, lam_next):
+            x_t, log_det = flow.bijection.forward_fn(params, x)
+            log_G = self.u(x, lam_prev) - self.u(x_t, lam_next) + log_det
+            log_w = log_W + log_G
+            delta_log_Z = jax.scipy.special.logsumexp(log_w)
+            log_W_new = log_w - jax.scipy.special.logsumexp(log_w)
+            return x_t, log_W_new, delta_log_Z, log_ess(log_w)
+
+        return transport
+
+    def run(
+        self,
+        prior_sample: Callable,
+        n_particles: int = 100,
+        n_train_particles: int = 100,
+        n_val_particles: int = 100,
+        show_progress: bool = False,
+        full_output: bool = False,
+        key=None,
+        seed=None,
+    ):
+        key = resolve_key(key, seed)
+        threshold = self.sampling_threshold
+        if threshold is None:
+            threshold = 0.3 if 1.0 / n_particles <= 0.3 else 1.0 / n_particles
+
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        x_base = jnp.asarray(prior_sample((n_particles,), key=k1), dtype=jnp.float32)
+        x_train = jnp.asarray(prior_sample((n_train_particles,), key=k2), dtype=jnp.float32)
+        x_val = jnp.asarray(prior_sample((n_val_particles,), key=k3), dtype=jnp.float32)
+        lw_base = jnp.full((n_particles,), -math.log(n_particles))
+        lw_train = jnp.full((n_train_particles,), -math.log(n_train_particles))
+        lw_val = jnp.full((n_val_particles,), -math.log(n_val_particles))
+        log_Z = 0.0
+        history = [as_numpy(x_base)] if full_output else None
+        ess_trace = []
+
+        params = self.flow.params
+        iterator = tqdm(range(1, self.n_steps), desc="AFT", disable=not show_progress)
+        for k in iterator:
+            lam_prev = (k - 1) / (self.n_steps - 1)
+            lam_next = k / (self.n_steps - 1)
+
+            # 1. fit flow on weighted train particles (val early stopping)
+            opt_state = self.opt.init(params)
+            w_train = jnp.exp(lw_train - jax.scipy.special.logsumexp(lw_train))
+            w_val = jnp.exp(lw_val - jax.scipy.special.logsumexp(lw_val))
+            best_params, best_val = params, np.inf
+            for _ in range(self.n_train_epochs):
+                params, opt_state, _ = self._train_step(params, opt_state, x_train, w_train, lam_next)
+                val_loss = float(self._train_step(params, opt_state, x_val, w_val, lam_next)[2])
+                if np.isfinite(val_loss) and val_loss < best_val:
+                    best_val, best_params = val_loss, params
+            params = best_params
+
+            # 2. transport & reweight
+            x_base, lw_base, dlZ, ess_b = self._transport(params, x_base, lw_base, lam_prev, lam_next)
+            x_train, lw_train, _, ess_t = self._transport(params, x_train, lw_train, lam_prev, lam_next)
+            x_val, lw_val, _, _ = self._transport(params, x_val, lw_val, lam_prev, lam_next)
+            log_Z += float(dlZ)
+            ess_trace.append(float(jnp.exp(ess_t)) * n_train_particles)
+
+            # 3. resample on train-ESS criterion (reference design)
+            if float(ess_t) - math.log(n_train_particles) <= math.log(threshold):
+                key, ka, kb, kc = jax.random.split(key, 4)
+                x_base = x_base[systematic_resample(ka, lw_base, n_particles)]
+                x_train = x_train[systematic_resample(kb, lw_train, n_train_particles)]
+                x_val = x_val[systematic_resample(kc, lw_val, n_val_particles)]
+                lw_base = jnp.full((n_particles,), -math.log(n_particles))
+                lw_train = jnp.full((n_train_particles,), -math.log(n_train_particles))
+                lw_val = jnp.full((n_val_particles,), -math.log(n_val_particles))
+
+            # 4. MCMC correction at the new level
+            key, km = jax.random.split(key)
+            ka, kb, kc = jax.random.split(km, 3)
+            x_base = self.mala_sweep(x_base, lam_next, ka)
+            x_train = self.mala_sweep(x_train, lam_next, kb)
+            x_val = self.mala_sweep(x_val, lam_next, kc)
+
+            if full_output:
+                history.append(as_numpy(x_base))
+            if show_progress:
+                iterator.set_postfix_str(f"log Z: {log_Z:.3f}")
+
+        self.flow.params = params
+        result = {
+            "particles": as_numpy(x_base),
+            "log_weights": as_numpy(lw_base),
+            "log_Z": log_Z,
+            "ess_trace": ess_trace,
+        }
+        if full_output:
+            result["history"] = np.stack(history)
+        return result
+
+
+def aft(prior, target, flow, n_particles: int = 100, n_iterations: int = 20,
+        show_progress: bool = False, seed: int = 0, **kwargs):
+    """Wrapper with the reference signature (``transport/wrappers.py:9-26``):
+    ``prior``/``target`` are Potentials, ``flow`` a registry name or Flow."""
+    from ..api.registry import create_flow_object
+    from ..flows import Flow as _Flow
+
+    flow_object = flow if isinstance(flow, _Flow) else create_flow_object(flow, prior.event_shape)
+    algorithm = AnnealedFlowTransport(prior, target, flow_object, n_steps=n_iterations, **kwargs)
+    return algorithm.run(
+        lambda batch_shape, key=None: prior.sample(batch_shape, key=key),
+        n_particles=n_particles, show_progress=show_progress,
+        full_output=True, seed=seed,
+    )

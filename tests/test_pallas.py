@@ -1,0 +1,84 @@
+"""Fused coupling kernel numerics (interpret mode on CPU; bit-exactness on
+real TPU is checked by the bench/drive scripts)."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    import nfmc_tpu.ops.coupling_pallas as cp
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(cp.pl, "pallas_call", interp_call)
+    return cp
+
+
+def _flow(d=10, L=3):
+    from nfmc_tpu.flows import Flow, RealNVP
+
+    f = Flow(RealNVP((d,), n_layers=L, hidden_size=16), seed=0)
+    f.params = jax.tree_util.tree_map(
+        lambda p: p + 0.1 * jax.random.normal(jax.random.key(7), p.shape), f.params
+    )
+    return f
+
+
+def test_fused_forward_matches_xla(interpret_pallas):
+    cp = interpret_pallas
+    f = _flow()
+    x = jax.random.normal(jax.random.key(1), (37, 10))
+    z_xla, ld_xla = f.bijection.forward(x)
+    z_pal, ld_pal = cp.fused_realnvp_forward(f.params, x, 10, 3, 3.0)
+    assert float(jnp.max(jnp.abs(z_pal - z_xla))) < 1e-5
+    assert float(jnp.max(jnp.abs(ld_pal - ld_xla))) < 1e-5
+
+
+def test_fused_inverse_matches_xla(interpret_pallas):
+    cp = interpret_pallas
+    f = _flow()
+    z = jax.random.normal(jax.random.key(2), (19, 10))
+    x_xla, ld_xla = f.bijection.inverse(z)
+    x_pal, ld_pal = cp.fused_realnvp_inverse(f.params, z, 10, 3, 3.0)
+    assert float(jnp.max(jnp.abs(x_pal - x_xla))) < 1e-5
+    assert float(jnp.max(jnp.abs(ld_pal - ld_xla))) < 1e-5
+
+
+def test_fused_custom_vjp_gradients(interpret_pallas):
+    cp = interpret_pallas
+    f = _flow()
+    x = jax.random.normal(jax.random.key(3), (8, 10))
+
+    def xla_fn(params, xf):
+        return f.bijection.forward_fn(params, xf)
+
+    def loss_pallas(params):
+        z, ld = cp.fused_realnvp_forward(params, x, 10, 3, 3.0, xla_forward=xla_fn)
+        return jnp.sum(z**2) + jnp.sum(ld)
+
+    def loss_xla(params):
+        z, ld = f.bijection.forward_fn(params, x)
+        return jnp.sum(z**2) + jnp.sum(ld)
+
+    g_pal = jax.grad(loss_pallas)(f.params)
+    g_xla = jax.grad(loss_xla)(f.params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g_pal, g_xla
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
+
+
+def test_odd_dimension(interpret_pallas):
+    cp = interpret_pallas
+    f = _flow(d=7, L=2)
+    x = jax.random.normal(jax.random.key(4), (5, 7))
+    z_xla, ld_xla = f.bijection.forward(x)
+    z_pal, ld_pal = cp.fused_realnvp_forward(f.params, x, 7, 2, 3.0)
+    assert float(jnp.max(jnp.abs(z_pal - z_xla))) < 1e-5
