@@ -35,10 +35,17 @@ except Exception:  # pragma: no cover
 
 
 class StepInfo(NamedTuple):
-    """Per-iteration dynamic outputs of a kernel step."""
+    """Per-iteration dynamic outputs of a kernel step.
+
+    ``n_calls``/``n_grads`` are for kernels with trajectory-dependent work
+    (NUTS); static-cost kernels leave them 0 and the host accounts
+    ``chunk * calls_per_iter`` instead.
+    """
 
     n_accepted: jax.Array  # i32 scalar: chains accepted this iteration
     diverged: jax.Array  # i32 scalar: 1 if this iteration diverged (batch-wide)
+    n_calls: jax.Array = jnp.zeros((), dtype=jnp.int32)
+    n_grads: jax.Array = jnp.zeros((), dtype=jnp.int32)
 
 
 @jax.tree_util.register_dataclass
@@ -53,6 +60,8 @@ class StatsAccum:
 
     n_accepted: jax.Array
     n_divergences: jax.Array
+    n_calls_dyn: jax.Array
+    n_grads_dyn: jax.Array
     sum_x: jax.Array  # (*event,) running sum of transformed states
     sum_x2: jax.Array  # (*event,)
 
@@ -61,6 +70,8 @@ class StatsAccum:
         return StatsAccum(
             n_accepted=jnp.zeros((), dtype=jnp.int32),
             n_divergences=jnp.zeros((), dtype=jnp.int32),
+            n_calls_dyn=jnp.zeros((), dtype=jnp.int32),
+            n_grads_dyn=jnp.zeros((), dtype=jnp.int32),
             sum_x=jnp.zeros(event_shape, dtype=jnp.float32),
             sum_x2=jnp.zeros(event_shape, dtype=jnp.float32),
         )
@@ -70,6 +81,8 @@ class StatsAccum:
         return StatsAccum(
             n_accepted=self.n_accepted + info.n_accepted,
             n_divergences=self.n_divergences + info.diverged,
+            n_calls_dyn=self.n_calls_dyn + info.n_calls,
+            n_grads_dyn=self.n_grads_dyn + info.n_grads,
             sum_x=self.sum_x + jnp.sum(xt, axis=0),
             sum_x2=self.sum_x2 + jnp.sum(xt * xt, axis=0),
         )
@@ -191,8 +204,8 @@ class ChunkedScanDriver:
                 n_accepted_trajectories=int(acc_host.n_accepted),
                 n_attempted_trajectories=iters * n_chains,
                 n_divergences=int(acc_host.n_divergences),
-                n_target_calls=iters * calls_per_iter,
-                n_target_gradient_calls=iters * grads_per_iter,
+                n_target_calls=iters * calls_per_iter + int(acc_host.n_calls_dyn),
+                n_target_gradient_calls=iters * grads_per_iter + int(acc_host.n_grads_dyn),
             )
             stats.update_moments_from_sums(acc_host.sum_x, acc_host.sum_x2, iters * n_chains)
 

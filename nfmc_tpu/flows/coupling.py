@@ -104,10 +104,58 @@ class Coupling(Bijection):
 
 class RealNVP(Coupling):
     """Affine coupling flow (Dinh et al. 2017); reference default
-    (``base.py:26``)."""
+    (``base.py:26``).
 
-    def __init__(self, event_shape, n_layers: int = 2, clamp: float = 3.0, **kwargs):
+    On TPU, ``use_pallas='auto'`` routes forward/inverse through the fused
+    multi-layer Pallas kernel (:mod:`nfmc_tpu.ops.coupling_pallas`) — one
+    kernel for the whole stack with the state resident in VMEM; gradients
+    fall back to the XLA path via custom VJP (bit-exact at validation shapes).
+    """
+
+    def __init__(self, event_shape, n_layers: int = 2, clamp: float = 3.0,
+                 use_pallas="auto", **kwargs):
         super().__init__(event_shape, AffineTransform(clamp=clamp), n_layers=n_layers, **kwargs)
+        self.clamp = float(clamp)
+        self.use_pallas = use_pallas
+        self._pallas_state = None  # resolved lazily
+
+    def _pallas_enabled(self) -> bool:
+        if self._pallas_state is None:
+            if self.use_pallas is False or len(self.hidden) != 2:
+                self._pallas_state = False
+            else:
+                from ..ops.coupling_pallas import pallas_available
+
+                self._pallas_state = bool(pallas_available())
+        return self._pallas_state
+
+    def forward_fn(self, params, x):
+        if self._pallas_enabled():
+            from ..ops.coupling_pallas import fused_realnvp_forward
+
+            base = super().forward_fn
+            batch = x.shape[: x.ndim - len(self.event_shape)]
+            xf = x.reshape(*batch, self.event_size)
+            y, ld = fused_realnvp_forward(
+                params, xf, self.event_size, self.n_layers, self.clamp,
+                xla_forward=lambda p, v: base(p, v),
+            )
+            return y.reshape(x.shape), ld
+        return super().forward_fn(params, x)
+
+    def inverse_fn(self, params, z):
+        if self._pallas_enabled():
+            from ..ops.coupling_pallas import fused_realnvp_inverse
+
+            base = super().inverse_fn
+            batch = z.shape[: z.ndim - len(self.event_shape)]
+            zf = z.reshape(*batch, self.event_size)
+            y, ld = fused_realnvp_inverse(
+                params, zf, self.event_size, self.n_layers, self.clamp,
+                xla_inverse=lambda p, v: base(p, v),
+            )
+            return y.reshape(z.shape), ld
+        return super().inverse_fn(params, z)
 
 
 class NICE(Coupling):

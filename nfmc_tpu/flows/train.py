@@ -87,59 +87,76 @@ def fit(
     if has_val:
         x_val = np.asarray(jax.device_get(x_val), dtype=np.float32)
         x_val = x_val.reshape(len(x_val), *flow.event_shape)
-        val_data = jnp.asarray(x_val)
+        # pad val to a power-of-two bucket so repeated fits with drifting val
+        # sizes reuse one compiled trainer
+        n_val_bucket = 1 << max(0, (len(x_val) - 1)).bit_length()
+        val_p, val_w = _pad_to_multiple(x_val, max(1, n_val_bucket))
+        val_data = jnp.asarray(val_p)
+        val_weights = jnp.asarray(val_w)
+    else:
+        val_data = data
+        val_weights = w_data
 
     opt = optax.adam(lr)
     params = flow.params
     opt_state = opt.init(params)
 
-    log_prob_fn = flow.log_prob_fn
+    # Compiled trainers are cached on the Flow keyed by static config: callers
+    # that refit per sampling iteration (DLMC, TESS warmup, AdaptiveIMH's
+    # 1-epoch fits) must not recompile every call.
+    cache = flow.__dict__.setdefault("_fit_runner_cache", {})
+    cache_key = ("mle", bs, n_batches, val_data.shape[0], lr, keep_best_weights,
+                 id(flow._base_log_prob_override))
+    if cache_key not in cache:
+        log_prob_fn = flow.log_prob_fn
+        event_shape = flow.event_shape
 
-    def loss_fn(p, xb, wb):
-        lp = log_prob_fn(p, xb)
-        return -jnp.sum(lp * wb) / jnp.maximum(jnp.sum(wb), 1.0)
+        def loss_fn(p, xb, wb):
+            lp = log_prob_fn(p, xb)
+            return -jnp.sum(lp * wb) / jnp.maximum(jnp.sum(wb), 1.0)
 
-    def train_epoch(carry, epoch_key):
-        p, os = carry
-        perm = jax.random.permutation(epoch_key, data.shape[0])
-        xs = data[perm].reshape(n_batches, bs, *flow.event_shape)
-        ws = w_data[perm].reshape(n_batches, bs)
+        def run_block(params, opt_state, best_params, best_loss, keys,
+                      data, w_data, val_data, val_weights):
+            def train_epoch(carry, epoch_key):
+                p, os = carry
+                perm = jax.random.permutation(epoch_key, data.shape[0])
+                xs = data[perm].reshape(n_batches, bs, *event_shape)
+                ws = w_data[perm].reshape(n_batches, bs)
 
-        def batch_step(c, batch):
-            p, os = c
-            xb, wb = batch
-            loss, grads = jax.value_and_grad(loss_fn)(p, xb, wb)
-            updates, os = opt.update(grads, os, p)
-            p = optax.apply_updates(p, updates)
-            return (p, os), loss
+                def batch_step(c, batch):
+                    p, os = c
+                    xb, wb = batch
+                    loss, grads = jax.value_and_grad(loss_fn)(p, xb, wb)
+                    updates, os = opt.update(grads, os, p)
+                    p = optax.apply_updates(p, updates)
+                    return (p, os), loss
 
-        (p, os), losses = jax.lax.scan(batch_step, (p, os), (xs, ws))
-        return (p, os), jnp.mean(losses)
+                (p, os), losses = jax.lax.scan(batch_step, (p, os), (xs, ws))
+                return (p, os), jnp.mean(losses)
 
-    if has_val:
-        eval_loss = lambda p: -jnp.mean(log_prob_fn(p, val_data))
-    else:
-        eval_loss = lambda p: loss_fn(p, data, w_data)
+            def body(carry, ek):
+                p, os, bp, bl = carry
+                (p, os), _train_loss = train_epoch((p, os), ek)
+                vl = loss_fn(p, val_data, val_weights)
+                better = vl < bl
+                bl = jnp.where(better, vl, bl)
+                if keep_best_weights:
+                    bp = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(better, new, old), p, bp
+                    )
+                return (p, os, bp, bl), vl
+
+            (params, opt_state, best_params, best_loss), vls = jax.lax.scan(
+                body, (params, opt_state, best_params, best_loss), keys
+            )
+            return params, opt_state, best_params, best_loss, vls
+
+        cache[cache_key] = jax.jit(run_block)
+    run_block_fn = cache[cache_key]
 
     def run_block(params, opt_state, best_params, best_loss, keys):
-        def body(carry, ek):
-            p, os, bp, bl = carry
-            (p, os), train_loss = train_epoch((p, os), ek)
-            vl = eval_loss(p)
-            better = vl < bl
-            bl = jnp.where(better, vl, bl)
-            if keep_best_weights:
-                bp = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(better, new, old), p, bp
-                )
-            return (p, os, bp, bl), vl
-
-        (params, opt_state, best_params, best_loss), vls = jax.lax.scan(
-            body, (params, opt_state, best_params, best_loss), keys
-        )
-        return params, opt_state, best_params, best_loss, vls
-
-    run_block = jax.jit(run_block)
+        return run_block_fn(params, opt_state, best_params, best_loss, keys,
+                            data, w_data, val_data, val_weights)
 
     check_every = max(1, min(64, early_stopping_threshold if early_stopping else 64, n_epochs))
     best_params = params

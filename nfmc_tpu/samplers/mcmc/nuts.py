@@ -59,7 +59,12 @@ class NUTS(MetropolisSampler):
             self.params.max_delta_energy,
         )
 
-    def make_propose(self):
+    def _make_step(self, tuning: bool):
+        """Custom step: the NUTS proposal is always the new state; dual
+        averaging adapts on the trajectory-average accept statistic
+        ``mean_leaves min(1, exp(-delta E))`` (the standard NUTS target), not
+        on a move indicator; leapfrog counts are reported dynamically."""
+        from ...core.driver import StepInfo
         from .nuts_impl import make_nuts_step
 
         nuts_step = make_nuts_step(
@@ -68,18 +73,26 @@ class NUTS(MetropolisSampler):
             max_tree_depth=self.kernel.max_tree_depth,
             max_delta_energy=self.params.max_delta_energy,
         )
+        update_kernel = self.make_update_kernel()
 
-        def propose(x, mstate, key):
-            x_prime, moved, diverged_any = nuts_step(
+        def step(x, mstate, key):
+            x_new, moved, diverged_any, accept_stat, n_leapfrog = nuts_step(
                 x, mstate.step_size, mstate.inv_mass_diag, key
             )
-            return x_prime, moved, diverged_any
+            if tuning:
+                mstate = update_kernel(mstate, x_new, accept_stat)
+            info = StepInfo(
+                n_accepted=jnp.sum(moved).astype(jnp.int32),
+                diverged=diverged_any,
+                n_calls=n_leapfrog,
+                n_grads=n_leapfrog,
+            )
+            return x_new, mstate, info
 
-        return propose
+        return step
 
     def calls_per_iter(self, n_chains: int) -> int:
-        # Upper bound; actual leapfrog count is trajectory-dependent.
-        return (2**self.kernel.max_tree_depth) * n_chains
+        return 0  # dynamic: reported per trajectory via StepInfo.n_calls
 
     def grads_per_iter(self, n_chains: int) -> int:
-        return (2**self.kernel.max_tree_depth) * n_chains
+        return 0

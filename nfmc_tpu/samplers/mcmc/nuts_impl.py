@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 class _SubtreeState(NamedTuple):
     i: jax.Array  # leaf counter within subtree (i32)
+    sum_accept: jax.Array  # f32: sum over leaves of min(1, exp(-delta))
     z: jax.Array  # current endpoint position (d,)
     r: jax.Array  # current endpoint momentum (d,)
     g: jax.Array  # current endpoint gradient (d,)
@@ -38,6 +39,7 @@ class _SubtreeState(NamedTuple):
 
 class _TrajState(NamedTuple):
     depth: jax.Array
+    sum_accept: jax.Array
     z_left: jax.Array
     r_left: jax.Array
     g_left: jax.Array
@@ -93,6 +95,7 @@ def make_nuts_step(
 
         init = _SubtreeState(
             i=jnp.int32(0),
+            sum_accept=jnp.asarray(0.0, dtype=z.dtype),
             z=z, r=r, g=g,
             z_prop=z,
             log_sum_w=jnp.asarray(-jnp.inf, dtype=z.dtype),
@@ -113,6 +116,7 @@ def make_nuts_step(
             energy = u + kinetic(r, imd)
             delta = energy - energy0
             diverged = s.diverged | (delta > max_delta_energy) | (~jnp.isfinite(delta))
+            sum_accept = s.sum_accept + jnp.minimum(1.0, jnp.exp(-delta))
 
             # progressive multinomial sampling within the subtree
             w = -delta
@@ -146,7 +150,7 @@ def make_nuts_step(
             turning = jax.lax.fori_loop(0, max_tree_depth + 1, check, s.turning)
 
             return _SubtreeState(
-                i=i, z=z, r=r, g=g,
+                i=i, sum_accept=sum_accept, z=z, r=r, g=g,
                 z_prop=z_prop, log_sum_w=log_sum_w_new,
                 turning=turning, diverged=diverged,
                 ckpt_z=ckpt_z, ckpt_r=ckpt_r,
@@ -164,6 +168,7 @@ def make_nuts_step(
 
         init = _TrajState(
             depth=jnp.int32(0),
+            sum_accept=jnp.asarray(0.0, dtype=z0.dtype),
             z_left=z0, r_left=r0, g_left=g0,
             z_right=z0, r_right=r0, g_right=g0,
             z_prop=z0,
@@ -210,6 +215,7 @@ def make_nuts_step(
 
             return _TrajState(
                 depth=t.depth + 1,
+                sum_accept=t.sum_accept + sub.sum_accept,
                 z_left=z_left, r_left=r_left, g_left=g_left,
                 z_right=z_right, r_right=r_right, g_right=g_right,
                 z_prop=z_prop, log_sum_w=log_sum_w,
@@ -220,16 +226,18 @@ def make_nuts_step(
 
         final = jax.lax.while_loop(cond, body, init)
         moved = jnp.any(final.z_prop != z0)
-        return final.z_prop, moved, final.diverged
+        accept_stat = final.sum_accept / jnp.maximum(final.n_leapfrog.astype(z0.dtype), 1.0)
+        return final.z_prop, moved, final.diverged, accept_stat, final.n_leapfrog
 
     def nuts_step(x, eps, inv_mass_diag, key):
         n_chains = x.shape[0]
         x_flat = x.reshape(n_chains, d)
         keys = jax.random.split(key, n_chains)
-        z_new, moved, diverged = jax.vmap(
+        z_new, moved, diverged, accept_stat, n_leapfrog = jax.vmap(
             lambda z, k: single_chain_step(z, eps, inv_mass_diag, k)
         )(x_flat, keys)
         diverged_any = jnp.any(diverged).astype(jnp.int32)
-        return z_new.reshape(x.shape), moved, diverged_any
+        total_leapfrog = jnp.sum(n_leapfrog).astype(jnp.int32)
+        return z_new.reshape(x.shape), moved, diverged_any, accept_stat, total_leapfrog
 
     return nuts_step
