@@ -223,9 +223,50 @@ def run_torch_baseline():
     return {"wall_s": wall, "iters_per_s": OUTER_TORCH / wall, "ess": ess, "ess_per_s": ess / wall}
 
 
+def run_scale_1024():
+    """BASELINE.json scale config: jump_hmc at 1024 chains x 100-d."""
+    import jax
+    import jax.numpy as jnp
+    import nfmc_tpu
+    from nfmc_tpu.core.sampler import NFMCKernel
+    from nfmc_tpu.flows import Flow, RealNVP
+    from nfmc_tpu.samplers.mcmc.hmc import HMCParameters
+    from nfmc_tpu.samplers.nfmc import JumpHMC
+
+    nfmc_tpu.set_seed(0)
+    n_chains, d = 1024, 100
+
+    def target(x):
+        return 0.5 * jnp.sum(x.reshape(x.shape[0], -1) ** 2, axis=-1)
+
+    s = JumpHMC(
+        (d,), target,
+        kernel=NFMCKernel((d,), flow=Flow(RealNVP((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN), seed=0)),
+        inner_params=HMCParameters(n_iterations=5),
+    )
+    s.params.store_samples = False
+    x0 = jax.random.normal(jax.random.key(1), (n_chains, d))
+    s.params.n_iterations = 21  # warm all chunk sizes
+    s.sample(x0, show_progress=False, seed=0)
+    s.params.n_iterations = 100
+    t0 = time.time()
+    out = s.sample(x0, show_progress=False, seed=0)
+    wall = time.time() - t0
+    # 100 outer iters x (5 HMC x 20 leapfrogs + jump) x 1024 chains
+    grads_per_s = out.statistics.n_target_gradient_calls / wall
+    return {
+        "wall_s": round(wall, 3),
+        "outer_iters_per_s": round(100 / wall, 2),
+        "leapfrog_grads_per_s": round(grads_per_s, 0),
+        "chain_leapfrogs_per_s": round(100 * 5 * 20 * n_chains / wall, 0),
+        "moment_err": round(float(np.max(np.abs(out.mean))), 4),
+    }
+
+
 def main():
     ours = run_ours()
     base = run_torch_baseline()
+    scale = run_scale_1024()
     # normalize ESS yield per outer iteration, compare rates
     ours_eff = ours["ess_per_s"]
     base_eff = base["ess_per_s"]
@@ -237,6 +278,7 @@ def main():
         "wall_s_per_1000_outer_iters": round(ours["wall_s"] * 1000 / OUTER_OURS, 3),
         "ours": {k: round(v, 4) if isinstance(v, float) else v for k, v in ours.items()},
         "torch_cpu_baseline": {k: round(v, 4) for k, v in base.items()},
+        "scale_1024_chains_jump_hmc": scale,
     }
     print(json.dumps(result))
 

@@ -126,6 +126,14 @@ class MCMCSampler(Sampler):
     def grads_per_iter(self, n_chains: int) -> int:
         raise NotImplementedError
 
+    def _augment_state(self, mstate, x0):
+        """Hook: samplers may extend the scan-carried kernel state with
+        chain-shaped caches (e.g. Langevin carries U(x), grad U(x))."""
+        return mstate
+
+    def _extract_mstate(self, state):
+        return state[0] if isinstance(state, tuple) else state
+
     def _static_config(self) -> Tuple:
         """Static config participating in jit specialization; subclasses extend."""
         p = self.params
@@ -252,7 +260,7 @@ class MCMCSampler(Sampler):
         out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples,
                          on_device=getattr(self.params, 'store_samples_on_device', False))
 
-        mstate = self.kernel.make_state()
+        mstate = self._augment_state(self.kernel.make_state(), x0)
         driver = self._get_driver()
         x, mstate = driver.run(
             x0,
@@ -269,7 +277,7 @@ class MCMCSampler(Sampler):
             show_progress=show_progress,
             desc=desc,
         )
-        self.kernel.sync_from_state(mstate)
+        self.kernel.sync_from_state(self._extract_mstate(mstate))
         out.kernel = self.kernel
         return out
 

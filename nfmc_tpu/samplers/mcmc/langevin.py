@@ -54,6 +54,12 @@ def proposal_potential(x_prime_flat, x_flat, grad_u_x_flat, a_diag, tau):
 
 
 class Langevin(MetropolisSampler):
+    """TPU-native optimization: the potential and gradient at the current
+    state are carried in the scan state and updated through the accept mask,
+    so each iteration evaluates the target once (at the proposal) instead of
+    twice — a 2x reduction on expensive targets. Reported counters keep the
+    reference contract (SURVEY.md section 2.8)."""
+
     def __init__(self, event_shape, target, kernel: Optional[LangevinKernel] = None,
                  params: Optional[LangevinParameters] = None):
         if kernel is None:
@@ -65,6 +71,68 @@ class Langevin(MetropolisSampler):
     @property
     def name(self):
         return "LMC"
+
+    def _augment_state(self, mstate, x0):
+        u0, g0 = value_and_batched_grad(self.target)(x0)
+        return (mstate, u0, g0)
+
+    def _make_step(self, tuning: bool):
+        from ...core.driver import StepInfo
+
+        target = self.target
+        event_shape = self.event_shape
+        event_ndim = len(event_shape)
+        adjustment = self.params.adjustment
+        u_and_grad = value_and_batched_grad(target)
+        update_kernel = self.make_update_kernel()
+
+        def step(x, state, key):
+            mstate, u_x, g_x = state
+            n_chains = x.shape[0]
+            k_noise, k_accept = jax.random.split(key)
+            noise = jax.random.normal(k_noise, x.shape)
+            tau = mstate.step_size
+            inv_mass = mstate.inv_mass_diag
+
+            g_flat = flatten_event(g_x, event_shape)
+            x_flat = flatten_event(x, event_shape)
+            xp_flat = (
+                x_flat
+                - tau / (inv_mass[None] ** 2) * g_flat
+                + jnp.sqrt(2.0 * tau) / inv_mass[None] * flatten_event(noise, event_shape)
+            )
+            x_prime = xp_flat.reshape(x.shape)
+            finite_prop = jnp.all(jnp.isfinite(xp_flat), axis=-1)
+
+            u_xp, g_xp = u_and_grad(x_prime)
+            if adjustment:
+                gp_flat = flatten_event(g_xp, event_shape)
+                a_diag = 1.0 / inv_mass**2
+                log_ratio = metropolis_acceptance_log_ratio(
+                    log_prob_target_curr=-u_x,
+                    log_prob_target_prime=-u_xp,
+                    log_prob_proposal_curr=-proposal_potential(x_flat, xp_flat, gp_flat, a_diag, tau),
+                    log_prob_proposal_prime=-proposal_potential(xp_flat, x_flat, g_flat, a_diag, tau),
+                )
+                log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
+                mask = (log_u < log_ratio) & finite_prop & jnp.isfinite(u_xp)
+            else:
+                mask = finite_prop & jnp.isfinite(u_xp)
+            diverged = (~jnp.all(finite_prop)).astype(jnp.int32)
+
+            bmask = mask.reshape(mask.shape + (1,) * event_ndim)
+            x_new = jnp.where(bmask, x_prime, x)
+            u_new = jnp.where(mask, u_xp, u_x)
+            g_new = jnp.where(bmask, g_xp, g_x)
+            if tuning:
+                mstate = update_kernel(mstate, x_new, mask)
+            info = StepInfo(
+                n_accepted=jnp.sum(mask).astype(jnp.int32),
+                diverged=diverged,
+            )
+            return x_new, (mstate, u_new, g_new), info
+
+        return step
 
     def make_propose(self):
         target = self.target

@@ -106,18 +106,25 @@ class AbstractIMH(Sampler):
         return out
 
     def _make_accept_step(self):
-        """Pure fn (params, x, flp_x, key) -> (x', flp', mask, diverged)."""
+        """Pure fn (params, x, flp_x, u_x, key) -> (x', flp', u', mask, diverged).
+
+        Both the flow log-prob of the current state (reference semantics,
+        ``imh.py:214-236``) and its target potential are carried and updated
+        through the accept mask: one target call per iteration instead of two
+        on expensive targets (reported counters keep the reference contract).
+        """
         flow = self.kernel.flow
         target = self.target
         event_ndim = len(self.event_shape)
 
-        def accept_step(params, x, flp_x, key):
+        def accept_step(params, x, flp_x, u_x, key):
             n_chains = x.shape[0]
             k_prop, k_acc = jax.random.split(key)
             x_prime, flp_prime = flow.sample_fn(params, k_prop, n_chains, return_log_prob=True)
+            u_prime = target(x_prime)
             log_alpha = metropolis_acceptance_log_ratio(
-                log_prob_target_curr=-target(x),
-                log_prob_target_prime=-target(x_prime),
+                log_prob_target_curr=-u_x,
+                log_prob_target_prime=-u_prime,
                 log_prob_proposal_curr=flp_x,
                 log_prob_proposal_prime=flp_prime,
             )
@@ -130,8 +137,9 @@ class AbstractIMH(Sampler):
             bmask = mask.reshape(mask.shape + (1,) * event_ndim)
             x_new = jnp.where(bmask, x_prime, x)
             flp_new = jnp.where(mask, flp_prime, flp_x)
+            u_new = jnp.where(mask, u_prime, u_x)
             diverged = (~jnp.all(finite)).astype(jnp.int32)
-            return x_new, flp_new, mask, diverged
+            return x_new, flp_new, u_new, mask, diverged
 
         return accept_step
 
@@ -154,22 +162,23 @@ class FixedIMH(AbstractIMH):
 
         def make_step(tuning):
             def step(x, kstate, key):
-                params, flp_x = kstate
-                x_new, flp_new, mask, diverged = accept_step(params, x, flp_x, key)
+                params, flp_x, u_x = kstate
+                x_new, flp_new, u_new, mask, diverged = accept_step(params, x, flp_x, u_x, key)
                 info = StepInfo(
                     n_accepted=jnp.sum(mask).astype(jnp.int32), diverged=diverged
                 )
-                return x_new, (params, flp_new), info
+                return x_new, (params, flp_new, u_new), info
 
             return step
 
         driver = ChunkedScanDriver(self.event_shape, make_step)
         t0 = time.time()
         flp0 = flow.log_prob(x0)
+        u0 = self.target(x0)
         out.statistics.update_elapsed_time(time.time() - t0)
         driver.run(
             x0,
-            (flow.params, flp0),
+            (flow.params, flp0, u0),
             key,
             self.params.n_iterations,
             stats=out.statistics,
@@ -213,6 +222,7 @@ class AdaptiveIMH(AbstractIMH):
         t0 = time.time()
         x = x0
         flp_x = flow.log_prob(x)
+        u_x = self.target(x)
         out.statistics.update_elapsed_time(time.time() - t0)
 
         for i in tqdm(range(self.params.n_iterations), desc=self.name, disable=not show_progress):
@@ -223,7 +233,7 @@ class AdaptiveIMH(AbstractIMH):
                 break
             t0 = time.time()
             key, k_step = jax.random.split(key)
-            x, flp_x, mask, diverged = accept_step(flow.params, x, flp_x, k_step)
+            x, flp_x, u_x, mask, diverged = accept_step(flow.params, x, flp_x, u_x, k_step)
             out.statistics.update_counters(
                 # Reference-bug parity: accept-step target evals logged as
                 # gradient calls (``imh.py:146``).

@@ -169,6 +169,13 @@ class JumpNFMC(Sampler):
             return self._fused
 
         inner_step = self.inner_sampler._make_step(tuning=False)
+        inner_sampler = self.inner_sampler
+
+        def inner_refresh(state, x):
+            return inner_sampler._augment_state(
+                inner_sampler._extract_mstate(state), x
+            )
+
         jump_step = self._make_jump_step()
         collect = self.params.store_samples
         resample_x0 = getattr(self.inner_sampler, "resample_x0_fn", None)
@@ -189,6 +196,9 @@ class JumpNFMC(Sampler):
                     inner_body, (x, ks, acc), jax.random.split(k_inner, inner_n)
                 )
                 x, jmask = jump_step(flow_params, x, k_jump)
+                # chain-shaped caches in the inner state (e.g. Langevin's
+                # cached U/grad) are stale for jumped chains — rebuild
+                ks = inner_refresh(ks, x)
                 jump_acc = jump_acc.add_jump(jmask, x)
                 if collect:
                     emit = jnp.concatenate([inner_xs, x[None]], axis=0)
@@ -248,7 +258,9 @@ class JumpNFMC(Sampler):
 
     def _sample_fused(self, x0, out, key, inner_n, n_chains, time_limit_seconds, show_progress):
         runner = self._get_fused_runner(inner_n)
-        inner_kstate = self.inner_sampler.kernel.make_state()
+        inner_kstate = self.inner_sampler._augment_state(
+            self.inner_sampler.kernel.make_state(), x0
+        )
         flow_params = self.kernel.flow.params
         x = jnp.array(x0, copy=True)
 
@@ -290,7 +302,9 @@ class JumpNFMC(Sampler):
         pbar.close()
         if outer_done:
             self._account_outer_iters(out, outer_done, n_chains, inner_n, acc, jump_acc)
-        self.inner_sampler.kernel.sync_from_state(inner_kstate)
+        self.inner_sampler.kernel.sync_from_state(
+            self.inner_sampler._extract_mstate(inner_kstate)
+        )
 
     def _sample_host(self, x0, out, key, inner_n, n_chains, time_limit_seconds, show_progress):
         jump_step = jax.jit(self._make_jump_step())
