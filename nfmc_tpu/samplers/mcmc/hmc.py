@@ -108,7 +108,11 @@ class HMC(MetropolisSampler):
                 h_end = target(x_prime) + 0.5 * sum_except_batch(precondition(p_prime) * p_prime, event_shape)
                 log_prob_accept = -h_end + h_start
                 log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
-                mask = (log_u < log_prob_accept) & finite_prop
+                mask = (log_u < log_prob_accept) & finite_prop & jnp.isfinite(h_end)
+                # Divergence = non-finite trajectory end OR non-finite
+                # Hamiltonian there (Stan convention; superset of the
+                # reference's except-ValueError at ``hmc.py:117-120``).
+                finite_prop = finite_prop & jnp.isfinite(h_end)
             else:
                 mask = finite_prop
             diverged = (~jnp.all(finite_prop)).astype(jnp.int32)

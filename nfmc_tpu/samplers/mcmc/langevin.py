@@ -118,7 +118,10 @@ class Langevin(MetropolisSampler):
                 mask = (log_u < log_ratio) & finite_prop & jnp.isfinite(u_xp)
             else:
                 mask = finite_prop & jnp.isfinite(u_xp)
-            diverged = (~jnp.all(finite_prop)).astype(jnp.int32)
+            # Divergence = non-finite proposal OR non-finite potential at the
+            # proposal (Stan convention; superset of the reference's
+            # except-ValueError detection at ``langevin.py:111-114``).
+            diverged = (~jnp.all(finite_prop & jnp.isfinite(u_xp))).astype(jnp.int32)
 
             bmask = mask.reshape(mask.shape + (1,) * event_ndim)
             x_new = jnp.where(bmask, x_prime, x)
@@ -168,6 +171,7 @@ class Langevin(MetropolisSampler):
                 )
                 log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
                 mask = (log_u < log_ratio) & finite_prop
+                finite_prop = finite_prop & jnp.isfinite(u_xp)
             else:
                 mask = finite_prop
             diverged = (~jnp.all(finite_prop)).astype(jnp.int32)

@@ -10,10 +10,12 @@ from .aft import AnnealedFlowTransport, aft
 from .craft import CRAFT, craft
 from .snf import SNF, snf
 from .ns import NestedSampling, ns
+from .pmc import PreconditionedMonteCarlo, pmc
 
 __all__ = [
     "AnnealedFlowTransport", "aft",
     "CRAFT", "craft",
     "SNF", "snf",
     "NestedSampling", "ns",
+    "PreconditionedMonteCarlo", "pmc",
 ]

@@ -221,3 +221,31 @@ def test_jump_default_inner_n_iterations():
         flow_kwargs={"n_layers": 2, "hidden_size": 16},
     )
     assert s.inner_sampler.params.n_iterations == 5
+
+
+def test_divergence_detection():
+    """Divergence = non-finite proposal OR non-finite proposal potential
+    (Stan convention; superset of the reference's except-ValueError path,
+    ``langevin.py:111-114``, ``hmc.py:117-120``). A quartic potential with a
+    large step explodes; stored samples must stay finite (rejected), the
+    counter must fire, and no exception may cross the jitted scan."""
+    import jax
+
+    from nfmc_tpu.samplers.mcmc import HMC, MALA, ULA
+
+    class QuarticPot:
+        event_shape = (5,)
+
+        def __call__(self, x):
+            return (x**4).sum(-1)
+
+    # Far-out start: the drift -tau*4x^3 overshoots to |x'| ~ 4e10 where
+    # x'^4 overflows float32 -> non-finite proposal potential.
+    x0 = jax.numpy.full((8, 5), 1000.0) + jax.random.normal(jax.random.key(0), (8, 5))
+    for cls in (ULA, MALA, HMC):
+        sampler = cls(event_shape=(5,), target=QuarticPot())
+        sampler.kernel.step_size = 10.0
+        sampler.params.n_iterations = 50
+        out = sampler.sample(x0, show_progress=False)
+        assert np.isfinite(out.samples).all(), cls.__name__
+        assert out.statistics.n_divergences > 0, cls.__name__

@@ -65,6 +65,20 @@ def test_ns():
     assert out["live_log_likelihoods"].min() > out["dead_log_likelihoods"][0]
 
 
+def test_pmc():
+    from nfmc_tpu.transport import pmc
+
+    out = pmc(PRIOR, TARGET, FLOW, n_particles=256, seed=0,
+              n_train_epochs=10, n_mcmc_steps=5)
+    assert np.isfinite(out["particles"]).all()
+    assert out["beta_trace"][-1] == 1.0
+    assert abs(out["log_Z"] - TRUE_LOG_Z) < 1.0
+    assert np.abs(out["particles"].mean(0) - 2.0).max() < 0.5
+    # adaptive ladder actually adapted: strictly increasing, >2 levels
+    assert (np.diff(out["beta_trace"]) > 0).all()
+    assert len(out["beta_trace"]) > 2
+
+
 def test_fab():
     from nfmc_tpu.flow_training import fab
 
