@@ -22,8 +22,9 @@ import numpy as np
 EVENT_DIM = 100  # BASELINE.md: 100 chains x 100-d Gaussian
 N_CHAINS = 100
 INNER_N = 5
-OUTER_OURS = 1000
-OUTER_TORCH = 60
+OUTER_OURS = 4000  # long enough that per-run fixed costs (~0.2s of tunnel
+# round-trips for state setup + final stats fetch) are amortized
+OUTER_TORCH = 240  # long enough for a low-variance ESS estimate
 FLOW_LAYERS = 4
 HIDDEN = 128
 
@@ -101,7 +102,19 @@ def run_ours():
     wall = time.time() - t0  # sampling only; ESS estimation is analysis
 
     samples_dev = out.running_samples.as_tensor()  # stays on device
-    ess = float(jax.numpy.mean(effective_sample_size(samples_dev)))
+    # ESS on a trailing window, extrapolated by draw count: XLA's TPU FFT
+    # compile time blows up at nfft >= 64k, and for a fast-mixing chain
+    # (autocorrelation time << window) ESS is linear in n. Slab over dims to
+    # bound the (nfft, C, slab) pad-buffer footprint.
+    n_draws = samples_dev.shape[0]
+    window = samples_dev[-min(8192, n_draws):]
+    slab = 25
+    ess_parts = [
+        effective_sample_size(window[..., i : i + slab])
+        for i in range(0, EVENT_DIM, slab)
+    ]
+    ess_window = float(jax.numpy.mean(jax.numpy.concatenate(ess_parts)))
+    ess = ess_window * (n_draws / window.shape[0])
 
     moment_err = float(np.max(np.abs(out.mean)))  # truth: zeros
     second_err = float(np.max(np.abs(out.second_moment - 1.0)))  # truth: ones
@@ -246,7 +259,9 @@ def run_scale_1024():
     )
     s.params.store_samples = False
     x0 = jax.random.normal(jax.random.key(1), (n_chains, d))
-    s.params.n_iterations = 21  # warm all chunk sizes
+    s.params.n_iterations = 85  # = 1+4+16+64: warm every chunk size the
+    # timed 100-iteration run uses (64 was previously compiled inside the
+    # timed region, dominating the wall)
     s.sample(x0, show_progress=False, seed=0)
     s.params.n_iterations = 100
     t0 = time.time()

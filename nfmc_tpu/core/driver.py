@@ -192,8 +192,17 @@ class ChunkedScanDriver:
         remote/tunneled device, per-chunk transfers would dominate wall-clock.
         With ``show_progress`` the fetch happens per chunk instead so the bar
         can display live rates.
+
+        When neither a time limit nor a progress bar needs per-chunk
+        wall-clock, chunks are *pipelined*: dispatched asynchronously without
+        blocking, so the device streams through the whole run with one final
+        sync instead of one round-trip per chunk (the tunneled host link makes
+        each sync cost tens of milliseconds — SURVEY.md section 3's hot loops
+        are sync-free on the reference's side too, it just pays per-op eager
+        dispatch instead).
         """
         runner = self._runner(tuning, collect)
+        pipelined = time_limit_seconds is None and not show_progress
         # Copy: chunk runners donate their carry buffers; never consume the
         # caller's x0 storage.
         x = jnp.array(x0, dtype=jnp.float32, copy=True)
@@ -211,6 +220,7 @@ class ChunkedScanDriver:
 
         acc = StatsAccum.zeros(self.event_shape)
         iters_done = 0
+        run_t0 = time.time()
         pbar = tqdm(total=n_iterations, desc=desc, disable=not show_progress)
         for chunk in chunk_schedule(n_iterations, max_chunk=max_chunk):
             if (
@@ -222,8 +232,10 @@ class ChunkedScanDriver:
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, chunk)
             x, kstate, acc, ys = runner(x, kstate, acc, keys)
-            # Block so elapsed-time accounting (and time limits) see real work.
-            jax.block_until_ready(x)
+            if not pipelined:
+                # Block so elapsed-time accounting (and time limits) see real
+                # work; pipelined runs sync once after the loop instead.
+                jax.block_until_ready(x)
             iters_done += chunk
             if samples is not None:
                 if collect:
@@ -232,7 +244,8 @@ class ChunkedScanDriver:
                     samples.add(self.emit_transform(x))
                 else:
                     samples.add(x)
-            stats.update_elapsed_time(time.time() - t0)
+            if not pipelined:
+                stats.update_elapsed_time(time.time() - t0)
             if show_progress:
                 flush(jax.device_get(acc), iters_done)
                 acc = StatsAccum.zeros(self.event_shape)
@@ -243,6 +256,9 @@ class ChunkedScanDriver:
                     postfix += f" | {kernel_repr(kstate)}"
                 pbar.set_postfix_str(postfix)
         pbar.close()
+        if pipelined:
+            jax.block_until_ready(x)
+            stats.update_elapsed_time(time.time() - run_t0)
         if iters_done:
             flush(jax.device_get(acc), iters_done)
         return x, kstate

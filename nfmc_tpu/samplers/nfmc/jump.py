@@ -265,10 +265,15 @@ class JumpNFMC(Sampler):
         x = jnp.array(x0, copy=True)
 
         # Accumulators are carried on-device across chunks; one host fetch at
-        # the end (per chunk only when a live progress bar is shown).
+        # the end (per chunk only when a live progress bar is shown). Without
+        # a time limit or progress bar, chunks are dispatched asynchronously
+        # (pipelined) and synced once after the loop — per-chunk round-trips
+        # dominate wall-clock on a tunneled device.
+        pipelined = time_limit_seconds is None and not show_progress
         acc = StatsAccum.zeros(self.event_shape)
         jump_acc = _JumpAccum.zeros(self.event_shape)
         outer_done = 0
+        run_t0 = time.time()
         pbar = tqdm(total=self.params.n_iterations, desc=self.name, disable=not show_progress)
         for chunk in chunk_schedule(self.params.n_iterations, max_chunk=256):
             if (
@@ -282,7 +287,8 @@ class JumpNFMC(Sampler):
             x, inner_kstate, acc, jump_acc, ys = runner(
                 x, inner_kstate, flow_params, acc, jump_acc, keys
             )
-            jax.block_until_ready(x)
+            if not pipelined:
+                jax.block_until_ready(x)
             outer_done += chunk
             if self.params.store_samples:
                 # (chunk, inner_n+1, C, *e) -> (chunk*(inner_n+1), C, *e)
@@ -291,7 +297,8 @@ class JumpNFMC(Sampler):
                 )
             else:
                 out.running_samples.add(x)
-            out.statistics.update_elapsed_time(time.time() - t0)
+            if not pipelined:
+                out.statistics.update_elapsed_time(time.time() - t0)
             pbar.update(chunk)
             if show_progress:
                 self._account_outer_iters(out, outer_done, n_chains, inner_n, acc, jump_acc)
@@ -300,6 +307,9 @@ class JumpNFMC(Sampler):
                 outer_done = 0
                 pbar.set_postfix_str(f"{out.statistics}")
         pbar.close()
+        if pipelined:
+            jax.block_until_ready(x)
+            out.statistics.update_elapsed_time(time.time() - run_t0)
         if outer_done:
             self._account_outer_iters(out, outer_done, n_chains, inner_n, acc, jump_acc)
         self.inner_sampler.kernel.sync_from_state(
