@@ -129,16 +129,12 @@ def run_ours():
     }
 
 
-def run_torch_baseline():
-    """Eager torch CPU replica of the reference jump_mala pattern."""
+def make_torch_flow(d):
+    """Torch replica of the RealNVP proposal (zero-init final layer: identity
+    map at start, matching the JAX side's ``conditioners.mlp_init``). Returns
+    (flow_sample, flow_log_prob, flow_forward, flow_inverse); forward/inverse
+    are differentiable (NeuTra's gradients flow through the inverse)."""
     import torch
-
-    torch.manual_seed(0)
-    torch.set_num_threads(max(1, torch.get_num_threads()))
-    d, C = EVENT_DIM, N_CHAINS
-
-    def target(x):
-        return 0.5 * (x**2).flatten(1).sum(-1)
 
     class CouplingLayer(torch.nn.Module):
         def __init__(self, parity):
@@ -173,23 +169,47 @@ def run_torch_baseline():
 
     layers = [CouplingLayer(i) for i in range(FLOW_LAYERS)]
 
+    def flow_forward(x):
+        log_det = torch.zeros(len(x))
+        for lay in layers:
+            x, ld = lay.forward(x)
+            log_det = log_det + ld
+        return x, log_det
+
+    def flow_inverse(z):
+        log_det = torch.zeros(len(z))
+        for lay in reversed(layers):
+            z, ld = lay.inverse(z)
+            log_det = log_det + ld
+        return z, log_det
+
     @torch.no_grad()
     def flow_sample(n):
         z = torch.randn(n, d)
         lp = -0.5 * (z**2).sum(-1) - 0.5 * d * np.log(2 * np.pi)
-        log_det = torch.zeros(n)
-        for lay in reversed(layers):
-            z, ld = lay.inverse(z)
-            log_det += ld
-        return z, lp - log_det
+        x, log_det = flow_inverse(z)
+        return x, lp - log_det
 
     @torch.no_grad()
     def flow_log_prob(x):
-        log_det = torch.zeros(len(x))
-        for lay in layers:
-            x, ld = lay.forward(x)
-            log_det += ld
-        return -0.5 * (x**2).sum(-1) - 0.5 * d * np.log(2 * np.pi) + log_det
+        z, log_det = flow_forward(x)
+        return -0.5 * (z**2).sum(-1) - 0.5 * d * np.log(2 * np.pi) + log_det
+
+    return flow_sample, flow_log_prob, flow_forward, flow_inverse
+
+
+def run_torch_baseline():
+    """Eager torch CPU replica of the reference jump_mala pattern."""
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    d, C = EVENT_DIM, N_CHAINS
+
+    def target(x):
+        return 0.5 * (x**2).flatten(1).sum(-1)
+
+    flow_sample, flow_log_prob, _, _ = make_torch_flow(d)
 
     step_size = d ** (-1 / 3)
     inv_mass = torch.ones(d)
@@ -234,6 +254,174 @@ def run_torch_baseline():
     arr = torch.stack(samples).numpy()
     ess = ess_per_dim(arr)
     return {"wall_s": wall, "iters_per_s": OUTER_TORCH / wall, "ess": ess, "ess_per_s": ess / wall}
+
+
+def run_north_star():
+    """BASELINE.json north-star coverage beyond jump_mala: ESS/sec speedup
+    over the eager torch-CPU replica for IMH, NeuTra-HMC and TESS (100 chains
+    x 100-d standard Gaussian, identity-initialized RealNVP on both sides so
+    both run the identical algorithm; the torch side mirrors the reference's
+    per-iteration pattern: eager ops, fresh autograd per gradient, cached
+    flow log-prob where the reference caches, ``imh.py:214-236``,
+    ``tess.py:16-75``, ``hmc.py:61-77`` + ``neutra.py:58-68``)."""
+    import math as _math
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    import nfmc_tpu
+    from nfmc_tpu.core.sampler import NFMCKernel
+    from nfmc_tpu.diagnostics import effective_sample_size
+    from nfmc_tpu.flows import Flow, RealNVP
+    from nfmc_tpu.samplers.mcmc.hmc import HMCKernel, HMCParameters
+    from nfmc_tpu.samplers.nfmc import FixedIMH, NeuTraHMC, TESS
+    from nfmc_tpu.samplers.nfmc.neutra import NeuTraKernel
+    from nfmc_tpu.samplers.nfmc.tess import TESSKernel
+
+    d, C = EVENT_DIM, N_CHAINS
+    HMC_STEP = 0.1
+
+    def target(x):
+        return 0.5 * jnp.sum(x.reshape(x.shape[0], -1) ** 2, axis=-1)
+
+    def fresh_flow():
+        return Flow(RealNVP((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN), seed=0)
+
+    def ours_ess_per_s(sampler, n_iters, warm_iters, x0, latent_flow=None):
+        sampler.params.store_samples_on_device = True
+        inner = getattr(sampler, "inner_sampler", None)
+        if inner is not None:
+            inner.params.store_samples_on_device = True
+        sampler.params.n_iterations = warm_iters
+        sampler.sample(x0, show_progress=False, seed=0)
+        sampler.params.n_iterations = n_iters
+        t0 = time.time()
+        out = sampler.sample(x0, show_progress=False, seed=0)
+        jax.block_until_ready(out.running_samples.last_sample)
+        wall = time.time() - t0
+        samples = out.running_samples.as_tensor()
+        if latent_flow is not None:  # NeuTra stores latent draws
+            flat = samples.reshape(-1, d)
+            samples = latent_flow.bijection.inverse_fn(latent_flow.params, flat)[0].reshape(samples.shape)
+        n_draws = samples.shape[0]
+        window = samples[-min(4096, n_draws):]
+        parts = [effective_sample_size(window[..., i : i + 25]) for i in range(0, d, 25)]
+        ess = float(jnp.mean(jnp.concatenate(parts))) * (n_draws / window.shape[0])
+        return ess / wall
+
+    def torch_ess_per_s(draws, wall):
+        return ess_per_dim(torch.stack(draws).numpy()) / wall
+
+    def tgt_t(x):
+        return 0.5 * (x**2).flatten(1).sum(-1)
+
+    results = {}
+    nfmc_tpu.set_seed(0)
+    x0 = jax.random.normal(jax.random.key(1), (C, d))
+
+    # ---- IMH -----------------------------------------------------------------
+    s = FixedIMH((d,), target, kernel=NFMCKernel((d,), flow=fresh_flow()))
+    ours = ours_ess_per_s(s, 4000, 341, x0)
+
+    torch.manual_seed(0)
+    flow_sample, flow_log_prob, _, _ = make_torch_flow(d)
+    x = torch.randn(C, d)
+    logq_x = flow_log_prob(x)
+    draws = []
+    t0 = time.time()
+    with torch.no_grad():
+        for _ in range(500):
+            xp, logq_p = flow_sample(C)
+            log_alpha = (-tgt_t(xp)) - (-tgt_t(x)) + logq_x - logq_p
+            mask = torch.rand(C).log() < log_alpha
+            x[mask] = xp[mask]
+            logq_x[mask] = logq_p[mask]
+            draws.append(x.clone())
+    base = torch_ess_per_s(draws, time.time() - t0)
+    results["imh"] = {"ours_ess_per_s": round(ours, 1), "torch_ess_per_s": round(base, 1),
+                      "speedup": round(ours / base, 1)}
+
+    # ---- NeuTra HMC ----------------------------------------------------------
+    flow = fresh_flow()
+    s = NeuTraHMC((d,), target,
+                  inner_kernel=HMCKernel(event_size=d, step_size=HMC_STEP),
+                  inner_params=HMCParameters(),
+                  kernel=NeuTraKernel((d,), flow=flow))
+    ours = ours_ess_per_s(s, 1000, 85, x0, latent_flow=flow)
+
+    torch.manual_seed(0)
+    _, _, _, flow_inverse = make_torch_flow(d)
+
+    def adjusted(z):
+        xx, ld = flow_inverse(z)
+        return tgt_t(xx) - ld
+
+    def grad_adj(z):
+        z = z.detach().requires_grad_(True)
+        u = adjusted(z)
+        (g,) = torch.autograd.grad(u.sum(), z)
+        return g
+
+    z = torch.randn(C, d)
+    draws = []
+    t0 = time.time()
+    for _ in range(60):
+        p = torch.randn(C, d)
+        zq, pq = z.clone(), p.clone()
+        for _l in range(20):  # reference B-A-B: fresh autograd per half-kick
+            pq = pq - 0.5 * HMC_STEP * grad_adj(zq)
+            zq = zq + HMC_STEP * pq
+            pq = pq - 0.5 * HMC_STEP * grad_adj(zq)
+        with torch.no_grad():
+            h0 = adjusted(z) + 0.5 * (p**2).sum(-1)
+            h1 = adjusted(zq) + 0.5 * (pq**2).sum(-1)
+            mask = torch.rand(C).log() < (h0 - h1)
+            z[mask] = zq[mask]
+            xz, _ = flow_inverse(z)
+        draws.append(xz.clone())
+    base = torch_ess_per_s(draws, time.time() - t0)
+    results["neutra_hmc"] = {"ours_ess_per_s": round(ours, 1), "torch_ess_per_s": round(base, 1),
+                             "speedup": round(ours / base, 1)}
+
+    # ---- TESS ----------------------------------------------------------------
+    s = TESS((d,), target, negative_log_likelihood=target,
+             kernel=TESSKernel((d,), flow=fresh_flow()))
+    ours = ours_ess_per_s(s, 2000, 85, x0)
+
+    torch.manual_seed(0)
+    _, _, _, flow_inverse = make_torch_flow(d)
+    u = torch.randn(C, d)
+    draws = []
+    t0 = time.time()
+    with torch.no_grad():
+        for _ in range(300):
+            v = torch.randn(C, d)
+            w = torch.rand(C)
+            xc, ld = flow_inverse(u)
+            log_s = (-tgt_t(xc) - ld) + (-0.5 * (v**2).sum(-1)) + w.log()
+            theta = torch.randn(C, 1) * (2 * _math.pi)
+            tmin, tmax = theta - 2 * _math.pi, theta.clone()
+            accepted = torch.zeros(C, dtype=torch.bool)
+            u_prop, x_prop = u.clone(), xc.clone()
+            for _r in range(5):
+                up = u * torch.cos(theta) + v * torch.sin(theta)
+                vp = v * torch.cos(theta) - u * torch.sin(theta)
+                xp, ldp = flow_inverse(up)
+                newly = ((-tgt_t(xp) - ldp - 0.5 * (vp**2).sum(-1)) > log_s) & (~accepted)
+                u_prop[newly] = up[newly]
+                x_prop[newly] = xp[newly]
+                neg = (theta < 0).squeeze(-1)
+                tmin[neg] = theta[neg]
+                tmax[~neg] = theta[~neg]
+                theta = torch.rand(C, 1) * (tmax - tmin) + tmin
+                accepted |= newly
+            u = u_prop
+            draws.append(x_prop.clone())
+    base = torch_ess_per_s(draws, time.time() - t0)
+    results["tess"] = {"ours_ess_per_s": round(ours, 1), "torch_ess_per_s": round(base, 1),
+                       "speedup": round(ours / base, 1)}
+    return results
 
 
 def run_scale_1024():
@@ -282,6 +470,7 @@ def main():
     ours = run_ours()
     base = run_torch_baseline()
     scale = run_scale_1024()
+    north = run_north_star()
     # normalize ESS yield per outer iteration, compare rates
     ours_eff = ours["ess_per_s"]
     base_eff = base["ess_per_s"]
@@ -294,6 +483,7 @@ def main():
         "ours": {k: round(v, 4) if isinstance(v, float) else v for k, v in ours.items()},
         "torch_cpu_baseline": {k: round(v, 4) for k, v in base.items()},
         "scale_1024_chains_jump_hmc": scale,
+        "north_star_vs_torch_replica": north,
     }
     print(json.dumps(result))
 

@@ -119,6 +119,24 @@ class Sampler:
     def _key(self, key=None, seed=None) -> jax.Array:
         return resolve_key(key, seed)
 
+    def _cached_driver(self, config, factory, keepalive=()):
+        """Memoize a ChunkedScanDriver across ``sample()`` calls.
+
+        A fresh driver per call means fresh ``jax.jit`` closures, so every
+        chunk length re-traces (and re-hashes against the compile cache) in
+        the middle of sampling — a multi-second tax per run. ``config`` (a
+        tuple of plain comparable tokens) must capture everything the
+        driver's compiled step bakes in as closure constants — anything
+        threaded through the scan carry, e.g. flow params, need not appear.
+        Pass the objects behind any ``id(...)`` tokens in ``keepalive`` so
+        the ids cannot be recycled while the cache entry lives.
+        """
+        if getattr(self, "_driver_cache_cfg", None) != config:
+            self._driver_cache = factory()
+            self._driver_cache_cfg = config
+            self._driver_cache_refs = keepalive
+        return self._driver_cache
+
     def warmup(
         self,
         x0,

@@ -171,7 +171,14 @@ class FixedIMH(AbstractIMH):
 
             return step
 
-        driver = ChunkedScanDriver(self.event_shape, make_step)
+        # accept_step bakes in only the flow *structure* and target (params
+        # are threaded through the scan carry), so the driver is reusable
+        # across calls and flow refits.
+        driver = self._cached_driver(
+            (id(self.kernel.flow.bijection), id(self.target)),
+            lambda: ChunkedScanDriver(self.event_shape, make_step),
+            keepalive=(self.kernel.flow.bijection, self.target),
+        )
         t0 = time.time()
         flp0 = flow.log_prob(x0)
         u0 = self.target(x0)

@@ -212,10 +212,20 @@ class TESS(Sampler):
 
             return step
 
+        # The data/emit transforms read ``flow.params`` at trace time (the
+        # step itself threads params through the carry), and ``chol`` is a
+        # closure constant — both must key the cache so refits/cov changes
+        # retrace while back-to-back sample() calls reuse the compiled scans.
         inverse_x = lambda u: flow.bijection.inverse_fn(flow.params, u)[0]
-        driver = ChunkedScanDriver(
-            self.event_shape, make_step,
-            data_transform=inverse_x, emit_transform=inverse_x,
+        driver = self._cached_driver(
+            (max_iter, id(flow.bijection), id(flow.params), id(self.kernel.cov),
+             id(self.negative_log_likelihood)),
+            lambda: ChunkedScanDriver(
+                self.event_shape, make_step,
+                data_transform=inverse_x, emit_transform=inverse_x,
+            ),
+            keepalive=(flow.bijection, flow.params, self.kernel.cov,
+                       self.negative_log_likelihood),
         )
         driver.run(
             u0,
