@@ -457,13 +457,32 @@ def run_scale_1024():
     wall = time.time() - t0
     # 100 outer iters x (5 HMC x 20 leapfrogs + jump) x 1024 chains
     grads_per_s = out.statistics.n_target_gradient_calls / wall
-    return {
+    result = {
         "wall_s": round(wall, 3),
         "outer_iters_per_s": round(100 / wall, 2),
         "leapfrog_grads_per_s": round(grads_per_s, 0),
         "chain_leapfrogs_per_s": round(100 * 5 * 20 * n_chains / wall, 0),
         "moment_err": round(float(np.max(np.abs(out.mean))), 4),
     }
+
+    # DLMC at 1024 chains (the other BASELINE.json scale config): per-iteration
+    # flow refit on the particles (host fit loop) + jitted drift/accept.
+    from nfmc_tpu.samplers.nfmc import DLMC
+    from nfmc_tpu.samplers.nfmc.dlmc import DLMCKernel
+
+    s = DLMC((d,), target, negative_log_likelihood=target,
+             kernel=DLMCKernel((d,), flow=Flow(RealNVP((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN), seed=0)))
+    s.params.store_samples = False
+    s.params.flow_fit_kwargs = dict(n_epochs=10, lr=5e-3)
+    s.params.n_iterations = 2
+    s.sample(x0, show_progress=False, seed=0)  # compile warm-up
+    s.params.n_iterations = 10
+    t0 = time.time()
+    out = s.sample(x0, show_progress=False, seed=0)
+    wall = time.time() - t0
+    result["dlmc_1024_iters_per_s"] = round(10 / wall, 2)
+    result["dlmc_1024_moment_err"] = round(float(np.max(np.abs(out.mean))), 4)
+    return result
 
 
 def main():
