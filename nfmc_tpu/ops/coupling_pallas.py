@@ -8,10 +8,14 @@ passes and Jacobian log-det accumulation ... as fused Pallas kernels").
 
 Layout: the caller pre-permutes the event into [even | odd] halves so every
 layer's conditioning/transformed parts are contiguous slices (layer parity
-alternates which half conditions). Gradients: ``jax.custom_vjp`` whose
-backward re-runs the pure-XLA reference implementation, so training and
-NeuTra-style differentiation through the flow stay exact while inference-hot
-paths (flow sampling / log_prob inside scan loops) take the fused kernel.
+alternates which half conditions). Gradients: ``jax.custom_vjp`` backed by a
+second fused Pallas kernel (``_kernel_bwd``) that recomputes the forward
+activations in VMEM and runs the analytic backward through every layer —
+input and weight gradients in one kernel launch, replacing the ~100 small
+ops a traced XLA vjp emits. This is the NeuTra hot path (a gradient through
+the flow inverse at every leapfrog step, SURVEY.md section 3.4) and the MLE /
+reverse-KL training backward. A module flag ``_PALLAS_BWD`` reverts to the
+XLA-replay backward for validation.
 """
 from __future__ import annotations
 
@@ -140,6 +144,149 @@ def _fused_call(x_packed, flat_weights, n_layers: int, clamp: float,
     return y, ld
 
 
+def _kernel_bwd(n_layers: int, d: int, clamp: float, inverse: bool):
+    """Fused VJP: recompute the forward pass in VMEM, then run the analytic
+    backward through every coupling layer and conditioner MLP — one kernel for
+    input *and* weight gradients instead of the ~100 small XLA ops a traced
+    vjp emits (the NeuTra leapfrog evaluates this at every step)."""
+    sizes = _layer_sizes(d, n_layers)
+    d_even = (d + 1) // 2
+
+    def dotT_ab(a, b):  # a: (B, m), b: (B, n) -> (m, n)  [contract batch]
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def dot_bT(a, w):  # a: (B, n), w: (m, n) -> (B, m)  [contract last dims]
+        return jax.lax.dot_general(
+            a, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def kernel(x_ref, gy_ref, gld_ref, *refs):
+        w_refs = refs[: 6 * n_layers]
+        out_refs = refs[6 * n_layers :]
+        gx_ref = out_refs[0]
+        gw_refs = out_refs[1:]
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            for r in gw_refs:
+                r[:] = jnp.zeros_like(r)
+
+        x = x_ref[:]
+        layer_order = (
+            list(range(n_layers)) if not inverse else list(range(n_layers - 1, -1, -1))
+        )
+
+        # ---- forward recompute, stashing per-layer activations in VMEM ------
+        saved = []
+        weights = []
+        for l in layer_order:
+            da, db = sizes[l]
+            w1, b1, w2, b2, w3, b3 = (w_refs[6 * l + k][:] for k in range(6))
+            weights.append((w1, w2, w3))
+            if l % 2 == 0:
+                va, vb = x[:, :d_even], x[:, d_even:]
+            else:
+                va, vb = x[:, d_even:], x[:, :d_even]
+            h1 = jnp.tanh(jnp.dot(va, w1, preferred_element_type=jnp.float32) + b1)
+            h2 = jnp.tanh(jnp.dot(h1, w2, preferred_element_type=jnp.float32) + b2)
+            raw = jnp.dot(h2, w3, preferred_element_type=jnp.float32) + b3
+            s = jnp.tanh(raw[:, db:] / clamp)
+            ls = clamp * s
+            if inverse:
+                vb_new = vb * jnp.exp(ls) + raw[:, :db]
+            else:
+                vb_new = (vb - raw[:, :db]) * jnp.exp(-ls)
+            saved.append((va, vb, h1, h2, s, ls, vb_new))
+            if l % 2 == 0:
+                x = jnp.concatenate([va, vb_new], axis=-1)
+            else:
+                x = jnp.concatenate([vb_new, va], axis=-1)
+
+        # ---- backward --------------------------------------------------------
+        gx = gy_ref[:]
+        gld = gld_ref[:]  # (Bt, 1)
+        for l, (w1, w2, w3), (va, vb, h1, h2, s, ls, vb_new) in zip(
+            reversed(layer_order), reversed(weights), reversed(saved)
+        ):
+            da, db = sizes[l]
+            if l % 2 == 0:
+                g_va, g_vbn = gx[:, :d_even], gx[:, d_even:]
+            else:
+                g_va, g_vbn = gx[:, d_even:], gx[:, :d_even]
+
+            if inverse:
+                e = jnp.exp(ls)
+                g_t = g_vbn
+                g_ls = g_vbn * vb * e + gld
+                g_vb = g_vbn * e
+            else:
+                em = jnp.exp(-ls)
+                g_vb = g_vbn * em
+                g_t = -g_vbn * em
+                g_ls = -g_vbn * vb_new - gld
+            g_u = g_ls * (1.0 - s * s)  # d(clamp*tanh(u/clamp))/du
+            g_raw = jnp.concatenate([g_t, g_u], axis=-1)
+
+            gw_refs[6 * l + 4][:] += dotT_ab(h2, g_raw)
+            gw_refs[6 * l + 5][:] += jnp.sum(g_raw, axis=0)
+            g_a2 = dot_bT(g_raw, w3) * (1.0 - h2 * h2)
+            gw_refs[6 * l + 2][:] += dotT_ab(h1, g_a2)
+            gw_refs[6 * l + 3][:] += jnp.sum(g_a2, axis=0)
+            g_a1 = dot_bT(g_a2, w2) * (1.0 - h1 * h1)
+            gw_refs[6 * l + 0][:] += dotT_ab(va, g_a1)
+            gw_refs[6 * l + 1][:] += jnp.sum(g_a1, axis=0)
+            g_va_tot = g_va + dot_bT(g_a1, w1)
+
+            if l % 2 == 0:
+                gx = jnp.concatenate([g_va_tot, g_vb], axis=-1)
+            else:
+                gx = jnp.concatenate([g_vb, g_va_tot], axis=-1)
+
+        gx_ref[:] = gx
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_layers", "clamp", "inverse", "block_b"))
+def _fused_bwd_call(x_packed, gy_packed, gld, flat_weights, n_layers: int,
+                    clamp: float, inverse: bool, block_b: int = 256):
+    """Returns (gx_packed, [6L weight-grad arrays]); cotangents of padded rows
+    are zero, so padding contributes nothing to the weight accumulators."""
+    B, d = x_packed.shape
+    n_pad = (-B) % block_b
+    if n_pad:
+        zrow = jnp.zeros((n_pad, d), dtype=x_packed.dtype)
+        x_packed = jnp.concatenate([x_packed, zrow], axis=0)
+        gy_packed = jnp.concatenate([gy_packed, zrow], axis=0)
+        gld = jnp.concatenate([gld, jnp.zeros((n_pad,), dtype=gld.dtype)], axis=0)
+    Bp = x_packed.shape[0]
+    grid = (Bp // block_b,)
+
+    blocked = pl.BlockSpec((block_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        blocked,
+        blocked,
+        pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat_weights]
+
+    out = pl.pallas_call(
+        _kernel_bwd(n_layers, d, clamp, inverse),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(blocked,) + tuple(full(w) for w in flat_weights),
+        out_shape=(jax.ShapeDtypeStruct((Bp, d), jnp.float32),)
+        + tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat_weights),
+    )(x_packed, gy_packed, gld[:, None], *flat_weights)
+    gx, gws = out[0][:B], list(out[1:])
+    return gx, gws
+
+
 def _flatten_weights(params) -> List[jax.Array]:
     """Flatten per-layer MLP weights; the output layer's dim-major interleaved
     columns (shift_i, logscale_i) are de-interleaved to [shifts | logscales]
@@ -155,6 +302,19 @@ def _flatten_weights(params) -> List[jax.Array]:
         )
         flat.extend([ws[0], bs[0], ws[1], bs[1], w3[:, perm], b3[perm]])
     return flat
+
+
+def _unflatten_weight_grads(gflat, params):
+    """Invert ``_flatten_weights``: re-interleave the w3/b3 column grads back
+    into the dim-major (shift_i, logscale_i) layout of the param pytree."""
+    gparams = []
+    for l in range(len(params)):
+        gw1, gb1, gw2, gb2, gw3d, gb3d = gflat[6 * l : 6 * l + 6]
+        two_db = gw3d.shape[1]
+        perm = jnp.concatenate([jnp.arange(0, two_db, 2), jnp.arange(1, two_db, 2)])
+        inv = jnp.argsort(perm)
+        gparams.append({"w": [gw1, gw2, gw3d[:, inv]], "b": [gb1, gb2, gb3d[inv]]})
+    return gparams
 
 
 def _perm(d: int):
@@ -176,6 +336,12 @@ def fused_realnvp_inverse(params, z, d: int, n_layers: int, clamp: float,
     return _fused_dir(params, z, d, n_layers, clamp, True, xla_inverse)
 
 
+# Backward implementation switch: the fused Pallas VJP kernel by default; set
+# False to fall back to re-running the XLA reference under jax.vjp (used to
+# validate the kernel, and automatically when no xla_fn is supplied there).
+_PALLAS_BWD = True
+
+
 def _fused_dir(params, x, d, n_layers, clamp, inverse, xla_fn):
     batch_shape = x.shape[:-1]
     xf = x.reshape(-1, d)
@@ -188,10 +354,6 @@ def _fused_dir(params, x, d, n_layers, clamp, inverse, xla_fn):
         )
         return jnp.take(y, unpack, axis=-1), ld
 
-    if xla_fn is None:
-        y, ld = pallas_impl(params, xf)
-        return y.reshape(x.shape), ld.reshape(batch_shape)
-
     @jax.custom_vjp
     def op(params, xf):
         return pallas_impl(params, xf)
@@ -201,9 +363,22 @@ def _fused_dir(params, x, d, n_layers, clamp, inverse, xla_fn):
 
     def op_bwd(res, g):
         params, xf = res
+        gy, gld = g
+        if _PALLAS_BWD:
+            gx_packed, gflat = _fused_bwd_call(
+                jnp.take(xf, pack, axis=-1),
+                jnp.take(gy, pack, axis=-1),
+                gld,
+                _flatten_weights(params),
+                n_layers, clamp, inverse,
+            )
+            return _unflatten_weight_grads(gflat, params), jnp.take(gx_packed, unpack, axis=-1)
         _, vjp = jax.vjp(xla_fn, params, xf)
         return vjp(g)
 
     op.defvjp(op_fwd, op_bwd)
-    y, ld = op(params, xf)
+    if xla_fn is None and not _PALLAS_BWD:
+        y, ld = pallas_impl(params, xf)  # non-differentiable fallback
+    else:
+        y, ld = op(params, xf)
     return y.reshape(x.shape), ld.reshape(batch_shape)

@@ -94,6 +94,20 @@ class NeuTra(Sampler):
         # closure constants; refresh after any flow refit.
         self.inner_sampler._driver = None
         self.inner_sampler._driver_config = None
+        self._built_params_token = None
+
+    def _refresh_inner_if_stale(self):
+        """Invalidate the inner sampler's compiled scans only when the flow
+        params object actually changed (a refit replaces the pytree).
+        Re-tracing the 20-leapfrog grad-through-inverse scan costs seconds;
+        doing it unconditionally per sample() call dominated NeuTra wall-clock.
+        The params reference is held so the identity token stays valid."""
+        token = id(self.kernel.flow.params)
+        if getattr(self, "_built_params_token", None) != token:
+            self.inner_sampler._driver = None
+            self.inner_sampler._driver_config = None
+            self._built_params_token = token
+            self._built_params_ref = self.kernel.flow.params
 
     def warmup(self, x0, show_progress: bool = True, time_limit_seconds=None,
                key=None, seed=None) -> MCMCOutput:
@@ -126,7 +140,7 @@ class NeuTra(Sampler):
         self.inner_sampler.params.n_iterations = self.params.n_iterations
         self.inner_sampler.params.sampling_mode()
         self.inner_sampler.params.store_samples = self.params.store_samples
-        self._invalidate_inner()
+        self._refresh_inner_if_stale()
         out = self.inner_sampler.sample(
             x0,  # z0 = x0, reference ``neutra.py:121-127``
             show_progress=show_progress,
