@@ -90,9 +90,9 @@ def run_ours():
     s = build()
     s.params.store_samples_on_device = True
 
-    # compile warm-up on the SAME instance (hits every chunk size incl. 256),
+    # compile warm-up on the SAME instance (hits every chunk size incl. 1024),
     # excluded from timing like any serving deployment
-    s.params.n_iterations = 341
+    s.params.n_iterations = 1365  # = 1+4+16+64+256+1024
     s.sample(x0, show_progress=False, seed=0)
 
     s.params.n_iterations = OUTER_OURS
@@ -322,7 +322,7 @@ def run_north_star():
 
     # ---- IMH -----------------------------------------------------------------
     s = FixedIMH((d,), target, kernel=NFMCKernel((d,), flow=fresh_flow()))
-    ours = ours_ess_per_s(s, 4000, 341, x0)
+    ours = ours_ess_per_s(s, 4000, 1365, x0)
 
     torch.manual_seed(0)
     flow_sample, flow_log_prob, _, _ = make_torch_flow(d)
@@ -348,7 +348,7 @@ def run_north_star():
                   inner_kernel=HMCKernel(event_size=d, step_size=HMC_STEP),
                   inner_params=HMCParameters(),
                   kernel=NeuTraKernel((d,), flow=flow))
-    ours = ours_ess_per_s(s, 1000, 85, x0, latent_flow=flow)
+    ours = ours_ess_per_s(s, 1000, 341, x0, latent_flow=flow)
 
     torch.manual_seed(0)
     _, _, _, flow_inverse = make_torch_flow(d)
@@ -387,7 +387,7 @@ def run_north_star():
     # ---- TESS ----------------------------------------------------------------
     s = TESS((d,), target, negative_log_likelihood=target,
              kernel=TESSKernel((d,), flow=fresh_flow()))
-    ours = ours_ess_per_s(s, 2000, 85, x0)
+    ours = ours_ess_per_s(s, 2000, 1365, x0)
 
     torch.manual_seed(0)
     _, _, _, flow_inverse = make_torch_flow(d)

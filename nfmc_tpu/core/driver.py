@@ -149,7 +149,15 @@ class ChunkedScanDriver:
             data_transform = self.data_transform
             emit_transform = self.emit_transform
 
-            def run_chunk(x, kstate, acc, keys):
+            def run_chunk(x, kstate, acc, key, chunk):
+                # Per-iteration keys derive inside the compiled chunk and the
+                # carried key returns for the next chunk: the host issues ONE
+                # device call per chunk (a remote/tunneled device charges
+                # milliseconds per dispatch, so the two host-side key splits
+                # the loop used to do per chunk were real money).
+                keys = jax.random.split(key, chunk + 1)
+                key_next, keys = keys[0], keys[1:]
+
                 def body(carry, key):
                     x, ks, acc = carry
                     x_new, ks_new, info = step_fn(x, ks, key)
@@ -161,9 +169,11 @@ class ChunkedScanDriver:
                     return (x_new, ks_new, acc_new), emit
 
                 (x, kstate, acc), ys = jax.lax.scan(body, (x, kstate, acc), keys)
-                return x, kstate, acc, ys
+                return x, kstate, acc, key_next, ys
 
-            self._runners[cache_key] = jax.jit(run_chunk, donate_argnums=(0, 2))
+            self._runners[cache_key] = jax.jit(
+                run_chunk, donate_argnums=(0, 2), static_argnums=(4,)
+            )
         return self._runners[cache_key]
 
     def run(
@@ -203,6 +213,10 @@ class ChunkedScanDriver:
         """
         runner = self._runner(tuning, collect)
         pipelined = time_limit_seconds is None and not show_progress
+        if pipelined:
+            # No time-limit granularity to honor: larger chunks amortize the
+            # per-dispatch latency (compiles stay bounded: one per new size).
+            max_chunk = max(max_chunk, 1024)
         # Copy: chunk runners donate their carry buffers; never consume the
         # caller's x0 storage.
         x = jnp.array(x0, dtype=jnp.float32, copy=True)
@@ -229,9 +243,7 @@ class ChunkedScanDriver:
             ):
                 break
             t0 = time.time()
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, chunk)
-            x, kstate, acc, ys = runner(x, kstate, acc, keys)
+            x, kstate, acc, key, ys = runner(x, kstate, acc, key, chunk)
             if not pipelined:
                 # Block so elapsed-time accounting (and time limits) see real
                 # work; pipelined runs sync once after the loop instead.

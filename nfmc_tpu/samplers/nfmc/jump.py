@@ -180,7 +180,10 @@ class JumpNFMC(Sampler):
         collect = self.params.store_samples
         resample_x0 = getattr(self.inner_sampler, "resample_x0_fn", None)
 
-        def run_chunk(x, inner_kstate, flow_params, acc, jump_acc, keys):
+        def run_chunk(x, inner_kstate, flow_params, acc, jump_acc, key, chunk):
+            keys = jax.random.split(key, chunk + 1)
+            key_next, keys = keys[0], keys[1:]
+
             def outer_body(carry, key):
                 x, ks, acc, jump_acc = carry
                 k_inner, k_jump, k_reset = jax.random.split(key, 3)
@@ -209,9 +212,9 @@ class JumpNFMC(Sampler):
             (x, inner_kstate, acc, jump_acc), ys = jax.lax.scan(
                 outer_body, (x, inner_kstate, acc, jump_acc), keys
             )
-            return x, inner_kstate, acc, jump_acc, ys
+            return x, inner_kstate, acc, jump_acc, key_next, ys
 
-        self._fused = jax.jit(run_chunk, donate_argnums=(0, 3, 4))
+        self._fused = jax.jit(run_chunk, donate_argnums=(0, 3, 4), static_argnums=(6,))
         self._fused_config = config
         return self._fused
 
@@ -270,22 +273,21 @@ class JumpNFMC(Sampler):
         # (pipelined) and synced once after the loop — per-chunk round-trips
         # dominate wall-clock on a tunneled device.
         pipelined = time_limit_seconds is None and not show_progress
+        max_chunk = 1024 if pipelined else 256
         acc = StatsAccum.zeros(self.event_shape)
         jump_acc = _JumpAccum.zeros(self.event_shape)
         outer_done = 0
         run_t0 = time.time()
         pbar = tqdm(total=self.params.n_iterations, desc=self.name, disable=not show_progress)
-        for chunk in chunk_schedule(self.params.n_iterations, max_chunk=256):
+        for chunk in chunk_schedule(self.params.n_iterations, max_chunk=max_chunk):
             if (
                 time_limit_seconds is not None
                 and out.statistics.elapsed_time_seconds >= time_limit_seconds
             ):
                 break
             t0 = time.time()
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, chunk)
-            x, inner_kstate, acc, jump_acc, ys = runner(
-                x, inner_kstate, flow_params, acc, jump_acc, keys
+            x, inner_kstate, acc, jump_acc, key, ys = runner(
+                x, inner_kstate, flow_params, acc, jump_acc, key, chunk
             )
             if not pipelined:
                 jax.block_until_ready(x)
