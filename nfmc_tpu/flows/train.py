@@ -52,7 +52,7 @@ def fit(
     x_train,
     x_val=None,
     n_epochs: int = 500,
-    lr: float = 0.05,
+    lr: float = 0.005,  # reference/torchflows default 0.05 diverges with He-init tanh conditioners
     batch_size="adaptive",
     shuffle: bool = True,
     early_stopping: bool = False,
@@ -199,7 +199,7 @@ def variational_fit(
     target_log_prob: Callable,
     n_samples: int = 128,
     n_epochs: int = 500,
-    lr: float = 0.05,
+    lr: float = 0.005,  # reference/torchflows default 0.05 diverges with He-init tanh conditioners
     early_stopping: bool = False,
     early_stopping_threshold: int = 50,
     keep_best_weights: bool = True,

@@ -64,7 +64,7 @@ class IMHParameters(NFMCParameters):
                 "keep_best_weights": True,
                 "n_samples": 128,
                 "n_epochs": 500,
-                "lr": 0.05,
+                "lr": 0.005,  # reference 0.05 (``imh.py:27-36``) diverges; see flows/train.py
                 "check_for_divergences": True,
             }
 

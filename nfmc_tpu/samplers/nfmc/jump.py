@@ -62,7 +62,7 @@ class JumpNFMCParameters(NFMCParameters):
                 "early_stopping_threshold": 50,
                 "keep_best_weights": True,
                 "n_epochs": 500,
-                "lr": 0.05,
+                "lr": 0.005,  # reference 0.05 (``jump.py:30-38``) diverges; see flows/train.py
             }
 
 

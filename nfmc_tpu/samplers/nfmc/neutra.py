@@ -52,7 +52,7 @@ class NeuTraParameters(NFMCParameters):
                 "keep_best_weights": True,
                 "n_samples": 128,
                 "n_epochs": 50000,
-                "lr": 0.05,
+                "lr": 0.005,  # reference 0.05 (``neutra.py:24-33``) diverges; see flows/train.py
             }
 
 
