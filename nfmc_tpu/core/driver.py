@@ -192,7 +192,7 @@ class ChunkedScanDriver:
         time_limit_seconds: Optional[float] = None,
         show_progress: bool = False,
         desc: str = "MCMC",
-        max_chunk: int = 128,
+        max_chunk: Optional[int] = None,
         kernel_repr: Optional[Callable[[object], str]] = None,
     ):
         """Run the chain; mutates ``stats``/``samples``; returns (x, kstate).
@@ -209,14 +209,19 @@ class ChunkedScanDriver:
         sync instead of one round-trip per chunk (the tunneled host link makes
         each sync cost tens of milliseconds — SURVEY.md section 3's hot loops
         are sync-free on the reference's side too, it just pays per-op eager
-        dispatch instead).
+        dispatch instead). Caveat: host-side sample storage (the default
+        ``store_samples=True`` without ``store_samples_on_device``) fetches
+        each chunk's draws to host RAM, which implicitly syncs per chunk —
+        full pipelining applies with on-device storage or no storage.
         """
         runner = self._runner(tuning, collect)
         pipelined = time_limit_seconds is None and not show_progress
-        if pipelined:
-            # No time-limit granularity to honor: larger chunks amortize the
-            # per-dispatch latency (compiles stay bounded: one per new size).
-            max_chunk = max(max_chunk, 1024)
+        if max_chunk is None:
+            # Default policy: 1024 for pipelined runs (larger chunks amortize
+            # per-dispatch latency; no time-limit granularity to honor; one
+            # compile per new size), 128 otherwise. An explicit caller value —
+            # e.g. to bound the (chunk, C, *event) emit buffer — is respected.
+            max_chunk = 1024 if pipelined else 128
         # Copy: chunk runners donate their carry buffers; never consume the
         # caller's x0 storage.
         x = jnp.array(x0, dtype=jnp.float32, copy=True)

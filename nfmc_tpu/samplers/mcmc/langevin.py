@@ -170,8 +170,10 @@ class Langevin(MetropolisSampler):
                     log_prob_proposal_prime=-proposal_potential(xp_flat, x_flat, g_flat, a_diag, tau),
                 )
                 log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
-                mask = (log_u < log_ratio) & finite_prop
+                # Guard on u_xp too: a -inf proposal potential would make
+                # log_ratio = +inf and accept a state that freezes the chain.
                 finite_prop = finite_prop & jnp.isfinite(u_xp)
+                mask = (log_u < log_ratio) & finite_prop
             else:
                 mask = finite_prop
             diverged = (~jnp.all(finite_prop)).astype(jnp.int32)

@@ -272,6 +272,9 @@ class JumpNFMC(Sampler):
         # a time limit or progress bar, chunks are dispatched asynchronously
         # (pipelined) and synced once after the loop — per-chunk round-trips
         # dominate wall-clock on a tunneled device.
+        # NOTE: this chunk loop mirrors ChunkedScanDriver.run (jump carries
+        # extra state: flow params + jump accumulators); keep the pipelining /
+        # chunk-size policy in sync with core/driver.py when changing either.
         pipelined = time_limit_seconds is None and not show_progress
         max_chunk = 1024 if pipelined else 256
         acc = StatsAccum.zeros(self.event_shape)

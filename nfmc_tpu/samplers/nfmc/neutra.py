@@ -98,16 +98,21 @@ class NeuTra(Sampler):
 
     def _refresh_inner_if_stale(self):
         """Invalidate the inner sampler's compiled scans only when the flow
-        params object actually changed (a refit replaces the pytree).
-        Re-tracing the 20-leapfrog grad-through-inverse scan costs seconds;
-        doing it unconditionally per sample() call dominated NeuTra wall-clock.
-        The params reference is held so the identity token stays valid."""
-        token = id(self.kernel.flow.params)
+        params (or target) actually changed. Re-tracing the 20-leapfrog
+        grad-through-inverse scan costs seconds; doing it unconditionally per
+        sample() call dominated NeuTra wall-clock. The token covers every
+        param *leaf* id (catches in-place list/dict surgery on the pytree,
+        not just wholesale replacement) plus the target; references are held
+        so the identity tokens stay valid."""
+        params = self.kernel.flow.params
+        token = (id(self.target),) + tuple(
+            id(leaf) for leaf in jax.tree_util.tree_leaves(params)
+        )
         if getattr(self, "_built_params_token", None) != token:
             self.inner_sampler._driver = None
             self.inner_sampler._driver_config = None
             self._built_params_token = token
-            self._built_params_ref = self.kernel.flow.params
+            self._built_params_ref = (params, self.target)
 
     def warmup(self, x0, show_progress: bool = True, time_limit_seconds=None,
                key=None, seed=None) -> MCMCOutput:

@@ -217,14 +217,20 @@ class TESS(Sampler):
         # closure constant — both must key the cache so refits/cov changes
         # retrace while back-to-back sample() calls reuse the compiled scans.
         inverse_x = lambda u: flow.bijection.inverse_fn(flow.params, u)[0]
+        # cov is tokenized by value (it's a small host array that callers may
+        # mutate in place); params by per-leaf identity (catches in-place
+        # pytree surgery, and a refit replaces the leaves).
+        cov = self.kernel.cov
+        cov_token = None if cov is None else hash(np.asarray(cov).tobytes())
+        params_token = tuple(id(l) for l in jax.tree_util.tree_leaves(flow.params))
         driver = self._cached_driver(
-            (max_iter, id(flow.bijection), id(flow.params), id(self.kernel.cov),
+            (max_iter, id(flow.bijection), params_token, cov_token,
              id(self.negative_log_likelihood)),
             lambda: ChunkedScanDriver(
                 self.event_shape, make_step,
                 data_transform=inverse_x, emit_transform=inverse_x,
             ),
-            keepalive=(flow.bijection, flow.params, self.kernel.cov,
+            keepalive=(flow.bijection, flow.params,
                        self.negative_log_likelihood),
         )
         driver.run(

@@ -37,7 +37,13 @@ import optax
 
 from ..core.rng import resolve_key
 from ..utils import as_numpy
-from .common import log_ess, systematic_resample, tempered
+from .common import systematic_resample, tempered
+
+
+def _ess_np(log_w: np.ndarray) -> float:
+    """ESS (in particle counts) of unnormalized log-weights, host-side."""
+    lw = log_w - np.logaddexp.reduce(log_w)
+    return float(np.exp(-np.logaddexp.reduce(2.0 * lw)))
 
 try:
     from tqdm import tqdm
@@ -136,9 +142,7 @@ class PreconditionedMonteCarlo:
         target = self.ess_target * n
 
         def ess(delta: float) -> float:
-            lw = log_W - delta * delta_u
-            lw = lw - (np.logaddexp.reduce(lw))
-            return float(np.exp(-np.logaddexp.reduce(2.0 * lw)))
+            return _ess_np(log_W - delta * delta_u)
 
         hi = 1.0 - beta
         if ess(hi) >= target:
@@ -186,8 +190,8 @@ class PreconditionedMonteCarlo:
             # 2. reweight + log-Z increment + resample
             log_w = log_W + (-(beta_new - beta) * delta_u)
             log_Z += float(np.logaddexp.reduce(log_w))
+            ess_trace.append(_ess_np(log_w))
             log_w -= np.logaddexp.reduce(log_w)
-            ess_trace.append(float(np.exp(-np.logaddexp.reduce(2.0 * log_w))))
             key, k_res = jax.random.split(key)
             idx = systematic_resample(k_res, jnp.asarray(log_w), n_particles)
             x = x[idx]
@@ -212,6 +216,12 @@ class PreconditionedMonteCarlo:
         bar.close()
 
         self.flow.params = params
+        converged = beta >= 1.0
+        if not converged:
+            print(
+                f"PMC warning: hit max_levels={self.max_levels} at beta={beta:.4f} < 1; "
+                "log_Z and particles target the tempered (not final) density"
+            )
         result = {
             "particles": as_numpy(x),
             "log_weights": log_W,
@@ -219,6 +229,7 @@ class PreconditionedMonteCarlo:
             "beta_trace": np.asarray(beta_trace),
             "ess_trace": np.asarray(ess_trace),
             "acceptance_trace": np.asarray(acc_trace),
+            "converged": converged,
         }
         if full_output:
             result["history"] = np.stack(history)
