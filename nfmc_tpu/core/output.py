@@ -47,6 +47,24 @@ class MCMCOutput:
         idx = rng.integers(low=0, high=len(flat), size=(n,))
         return flat[idx]
 
+    def effective_sample_size(self):
+        """Per-dimension ESS (summed over chains) of the stored draws, shape
+        ``(event_size,)``; computed on device (``nfmc_tpu.diagnostics``).
+        Requires stored samples. A capability the reference lacks."""
+        from ..diagnostics import effective_sample_size
+        import jax.numpy as jnp
+
+        s = self.running_samples.as_tensor()
+        return effective_sample_size(jnp.asarray(s).reshape(s.shape[0], s.shape[1], -1))
+
+    def potential_scale_reduction(self):
+        """Per-dimension split-R-hat of the stored draws, shape ``(event_size,)``."""
+        from ..diagnostics import potential_scale_reduction
+        import jax.numpy as jnp
+
+        s = self.running_samples.as_tensor()
+        return potential_scale_reduction(jnp.asarray(s).reshape(s.shape[0], s.shape[1], -1))
+
     @property
     def mean(self):
         return self.statistics.running_first_moment

@@ -68,3 +68,20 @@ def test_on_device_sample_store_matches_host():
         out_host.running_samples.last_sample,
         np.asarray(out_dev.running_samples.last_sample),
     )
+
+
+def test_output_diagnostics_convenience():
+    """MCMCOutput.effective_sample_size / potential_scale_reduction."""
+    import jax
+
+    from nfmc_tpu.samplers.mcmc import MALA
+
+    from tests.util import standard_gaussian_potential
+
+    sampler = MALA(event_shape=(4,), target=standard_gaussian_potential)
+    sampler.params.n_iterations = 60
+    out = sampler.sample(jax.random.normal(jax.random.key(0), (8, 4)), show_progress=False)
+    ess = np.asarray(out.effective_sample_size())
+    rhat = np.asarray(out.potential_scale_reduction())
+    assert ess.shape == (4,) and (ess > 0).all()
+    assert rhat.shape == (4,) and np.isfinite(rhat).all()
