@@ -105,3 +105,56 @@ def test_determinism_same_seed():
     s2.params.n_iterations = 4
     out2 = s2.sample(x0, show_progress=False, seed=123)
     assert np.allclose(out1.samples, out2.samples)
+
+
+def test_imh_counter_contract():
+    """FixedIMH: 2B target calls/iter, 0 grads (reference ``imh.py:244``)."""
+    from nfmc_tpu.samplers.nfmc import FixedIMH
+
+    s = FixedIMH(event_shape=(D,), target=standard_gaussian_potential)
+    out = _run(s)
+    assert out.statistics.n_target_calls == N_ITER * 2 * N_CHAINS
+    assert out.statistics.n_target_gradient_calls == 0
+
+
+def test_adaptive_imh_counter_quirk():
+    """AdaptiveIMH logs the accept-step evals as *gradient* calls —
+    reference-bug parity (``imh.py:146``, SURVEY.md section 2.8)."""
+    from nfmc_tpu.samplers.nfmc import AdaptiveIMH
+
+    s = AdaptiveIMH(event_shape=(D,), target=standard_gaussian_potential)
+    s.params.flow_fit_kwargs = dict(n_epochs=1)
+    out = _run(s)
+    assert out.statistics.n_target_gradient_calls == N_ITER * 2 * N_CHAINS
+    assert out.statistics.n_target_calls == 0
+
+
+def test_jump_counter_contract():
+    """Jump: inner counters x inner_n plus 2B calls and B attempted jumps per
+    outer iteration (reference ``jump.py:214-216,236-239``)."""
+    from nfmc_tpu.samplers.mcmc.langevin import LangevinParameters
+    from nfmc_tpu.samplers.nfmc import JumpMALA
+
+    inner_n = 2
+    s = JumpMALA(event_shape=(D,), target=standard_gaussian_potential,
+                 inner_params=LangevinParameters(n_iterations=inner_n))
+    out = _run(s)
+    st = out.statistics
+    assert st.n_target_calls == N_ITER * (inner_n * 2 * N_CHAINS + 2 * N_CHAINS)
+    assert st.n_target_gradient_calls == N_ITER * inner_n * 2 * N_CHAINS
+    assert st.n_attempted_jumps == N_ITER * N_CHAINS
+    assert st.n_attempted_trajectories == N_ITER * inner_n * N_CHAINS
+
+
+def test_dlmc_counter_contract():
+    """DLMC: B calls+grads at init, then B (drift, +grad) + 2B (accept) calls
+    per iteration (reference ``dlmc.py:63-66,90-93,109-113``)."""
+    from nfmc_tpu.samplers.nfmc import DLMC
+
+    s = DLMC(event_shape=(D,), target=standard_gaussian_potential,
+             negative_log_likelihood=standard_gaussian_potential)
+    s.params.flow_fit_kwargs = dict(n_epochs=1)
+    out = _run(s)
+    st = out.statistics
+    assert st.n_target_calls == N_CHAINS + N_ITER * 3 * N_CHAINS
+    assert st.n_target_gradient_calls == N_CHAINS + N_ITER * N_CHAINS
