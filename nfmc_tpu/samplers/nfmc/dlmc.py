@@ -79,38 +79,50 @@ class DLMC(Sampler):
         target = self.target
         latent_updates = self.params.latent_updates
 
-        grad_nll = jax.jit(batched_grad(self.negative_log_likelihood))
+        # Jits are cached per (flow structure, target, nll, latent_updates,
+        # n_chains): repeated sample() calls must not retrace (params are
+        # threaded as arguments, so the per-iteration refits never do either).
+        token = (id(flow.bijection), id(target), id(self.negative_log_likelihood),
+                 latent_updates, n_chains, float(tau))
+        if getattr(self, "_jit_token", None) == token:
+            grad_nll, drift_step, accept_step = self._jits
+        else:
+            grad_nll = jax.jit(batched_grad(self.negative_log_likelihood))
 
-        @jax.jit
-        def drift_step(params, x):
-            if latent_updates:
-                z, _ = flow.bijection.forward_fn(params, x)
-                g = batched_grad(target)(x)
-                z = z - tau * (g - z)
-                x_new, _ = flow.bijection.inverse_fn(params, z)
-            else:
-                g = batched_grad(lambda v: target(v) + flow.log_prob_fn(params, v))(x)
-                x_new = x - tau * g
-            return x_new
+            @jax.jit
+            def drift_step(params, x):
+                if latent_updates:
+                    z, _ = flow.bijection.forward_fn(params, x)
+                    g = batched_grad(target)(x)
+                    z = z - tau * (g - z)
+                    x_new, _ = flow.bijection.inverse_fn(params, z)
+                else:
+                    g = batched_grad(lambda v: target(v) + flow.log_prob_fn(params, v))(x)
+                    x_new = x - tau * g
+                return x_new
 
-        @jax.jit
-        def accept_step(params, x, key):
-            k_prop, k_acc = jax.random.split(key)
-            x_tilde = flow.sample_fn(params, k_prop, n_chains)
-            log_alpha = metropolis_acceptance_log_ratio(
-                log_prob_target_curr=-target(x),
-                log_prob_target_prime=-target(x_tilde),
-                log_prob_proposal_curr=flow.log_prob_fn(params, x),
-                log_prob_proposal_prime=flow.log_prob_fn(params, x_tilde),
-            )
-            finite = (
-                jnp.all(jnp.isfinite(x_tilde.reshape(n_chains, -1)), axis=-1)
-                & jnp.isfinite(log_alpha)
-            )
-            log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
-            mask = (log_u < log_alpha) & finite
-            bmask = mask.reshape(mask.shape + (1,) * len(self.event_shape))
-            return jnp.where(bmask, x_tilde, x), mask
+            @jax.jit
+            def accept_step(params, x, key):
+                k_prop, k_acc = jax.random.split(key)
+                x_tilde = flow.sample_fn(params, k_prop, n_chains)
+                log_alpha = metropolis_acceptance_log_ratio(
+                    log_prob_target_curr=-target(x),
+                    log_prob_target_prime=-target(x_tilde),
+                    log_prob_proposal_curr=flow.log_prob_fn(params, x),
+                    log_prob_proposal_prime=flow.log_prob_fn(params, x_tilde),
+                )
+                finite = (
+                    jnp.all(jnp.isfinite(x_tilde.reshape(n_chains, -1)), axis=-1)
+                    & jnp.isfinite(log_alpha)
+                )
+                log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
+                mask = (log_u < log_alpha) & finite
+                bmask = mask.reshape(mask.shape + (1,) * len(self.event_shape))
+                return jnp.where(bmask, x_tilde, x), mask
+
+            self._jit_token = token
+            self._jits = (grad_nll, drift_step, accept_step)
+            self._jit_refs = (flow.bijection, target, self.negative_log_likelihood)
 
         # Initial update (``dlmc.py:58-61``)
         t0 = time.time()

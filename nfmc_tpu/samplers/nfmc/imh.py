@@ -223,7 +223,14 @@ class AdaptiveIMH(AbstractIMH):
         out = MCMCOutput(self.event_shape, store_samples=True)
         rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
 
-        accept_step = jax.jit(self._make_accept_step())
+        # One jitted accept step per (flow structure, target); params are an
+        # argument, so per-iteration refits never retrace.
+        token = (id(self.kernel.flow.bijection), id(self.target))
+        if getattr(self, "_accept_token", None) != token:
+            self._accept_step = jax.jit(self._make_accept_step())
+            self._accept_token = token
+            self._accept_refs = (self.kernel.flow.bijection, self.target)
+        accept_step = self._accept_step
         flow = self.kernel.flow
 
         t0 = time.time()
