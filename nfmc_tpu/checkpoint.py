@@ -72,3 +72,44 @@ def restore_sampler_state(sampler, state: Dict[str, Any]):
         )
     key = jax.random.wrap_key_data(np.asarray(state["key"]))
     return state["x"], key
+
+
+# --------------------------------------------------------------------------
+# Orbax backend: the production JAX checkpointing stack (async-capable,
+# multi-host-aware, sharding-preserving). Optional — the npz backend above
+# has no dependencies; prefer orbax for large states or multi-chip runs.
+# --------------------------------------------------------------------------
+
+def save_checkpoint_orbax(path: str, state: Any, metadata: Optional[Dict] = None) -> None:
+    """Save a sampler-state pytree with ``orbax.checkpoint``.
+
+    ``path`` must be a directory path (orbax layout). Metadata is stored as a
+    JSON sidecar next to it.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.tree_util.tree_map(np.asarray, state), force=True)
+    with open(path + ".meta.json", "w") as f:
+        json.dump(metadata or {}, f)
+
+
+def load_checkpoint_orbax(path: str, like: Any) -> Tuple[Any, Dict]:
+    """Load an orbax checkpoint written by :func:`save_checkpoint_orbax`."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=jax.tree_util.tree_map(np.asarray, like))
+    meta_path = path + ".meta.json"
+    meta: Dict = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    state = jax.tree_util.tree_map(lambda _, r: r, like, restored)
+    return state, meta

@@ -120,3 +120,34 @@ def test_checkpoint_roundtrip(tmp_path):
     # resumed sampling must run
     out = sampler2.sample(x, show_progress=False, key=key)
     assert np.isfinite(out.samples).all()
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    from nfmc_tpu.checkpoint import (
+        load_checkpoint_orbax,
+        restore_sampler_state,
+        sampler_state,
+        save_checkpoint_orbax,
+    )
+    from nfmc_tpu.samplers.mcmc import MALA
+
+    from tests.util import standard_gaussian_potential
+
+    sampler = MALA(event_shape=(3,), target=standard_gaussian_potential)
+    sampler.params.n_warmup_iterations = 5
+    x0 = jax.random.normal(jax.random.key(0), (4, 3))
+    sampler.warmup(x0, show_progress=False)
+
+    state = sampler_state(sampler, x0, jax.random.key(5))
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(path, state, metadata={"iteration": 5})
+    tuned_step = sampler.kernel.step_size
+
+    sampler2 = MALA(event_shape=(3,), target=standard_gaussian_potential)
+    restored, meta = load_checkpoint_orbax(path, sampler_state(sampler2, x0, jax.random.key(0)))
+    x, key = restore_sampler_state(sampler2, restored)
+    assert meta == {"iteration": 5}
+    assert np.allclose(np.asarray(x), np.asarray(x0))
+    assert abs(sampler2.kernel.step_size - tuned_step) < 1e-6
+    out = sampler2.sample(x, show_progress=False, key=key)
+    assert np.isfinite(out.samples).all()
