@@ -151,7 +151,10 @@ class MultiscaleFlow(Bijection):
             s = p["actnorm_log_s"][None, :, None, None]
             v = v * jnp.exp(s) + p["actnorm_b"][None, :, None, None]
             ld += jnp.sum(p["actnorm_log_s"]) * h * w
-            v = jnp.einsum("ij,bjhw->bihw", p["conv1x1_w"], v)
+            # full-f32 precision: the TPU's default bf16 matmul passes leave
+            # ~1e-2 forward/inverse roundtrip error on the 1x1 conv
+            v = jnp.einsum("ij,bjhw->bihw", p["conv1x1_w"], v,
+                           precision=jax.lax.Precision.HIGHEST)
             ld += jnp.linalg.slogdet(p["conv1x1_w"])[1] * h * w
         c_a = ch // 2
         # swap alternates which half conditions; channel order is preserved
@@ -189,7 +192,8 @@ class MultiscaleFlow(Bijection):
             v = jnp.concatenate([va, vb], axis=1)
         if self.glow:
             w_inv = jnp.linalg.inv(p["conv1x1_w"])
-            v = jnp.einsum("ij,bjhw->bihw", w_inv, v)
+            v = jnp.einsum("ij,bjhw->bihw", w_inv, v,
+                           precision=jax.lax.Precision.HIGHEST)
             ld -= jnp.linalg.slogdet(p["conv1x1_w"])[1] * h * w
             s = p["actnorm_log_s"][None, :, None, None]
             v = (v - p["actnorm_b"][None, :, None, None]) * jnp.exp(-s)

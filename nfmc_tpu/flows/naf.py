@@ -61,10 +61,14 @@ class _MonotoneSigmoidTransform:
         lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
         x0 = jax.lax.stop_gradient(0.5 * (lo + hi))
         # one Newton step from the converged point: value unchanged to solver
-        # tolerance, gradients exact to first order (implicit function theorem)
+        # tolerance, gradients exact to first order (implicit function theorem).
+        # The correction is clamped to the bracket: where y falls on a
+        # saturated plateau (dy/dx ~ 0) an unclamped step shoots to ~1e30 and
+        # poisons downstream autoregressive dims.
         y0, ld0 = self.forward(x0, raw)
         dydx = jnp.exp(ld0)
-        x = x0 - (y0 - y) / jnp.maximum(dydx, 1e-30)
+        x = x0 - jnp.clip((y0 - y) / jnp.maximum(dydx, 1e-30), -1.0, 1.0)
+        x = jnp.clip(x, -_BRACKET, _BRACKET)
         _, ld = self.forward(jax.lax.stop_gradient(x), raw)
         return x, -ld
 
@@ -90,9 +94,26 @@ class DeepSigmoidTransform(_MonotoneSigmoidTransform):
         return p, dp
 
 
+def _dense_layer(u, du, W, c):
+    """One dense sigmoid layer with an interleaved logit (NAF paper's DDSF
+    structure): h = sigma(logit(W u) + c). The logit between layers is what
+    keeps the composed transform's range (practically) all of R — without it
+    the output saturates to a narrow subinterval (at zero-init roughly
+    p in [0.5, 0.73]) and the bisection inverse has no crossing for latent
+    values outside it."""
+    v = jnp.einsum("...jk,...k->...j", W, u)  # rows softmaxed: v in (0,1)
+    dv = jnp.einsum("...jk,...k->...j", W, du)
+    v_c = jnp.clip(v, _EPS, 1.0 - _EPS)
+    t = _logit(v) + c
+    dt = dv / (v_c * (1.0 - v_c))
+    h = jax.nn.sigmoid(t)
+    dh = h * (1.0 - h) * dt
+    return h, dh
+
+
 class DenseSigmoidTransform(_MonotoneSigmoidTransform):
-    """DDSF: two positive-weight sigmoid layers; y = logit(w . sigma(W u + c)),
-    u = sigma(exp(a) x + b), rows of W softmax-normalized (monotone)."""
+    """DDSF: y = logit(w . sigma(logit(W u) + c)), u = sigma(exp(a) x + b),
+    rows of W softmax-normalized (strictly monotone in x)."""
 
     def __init__(self, n_components: int = 4):
         self.K = int(n_components)
@@ -116,9 +137,7 @@ class DenseSigmoidTransform(_MonotoneSigmoidTransform):
         a, b, W, c, w = self._split(raw)
         u = jax.nn.sigmoid(a * x[..., None] + b)  # (..., K)
         du = a * u * (1.0 - u)
-        h_pre = jnp.einsum("...jk,...k->...j", W, u) + c
-        h = jax.nn.sigmoid(h_pre)
-        dh = h * (1.0 - h) * jnp.einsum("...jk,...k->...j", W, du)
+        h, dh = _dense_layer(u, du, W, c)
         p = jnp.sum(w * h, axis=-1)
         dp = jnp.sum(w * dh, axis=-1)
         return p, dp
@@ -148,10 +167,8 @@ class DeepDenseSigmoidTransform(DenseSigmoidTransform):
         a, b, W1, c1, W2, c2, w = self._split2(raw)
         u = jax.nn.sigmoid(a * x[..., None] + b)
         du = a * u * (1.0 - u)
-        h1 = jax.nn.sigmoid(jnp.einsum("...jk,...k->...j", W1, u) + c1)
-        dh1 = h1 * (1.0 - h1) * jnp.einsum("...jk,...k->...j", W1, du)
-        h2 = jax.nn.sigmoid(jnp.einsum("...jk,...k->...j", W2, h1) + c2)
-        dh2 = h2 * (1.0 - h2) * jnp.einsum("...jk,...k->...j", W2, dh1)
+        h1, dh1 = _dense_layer(u, du, W1, c1)
+        h2, dh2 = _dense_layer(h1, dh1, W2, c2)
         p = jnp.sum(w * h2, axis=-1)
         dp = jnp.sum(w * dh2, axis=-1)
         return p, dp
