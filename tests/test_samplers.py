@@ -249,3 +249,30 @@ def test_divergence_detection():
         out = sampler.sample(x0, show_progress=False)
         assert np.isfinite(out.samples).all(), cls.__name__
         assert out.statistics.n_divergences > 0, cls.__name__
+
+
+def test_jump_fit_nf_refits_flow():
+    """fit_nf=True: per-outer-iteration flow refits gated by
+    n_jumps_before_training (reference ``jump.py:23-26,193-201``); the
+    interleaving law and counters must hold on the host-loop path too."""
+    import jax
+
+    from nfmc_tpu.samplers.mcmc.langevin import LangevinParameters
+    from nfmc_tpu.samplers.nfmc import JumpMALA
+    from nfmc_tpu.samplers.nfmc.jump import JumpNFMCParameters
+
+    inner_n, n_iter, n_chains = 2, 4, 8
+    params = JumpNFMCParameters(fit_nf=True, n_jumps_before_training=2)
+    params.n_iterations = n_iter
+    params.flow_fit_kwargs = dict(n_epochs=2)
+    s = JumpMALA(EVENT_SHAPE, standard_gaussian_potential, params=params,
+                 inner_params=LangevinParameters(n_iterations=inner_n))
+    before = jax.tree_util.tree_leaves(s.kernel.flow.params)[1]
+    x0 = jax.random.normal(jax.random.key(0), (n_chains, *EVENT_SHAPE))
+    out = s.sample(x0, show_progress=False, seed=1)
+
+    assert out.samples.shape == (n_iter * (inner_n + 1), n_chains, *EVENT_SHAPE)
+    assert np.isfinite(out.samples).all()
+    assert out.statistics.n_attempted_jumps == n_iter * n_chains
+    after = jax.tree_util.tree_leaves(s.kernel.flow.params)[1]
+    assert not np.allclose(np.asarray(before), np.asarray(after))  # it trained
