@@ -111,5 +111,4 @@ def load_checkpoint_orbax(path: str, like: Any) -> Tuple[Any, Dict]:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-    state = jax.tree_util.tree_map(lambda _, r: r, like, restored)
-    return state, meta
+    return restored, meta

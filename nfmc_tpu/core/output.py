@@ -47,23 +47,30 @@ class MCMCOutput:
         idx = rng.integers(low=0, high=len(flat), size=(n,))
         return flat[idx]
 
+    def _stored_chains(self):
+        if not self.store_samples or self.running_samples.n_samples == 0:
+            raise ValueError(
+                "no stored samples (store_samples=False or empty run) — "
+                "diagnostics need the chain history"
+            )
+        import jax.numpy as jnp
+
+        s = self.running_samples.as_tensor()
+        return jnp.asarray(s).reshape(s.shape[0], s.shape[1], -1)
+
     def effective_sample_size(self):
         """Per-dimension ESS (summed over chains) of the stored draws, shape
         ``(event_size,)``; computed on device (``nfmc_tpu.diagnostics``).
         Requires stored samples. A capability the reference lacks."""
         from ..diagnostics import effective_sample_size
-        import jax.numpy as jnp
 
-        s = self.running_samples.as_tensor()
-        return effective_sample_size(jnp.asarray(s).reshape(s.shape[0], s.shape[1], -1))
+        return effective_sample_size(self._stored_chains())
 
     def potential_scale_reduction(self):
         """Per-dimension split-R-hat of the stored draws, shape ``(event_size,)``."""
         from ..diagnostics import potential_scale_reduction
-        import jax.numpy as jnp
 
-        s = self.running_samples.as_tensor()
-        return potential_scale_reduction(jnp.asarray(s).reshape(s.shape[0], s.shape[1], -1))
+        return potential_scale_reduction(self._stored_chains())
 
     @property
     def mean(self):

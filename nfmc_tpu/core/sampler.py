@@ -119,23 +119,25 @@ class Sampler:
     def _key(self, key=None, seed=None) -> jax.Array:
         return resolve_key(key, seed)
 
-    def _cached_driver(self, config, factory, keepalive=()):
-        """Memoize a ChunkedScanDriver across ``sample()`` calls.
+    def _memo(self, slot: str, config, factory, keepalive=()):
+        """Memoize an expensive build (jitted closures, drivers) across
+        ``sample()`` calls. ``config`` (a tuple of plain comparable tokens)
+        must capture everything the built object bakes in as closure
+        constants — anything threaded as an argument, e.g. flow params, need
+        not appear. Pass the objects behind any ``id(...)`` tokens in
+        ``keepalive`` so the ids cannot be recycled while the entry lives."""
+        cfg_attr = f"_{slot}_cfg"
+        if getattr(self, cfg_attr, None) != config:
+            setattr(self, f"_{slot}_val", factory())
+            setattr(self, cfg_attr, config)
+            setattr(self, f"_{slot}_refs", keepalive)
+        return getattr(self, f"_{slot}_val")
 
-        A fresh driver per call means fresh ``jax.jit`` closures, so every
-        chunk length re-traces (and re-hashes against the compile cache) in
-        the middle of sampling — a multi-second tax per run. ``config`` (a
-        tuple of plain comparable tokens) must capture everything the
-        driver's compiled step bakes in as closure constants — anything
-        threaded through the scan carry, e.g. flow params, need not appear.
-        Pass the objects behind any ``id(...)`` tokens in ``keepalive`` so
-        the ids cannot be recycled while the cache entry lives.
-        """
-        if getattr(self, "_driver_cache_cfg", None) != config:
-            self._driver_cache = factory()
-            self._driver_cache_cfg = config
-            self._driver_cache_refs = keepalive
-        return self._driver_cache
+    def _cached_driver(self, config, factory, keepalive=()):
+        """Memoize a ChunkedScanDriver across ``sample()`` calls — a fresh
+        driver per call means fresh ``jax.jit`` closures, so every chunk
+        length re-traces mid-run (a multi-second tax)."""
+        return self._memo("driver_cache", config, factory, keepalive)
 
     def warmup(
         self,

@@ -79,14 +79,15 @@ class DLMC(Sampler):
         target = self.target
         latent_updates = self.params.latent_updates
 
-        # Jits are cached per (flow structure, target, nll, latent_updates,
-        # n_chains): repeated sample() calls must not retrace (params are
-        # threaded as arguments, so the per-iteration refits never do either).
-        token = (id(flow.bijection), id(target), id(self.negative_log_likelihood),
+        # Jits are cached per (flow object incl. base-log-prob override,
+        # target, nll, latent_updates, step size, n_chains): repeated
+        # sample() calls must not retrace (params are threaded as arguments,
+        # so the per-iteration refits never do either).
+        token = (id(flow), id(flow.bijection), id(flow._base_log_prob_override),
+                 id(target), id(self.negative_log_likelihood),
                  latent_updates, n_chains, float(tau))
-        if getattr(self, "_jit_token", None) == token:
-            grad_nll, drift_step, accept_step = self._jits
-        else:
+
+        def build_jits():
             grad_nll = jax.jit(batched_grad(self.negative_log_likelihood))
 
             @jax.jit
@@ -120,9 +121,13 @@ class DLMC(Sampler):
                 bmask = mask.reshape(mask.shape + (1,) * len(self.event_shape))
                 return jnp.where(bmask, x_tilde, x), mask
 
-            self._jit_token = token
-            self._jits = (grad_nll, drift_step, accept_step)
-            self._jit_refs = (flow.bijection, target, self.negative_log_likelihood)
+            return grad_nll, drift_step, accept_step
+
+        grad_nll, drift_step, accept_step = self._memo(
+            "dlmc_jits", token, build_jits,
+            keepalive=(flow, flow.bijection, flow._base_log_prob_override,
+                       target, self.negative_log_likelihood),
+        )
 
         # Initial update (``dlmc.py:58-61``)
         t0 = time.time()

@@ -171,13 +171,13 @@ class FixedIMH(AbstractIMH):
 
             return step
 
-        # accept_step bakes in only the flow *structure* and target (params
-        # are threaded through the scan carry), so the driver is reusable
-        # across calls and flow refits.
+        # accept_step bakes in the flow structure, its base-log-prob override
+        # and the target (params are threaded through the scan carry), so the
+        # driver is reusable across calls and flow refits.
         driver = self._cached_driver(
-            (id(self.kernel.flow.bijection), id(self.target)),
+            (id(flow), id(flow.bijection), id(flow._base_log_prob_override), id(self.target)),
             lambda: ChunkedScanDriver(self.event_shape, make_step),
-            keepalive=(self.kernel.flow.bijection, self.target),
+            keepalive=(flow, flow.bijection, flow._base_log_prob_override, self.target),
         )
         t0 = time.time()
         flp0 = flow.log_prob(x0)
@@ -223,15 +223,16 @@ class AdaptiveIMH(AbstractIMH):
         out = MCMCOutput(self.event_shape, store_samples=True)
         rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
 
-        # One jitted accept step per (flow structure, target); params are an
-        # argument, so per-iteration refits never retrace.
-        token = (id(self.kernel.flow.bijection), id(self.target))
-        if getattr(self, "_accept_token", None) != token:
-            self._accept_step = jax.jit(self._make_accept_step())
-            self._accept_token = token
-            self._accept_refs = (self.kernel.flow.bijection, self.target)
-        accept_step = self._accept_step
+        # One jitted accept step per (flow object incl. base-log-prob
+        # override, target); params are an argument, so per-iteration refits
+        # never retrace.
         flow = self.kernel.flow
+        accept_step = self._memo(
+            "accept_step",
+            (id(flow), id(flow.bijection), id(flow._base_log_prob_override), id(self.target)),
+            lambda: jax.jit(self._make_accept_step()),
+            keepalive=(flow, flow.bijection, flow._base_log_prob_override, self.target),
+        )
 
         t0 = time.time()
         x = x0

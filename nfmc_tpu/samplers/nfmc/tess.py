@@ -224,13 +224,13 @@ class TESS(Sampler):
         cov_token = None if cov is None else hash(np.asarray(cov).tobytes())
         params_token = tuple(id(l) for l in jax.tree_util.tree_leaves(flow.params))
         driver = self._cached_driver(
-            (max_iter, id(flow.bijection), params_token, cov_token,
-             id(self.negative_log_likelihood)),
+            (max_iter, id(flow.bijection), id(flow._base_log_prob_override),
+             params_token, cov_token, id(self.negative_log_likelihood)),
             lambda: ChunkedScanDriver(
                 self.event_shape, make_step,
                 data_transform=inverse_x, emit_transform=inverse_x,
             ),
-            keepalive=(flow.bijection, flow.params,
+            keepalive=(flow.bijection, flow._base_log_prob_override, flow.params,
                        self.negative_log_likelihood),
         )
         driver.run(

@@ -7,6 +7,21 @@ def U(x): return 0.5 * (x.reshape(x.shape[0], -1)**2).sum(-1)
 ok, fail = [], []
 for strat in get_supported_samplers():
     try:
+        if strat == "adaptive_imh":
+            # create_sampler ignores param_kwargs/n_iterations for adaptive_imh
+            # (reference quirk, ``sample.py:127-130``) — construct directly so
+            # the smoke stays small.
+            from nfmc_tpu.samplers.nfmc import AdaptiveIMH
+
+            s = AdaptiveIMH(event_shape=(5,), target=U)
+            s.params.n_iterations = 3
+            import jax as _jax
+            out = s.sample(_jax.random.normal(_jax.random.key(0), (4, 5)),
+                           show_progress=False, seed=0)
+            assert np.isfinite(np.asarray(out.samples)).all()
+            ok.append(strat)
+            print(f"OK   {strat} {np.asarray(out.samples).shape}", flush=True)
+            continue
         kw = dict(strategy=strat, event_shape=(5,), n_chains=4, n_iterations=3,
                   n_warmup_iterations=3, warmup=True, show_progress=False, seed=0,
                   flow_kwargs={"n_layers": 2, "hidden_size": 16})
