@@ -61,10 +61,15 @@ def fit(
     show_progress: bool = False,
     time_limit_seconds: Optional[float] = None,
     check_for_divergences: bool = False,
+    mesh=None,
     key=None,
     seed=None,
 ) -> None:
-    """Forward-KL MLE on samples; mutates ``flow.params`` in place."""
+    """Forward-KL MLE on samples; mutates ``flow.params`` in place.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — training batches shard over
+    its first axis (data parallel); GSPMD inserts the gradient all-reduces.
+    """
     t_start = time.time()
     key = resolve_key(key, seed)
 
@@ -77,11 +82,22 @@ def fit(
         bs = _adaptive_batch_size(n_train)
     else:
         bs = min(int(batch_size), n_train)
+    if mesh is not None:
+        ndev = mesh.devices.size
+        bs = max(ndev, (bs // ndev) * ndev)  # batch must tile over devices
 
     x_train_p, w_train = _pad_to_multiple(x_train, bs)
     n_batches = len(x_train_p) // bs
     data = jnp.asarray(x_train_p)
     w_data = jnp.asarray(w_train)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        data = jax.device_put(
+            data, NamedSharding(mesh, P(axis, *([None] * (data.ndim - 1))))
+        )
+        w_data = jax.device_put(w_data, NamedSharding(mesh, P(axis)))
 
     has_val = x_val is not None and len(np.asarray(x_val)) > 0
     if has_val:
@@ -106,10 +122,19 @@ def fit(
     # 1-epoch fits) must not recompile every call.
     cache = flow.__dict__.setdefault("_fit_runner_cache", {})
     cache_key = ("mle", bs, n_batches, val_data.shape[0], lr, keep_best_weights,
-                 id(flow._base_log_prob_override))
+                 id(flow._base_log_prob_override),
+                 None if mesh is None else (mesh.axis_names, mesh.devices.size))
     if cache_key not in cache:
         log_prob_fn = flow.log_prob_fn
         event_shape = flow.event_shape
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sharding = NamedSharding(
+                mesh, P(None, mesh.axis_names[0], *([None] * len(event_shape)))
+            )
+        else:
+            batch_sharding = None
 
         def loss_fn(p, xb, wb):
             lp = log_prob_fn(p, xb)
@@ -122,6 +147,9 @@ def fit(
                 perm = jax.random.permutation(epoch_key, data.shape[0])
                 xs = data[perm].reshape(n_batches, bs, *event_shape)
                 ws = w_data[perm].reshape(n_batches, bs)
+                if batch_sharding is not None:
+                    # keep the per-batch axis (not the scan axis) sharded
+                    xs = jax.lax.with_sharding_constraint(xs, batch_sharding)
 
                 def batch_step(c, batch):
                     p, os = c
@@ -206,6 +234,7 @@ def variational_fit(
     show_progress: bool = False,
     time_limit_seconds: Optional[float] = None,
     check_for_divergences: bool = False,
+    mesh=None,
     key=None,
     seed=None,
 ) -> None:
@@ -213,10 +242,22 @@ def variational_fit(
 
     loss = E_z[ -target_log_prob(x) - log_det_inv ], x = bijection.inverse(z);
     the base entropy is constant and dropped. Mutates ``flow.params``.
+    ``mesh``: optional ``jax.sharding.Mesh`` — the per-step sample batch
+    shards over its first axis (data parallel, psum'd gradients via GSPMD).
     """
     t_start = time.time()
     key = resolve_key(key, seed)
     n_samples = max(1, int(n_samples))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = mesh.devices.size
+        n_samples = max(ndev, (n_samples // ndev) * ndev)
+        z_sharding = NamedSharding(
+            mesh, P(mesh.axis_names[0], *([None] * len(flow.event_shape)))
+        )
+    else:
+        z_sharding = None
 
     opt = optax.adam(lr)
     params = flow.params
@@ -226,6 +267,8 @@ def variational_fit(
 
     def loss_fn(p, k):
         z = jax.random.normal(k, (n_samples, *event_shape))
+        if z_sharding is not None:
+            z = jax.lax.with_sharding_constraint(z, z_sharding)
         x, log_det_inv = bijection.inverse_fn(p, z)
         return jnp.mean(-target_log_prob(x) - log_det_inv)
 
