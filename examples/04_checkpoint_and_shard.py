@@ -34,6 +34,14 @@ x0 = jax.random.normal(jax.random.key(0), (64, 20))  # 64 chains / n devices
 out = sharded_sample(sampler, x0, mesh=mesh, show_progress=False)
 print(f"devices: {mesh.devices.size}, acceptance: {out.statistics.acceptance_rate:.2f}")
 
+# --- data-parallel flow training over the same mesh -------------------------
+from nfmc_tpu.flows import Flow, RealNVP
+
+flow = Flow(RealNVP((20,), n_layers=2, hidden_size=16), seed=0)
+flow.fit(np.asarray(out.samples).reshape(-1, 20)[:4096], n_epochs=30, mesh=mesh)
+print("mesh-trained flow log-prob (finite):",
+      bool(np.isfinite(np.asarray(flow.log_prob(x0))).all()))
+
 # --- checkpoint / resume ---------------------------------------------------
 sampler.warmup(x0, show_progress=False)
 state = sampler_state(sampler, x0, jax.random.key(5))
