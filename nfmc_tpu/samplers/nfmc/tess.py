@@ -58,7 +58,14 @@ class TESSParameters(NFMCParameters):
 
 def make_tess_step(flow, potential, event_shape: Tuple[int, ...],
                    max_iterations: int = 5, chol=None):
-    """Pure fn (flow_params, u, key) -> (x, u', accepted_mask)."""
+    """Returns (init, step): ``init(params, u) -> (lp_u, x_u)`` and
+    ``step(params, u, lp_u, x_u, key) -> (x', u', lp', accepted_mask)``.
+
+    The current state's ``log pi^(u)`` and data-space ``x = f^{-1}(u)`` are
+    carried between iterations (they were computed when the state was
+    accepted), eliminating the reference's leading per-iteration flow inverse
+    + target call (``tess.py:38-42``). Reported counters keep the reference
+    contract ((max_iter + 1) * B calls per iteration)."""
     event_ndim = len(event_shape)
 
     def log_phi(params, inputs):
@@ -68,7 +75,11 @@ def make_tess_step(flow, potential, event_shape: Tuple[int, ...],
         x, log_det = flow.bijection.inverse_fn(params, inputs)
         return -potential(x) - log_det, x
 
-    def tess_step(params, u, key):
+    def tess_init(params, u):
+        lp_u, x_u = log_pi_hat(params, u)
+        return lp_u, x_u
+
+    def tess_step(params, u, lp_u, x0, key):
         batch_shape = get_batch_shape(u, event_shape)
         k_v, k_w, k_theta, k_shrink = jax.random.split(key, 4)
 
@@ -80,7 +91,6 @@ def make_tess_step(flow, potential, event_shape: Tuple[int, ...],
             v = (z @ chol.T).reshape(u.shape)
 
         w = jax.random.uniform(k_w, batch_shape)
-        lp_u, x0 = log_pi_hat(params, u)
         log_s = lp_u + log_phi(params, v) + jnp.log(w)
 
         expand = (*batch_shape, *([1] * event_ndim))
@@ -92,10 +102,11 @@ def make_tess_step(flow, potential, event_shape: Tuple[int, ...],
         accepted = jnp.zeros(batch_shape, dtype=bool)
         u_prop = u
         x_prop = x0
+        lp_prop = lp_u
         shrink_keys = jax.random.split(k_shrink, max_iterations)
 
         def body(i, carry):
-            u_prop, x_prop, accepted, theta, theta_min, theta_max = carry
+            u_prop, x_prop, lp_prop, accepted, theta, theta_min, theta_max = carry
             u_prime = u * jnp.cos(theta) + v * jnp.sin(theta)
             v_prime = v * jnp.cos(theta) - u * jnp.sin(theta)
             lp, x_prime = log_pi_hat(params, u_prime)
@@ -103,6 +114,7 @@ def make_tess_step(flow, potential, event_shape: Tuple[int, ...],
             bmask = newly.reshape(expand)
             u_prop = jnp.where(bmask, u_prime, u_prop)
             x_prop = jnp.where(bmask, x_prime, x_prop)
+            lp_prop = jnp.where(newly, lp, lp_prop)
 
             theta_neg = theta < 0
             theta_min = jnp.where(theta_neg, theta, theta_min)
@@ -110,15 +122,15 @@ def make_tess_step(flow, potential, event_shape: Tuple[int, ...],
             noise = jax.random.uniform(shrink_keys[i], expand)
             theta = noise * (theta_max - theta_min) + theta_min
             accepted = accepted | newly
-            return u_prop, x_prop, accepted, theta, theta_min, theta_max
+            return u_prop, x_prop, lp_prop, accepted, theta, theta_min, theta_max
 
-        u_prop, x_prop, accepted, *_ = jax.lax.fori_loop(
+        u_prop, x_prop, lp_prop, accepted, *_ = jax.lax.fori_loop(
             0, max_iterations, body,
-            (u_prop, x_prop, accepted, theta, theta_min, theta_max),
+            (u_prop, x_prop, lp_prop, accepted, theta, theta_min, theta_max),
         )
-        return x_prop, u_prop, accepted
+        return x_prop, u_prop, lp_prop, accepted
 
-    return tess_step
+    return tess_init, tess_step
 
 
 class TESS(Sampler):
@@ -143,10 +155,12 @@ class TESS(Sampler):
         flow = self.kernel.flow
         n_chains = x0.shape[0]
         max_iter = self.params.max_ess_step_iterations
-        tess_step = jax.jit(
-            make_tess_step(flow, self.negative_log_likelihood, self.event_shape,
-                           max_iterations=max_iter, chol=self.kernel.chol())
+        tess_init, tess_step = make_tess_step(
+            flow, self.negative_log_likelihood, self.event_shape,
+            max_iterations=max_iter, chol=self.kernel.chol(),
         )
+        tess_init = jax.jit(tess_init)
+        tess_step = jax.jit(tess_step)
 
         t0 = time.time()
         key, k0 = jax.random.split(key)
@@ -163,7 +177,9 @@ class TESS(Sampler):
                 break
             t0 = time.time()
             key, k_step, k_fit = jax.random.split(key, 3)
-            x, u, accepted = tess_step(flow.params, u, k_step)
+            # the flow refits every iteration, so lp/x re-derive per step
+            lp_u, x_u = tess_init(flow.params, u)
+            x, u, _lp, accepted = tess_step(flow.params, u, lp_u, x_u, k_step)
             # Reference stores *latent* draws during warmup (``tess.py:131-132``).
             out.running_samples.add(u)
             out.statistics.expectations.update(u)
@@ -195,47 +211,44 @@ class TESS(Sampler):
                          on_device=getattr(self.params, 'store_samples_on_device', False))
         flow = self.kernel.flow
         max_iter = self.params.max_ess_step_iterations
-        tess_step = make_tess_step(
+        tess_init, tess_step = make_tess_step(
             flow, self.negative_log_likelihood, self.event_shape,
             max_iterations=max_iter, chol=self.kernel.chol(),
         )
 
+        # The scan *position* is data-space x (so stored samples and moment
+        # accumulators need no per-iteration flow inverse); the latent u and
+        # its cached log pi^ ride in the kernel state.
         def make_step(tuning):
-            def step(u, kstate, key):
-                params = kstate
-                x, u_new, accepted = tess_step(params, u, key)
+            def step(x, kstate, key):
+                params, u, lp_u = kstate
+                x_new, u_new, lp_new, accepted = tess_step(params, u, lp_u, x, key)
                 info = StepInfo(
                     n_accepted=jnp.sum(accepted).astype(jnp.int32),
                     diverged=(~jnp.all(jnp.isfinite(u_new))).astype(jnp.int32),
                 )
-                return u_new, params, info
+                return x_new, (params, u_new, lp_new), info
 
             return step
 
-        # The data/emit transforms read ``flow.params`` at trace time (the
-        # step itself threads params through the carry), and ``chol`` is a
-        # closure constant — both must key the cache so refits/cov changes
-        # retrace while back-to-back sample() calls reuse the compiled scans.
-        inverse_x = lambda u: flow.bijection.inverse_fn(flow.params, u)[0]
-        # cov is tokenized by value (it's a small host array that callers may
-        # mutate in place); params by per-leaf identity (catches in-place
-        # pytree surgery, and a refit replaces the leaves).
+        # chol is a closure constant, tokenized by value (a small host array
+        # callers may mutate in place); the base-log-prob override is baked
+        # into log_phi. Params are threaded through the carry.
         cov = self.kernel.cov
         cov_token = None if cov is None else hash(np.asarray(cov).tobytes())
-        params_token = tuple(id(l) for l in jax.tree_util.tree_leaves(flow.params))
         driver = self._cached_driver(
             (max_iter, id(flow.bijection), id(flow._base_log_prob_override),
-             params_token, cov_token, id(self.negative_log_likelihood)),
-            lambda: ChunkedScanDriver(
-                self.event_shape, make_step,
-                data_transform=inverse_x, emit_transform=inverse_x,
-            ),
-            keepalive=(flow.bijection, flow._base_log_prob_override, flow.params,
+             cov_token, id(self.negative_log_likelihood)),
+            lambda: ChunkedScanDriver(self.event_shape, make_step),
+            keepalive=(flow.bijection, flow._base_log_prob_override,
                        self.negative_log_likelihood),
         )
+        t0 = time.time()
+        lp0, x0_data = jax.jit(tess_init)(flow.params, u0)
+        out.statistics.update_elapsed_time(time.time() - t0)
         driver.run(
-            u0,
-            flow.params,
+            x0_data,
+            (flow.params, u0, lp0),
             key,
             self.params.n_iterations,
             stats=out.statistics,
