@@ -69,12 +69,16 @@ def elliptical_slice_sampling_step(
     key: jax.Array,
     chol: Optional[jax.Array] = None,
     max_iterations: int = 5,
+    nll_f: Optional[jax.Array] = None,
 ):
     """One vectorized ESS step; reference ``ess.py:12-64``.
 
     Functionally identical to the reference loop: once a chain first accepts,
     its proposal is frozen (first-accept-wins masking); the bracket keeps
-    shrinking for not-yet-accepted chains.
+    shrinking for not-yet-accepted chains. ``nll_f`` optionally carries the
+    current state's likelihood (known from the previous step's acceptance),
+    saving the reference's leading evaluation; reported counters keep the
+    (max_iter + 1) * B contract. Returns ``(f', nll(f'), accepted)``.
     """
     batch_shape = get_batch_shape(f, event_shape)
     d = int(np.prod(event_shape)) if event_shape else 1
@@ -88,8 +92,10 @@ def elliptical_slice_sampling_step(
         nu = (z @ chol.T).reshape(f.shape)
 
     # 2. Log-likelihood threshold
+    if nll_f is None:
+        nll_f = negative_log_likelihood(f)
     u = jax.random.uniform(k_u, batch_shape)
-    log_y = -negative_log_likelihood(f) + jnp.log(u)
+    log_y = -nll_f + jnp.log(u)
 
     # 3. Initial proposal angle defines the bracket
     expand = (*batch_shape, *([1] * len(event_shape)))
@@ -99,14 +105,17 @@ def elliptical_slice_sampling_step(
 
     accepted = jnp.zeros(batch_shape, dtype=bool)
     f_proposed = f
+    nll_proposed = nll_f
     shrink_keys = jax.random.split(k_shrink, max_iterations)
 
     def body(i, carry):
-        f_proposed, accepted, theta, theta_min, theta_max = carry
+        f_proposed, nll_proposed, accepted, theta, theta_min, theta_max = carry
         f_prime = f * jnp.cos(theta) + nu * jnp.sin(theta)
-        newly = (-negative_log_likelihood(f_prime) > log_y) & (~accepted)
+        nll_prime = negative_log_likelihood(f_prime)
+        newly = (-nll_prime > log_y) & (~accepted)
         bmask = newly.reshape(expand)
         f_proposed = jnp.where(bmask, f_prime, f_proposed)
+        nll_proposed = jnp.where(newly, nll_prime, nll_proposed)
 
         theta_neg = theta < 0
         theta_min = jnp.where(theta_neg, theta, theta_min)
@@ -114,12 +123,13 @@ def elliptical_slice_sampling_step(
         noise = jax.random.uniform(shrink_keys[i], expand)
         theta = noise * (theta_max - theta_min) + theta_min
         accepted = accepted | newly
-        return f_proposed, accepted, theta, theta_min, theta_max
+        return f_proposed, nll_proposed, accepted, theta, theta_min, theta_max
 
-    f_proposed, accepted, *_ = jax.lax.fori_loop(
-        0, max_iterations, body, (f_proposed, accepted, theta, theta_min, theta_max)
+    f_proposed, nll_proposed, accepted, *_ = jax.lax.fori_loop(
+        0, max_iterations, body,
+        (f_proposed, nll_proposed, accepted, theta, theta_min, theta_max),
     )
-    return f_proposed, accepted
+    return f_proposed, nll_proposed, accepted
 
 
 class ESS(MCMCSampler):
@@ -145,7 +155,7 @@ class ESS(MCMCSampler):
         max_iterations = self.params.max_ess_step_iterations
 
         def propose(x, state: ESSState, key):
-            x_prime, _accepted = elliptical_slice_sampling_step(
+            x_prime, _nll_prime, _accepted = elliptical_slice_sampling_step(
                 x, nll, event_shape, key, chol=state.chol, max_iterations=max_iterations
             )
             n_chains = x.shape[0]
@@ -157,6 +167,40 @@ class ESS(MCMCSampler):
             return x_prime, mask, diverged
 
         return propose
+
+    def _augment_state(self, mstate, x0):
+        return (mstate, self.negative_log_likelihood(x0))
+
+    def _make_step(self, tuning: bool):
+        """Carried-likelihood step (cf. Langevin's carried potential): the
+        current state's nll rides in the scan state, saving the leading
+        evaluation of every iteration."""
+        from ...core.driver import StepInfo
+
+        nll = self.negative_log_likelihood
+        event_shape = self.event_shape
+        max_iterations = self.params.max_ess_step_iterations
+
+        def step(x, state, key):
+            mstate, nll_x = state
+            n_chains = x.shape[0]
+            x_prime, nll_prime, _accepted = elliptical_slice_sampling_step(
+                x, nll, event_shape, key, chol=mstate.chol,
+                max_iterations=max_iterations, nll_f=nll_x,
+            )
+            # All-accept hack, matching reference ``ess.py:107``.
+            finite = jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
+            mask = finite
+            bmask = mask.reshape(mask.shape + (1,) * len(event_shape))
+            x_new = jnp.where(bmask, x_prime, x)
+            nll_new = jnp.where(mask, nll_prime, nll_x)
+            info = StepInfo(
+                n_accepted=jnp.sum(mask).astype(jnp.int32),
+                diverged=(~jnp.all(finite)).astype(jnp.int32),
+            )
+            return x_new, (mstate, nll_new), info
+
+        return step
 
     def make_update_kernel(self):
         def update(state, x, mask):

@@ -189,6 +189,9 @@ class JumpNFMC(Sampler):
                 k_inner, k_jump, k_reset = jax.random.split(key, 3)
                 if resample_x0 is not None:
                     x = resample_x0(k_reset, x)
+                    # chain-shaped caches (ESS's carried nll) are stale for
+                    # the redrawn state
+                    ks = inner_refresh(ks, x)
 
                 def inner_body(c, k):
                     x, ks, acc = c
