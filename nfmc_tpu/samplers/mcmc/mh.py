@@ -73,6 +73,51 @@ class MH(MetropolisSampler):
 
         return propose
 
+    def _augment_state(self, mstate, x0):
+        if not self.params.adjustment:
+            return mstate
+        return (mstate, self.target(x0))
+
+    def _make_step(self, tuning: bool):
+        """Carried-potential step (cf. Langevin/IMH/ESS/TESS): when adjusted,
+        U(x) rides in the scan state and only the proposal is evaluated each
+        iteration; reported counters keep the reference's 2B contract."""
+        if not self.params.adjustment:
+            return super()._make_step(tuning)
+
+        from ...core.driver import StepInfo
+
+        target = self.target
+        event_ndim = len(self.event_shape)
+        update_kernel = self.make_update_kernel()
+
+        def step(x, state, key):
+            mstate, u_x = state
+            n_chains = x.shape[0]
+            k_noise, k_accept = jax.random.split(key)
+            noise = jax.random.normal(k_noise, (n_chains, mstate.inv_mass_diag.shape[0]))
+            x_prime = x + (noise * mstate.inv_mass_diag).reshape(x.shape)
+
+            finite_prop = jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
+            u_prime = target(x_prime)
+            log_ratio = metropolis_acceptance_log_ratio(-u_x, -u_prime, 0.0, 0.0)
+            log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
+            finite_prop = finite_prop & jnp.isfinite(u_prime)
+            mask = (log_u < log_ratio) & finite_prop
+
+            bmask = mask.reshape(mask.shape + (1,) * event_ndim)
+            x_new = jnp.where(bmask, x_prime, x)
+            u_new = jnp.where(mask, u_prime, u_x)
+            if tuning:
+                mstate = update_kernel(mstate, x_new, mask)
+            info = StepInfo(
+                n_accepted=jnp.sum(mask).astype(jnp.int32),
+                diverged=(~jnp.all(finite_prop)).astype(jnp.int32),
+            )
+            return x_new, (mstate, u_new), info
+
+        return step
+
     def calls_per_iter(self, n_chains: int) -> int:
         return 2 * n_chains if self.params.adjustment else 0
 
