@@ -130,9 +130,20 @@ class ChunkedScanDriver:
         make_step: Callable[[bool], StepFn],
         data_transform: Optional[Callable[[jax.Array], jax.Array]] = None,
         emit_transform: Optional[Callable[[jax.Array], jax.Array]] = None,
+        make_precompute: Optional[Callable[[bool], Callable]] = None,
     ):
         self.event_shape = tuple(event_shape)
         self.make_step = make_step
+        # State-independent per-iteration work (e.g. IMH's flow proposals:
+        # base draw + coupling inverse + proposal log-prob + target eval) can
+        # be hoisted out of the scan and computed for the WHOLE chunk as one
+        # large batched pass — (chunk*C, *event) matmuls tile onto the MXU,
+        # where the in-scan (C, *event) ops are latency-bound. When set,
+        # ``make_precompute(tuning)`` returns ``fn(kstate, keys) -> aux`` (a
+        # pytree with leading dim = chunk) and the step signature becomes
+        # ``step(x, kstate, key, aux_i)``. RNG parity: the precompute must
+        # derive per-iteration keys exactly as the in-scan step would.
+        self.make_precompute = make_precompute
         # data_transform feeds the in-scan moment accumulators (NeuTra maps
         # latent -> data, reference ``neutra.py:122``); emit_transform maps the
         # carried state to what gets *stored* (TESS stores x = f^{-1}(u) while
@@ -146,6 +157,7 @@ class ChunkedScanDriver:
         cache_key = (tuning, collect)
         if cache_key not in self._runners:
             step_fn = self.make_step(tuning)
+            precompute_fn = self.make_precompute(tuning) if self.make_precompute else None
             data_transform = self.data_transform
             emit_transform = self.emit_transform
 
@@ -157,10 +169,15 @@ class ChunkedScanDriver:
                 # the loop used to do per chunk were real money).
                 keys = jax.random.split(key, chunk + 1)
                 key_next, keys = keys[0], keys[1:]
+                xs = (keys, precompute_fn(kstate, keys)) if precompute_fn else keys
 
-                def body(carry, key):
+                def body(carry, xs_i):
                     x, ks, acc = carry
-                    x_new, ks_new, info = step_fn(x, ks, key)
+                    if precompute_fn is not None:
+                        key_i, aux_i = xs_i
+                        x_new, ks_new, info = step_fn(x, ks, key_i, aux_i)
+                    else:
+                        x_new, ks_new, info = step_fn(x, ks, xs_i)
                     acc_new = acc.add(info, data_transform(x_new))
                     if collect:
                         emit = emit_transform(x_new) if emit_transform else x_new
@@ -168,7 +185,7 @@ class ChunkedScanDriver:
                         emit = None
                     return (x_new, ks_new, acc_new), emit
 
-                (x, kstate, acc), ys = jax.lax.scan(body, (x, kstate, acc), keys)
+                (x, kstate, acc), ys = jax.lax.scan(body, (x, kstate, acc), xs)
                 return x, kstate, acc, key_next, ys
 
             self._runners[cache_key] = jax.jit(

@@ -50,13 +50,15 @@ class Coupling(Bijection):
         self.hidden = [int(hidden_size)] * int(n_hidden_layers)
 
         # Static index sets: layer l conditions on indices with (i + l) % 2 == 0.
+        # Host (numpy) arrays: they fold into trace-time constants, avoiding
+        # device allocations at construction.
         self.layer_idx = []
         for l in range(self.n_layers):
             ids = np.arange(d)
             a = ids[(ids + l) % 2 == 0]  # conditioning (identity) part
             b = ids[(ids + l) % 2 == 1]  # transformed part
             inv_perm = np.argsort(np.concatenate([a, b]))
-            self.layer_idx.append((jnp.asarray(a), jnp.asarray(b), jnp.asarray(inv_perm)))
+            self.layer_idx.append((a, b, inv_perm))
 
     @property
     def layers(self):

@@ -68,8 +68,10 @@ class MaskedAutoregressive(Bijection):
             n_hidden_layers = conditioner_kwargs.get("n_layers", n_hidden_layers)
             hidden_size = conditioner_kwargs.get("n_hidden", hidden_size)
         self.hidden = [int(hidden_size)] * int(n_hidden_layers)
+        # Host (numpy) masks: they fold into trace-time constants, avoiding
+        # device allocations at construction.
         self.masks = [
-            jnp.asarray(m)
+            np.asarray(m)
             for m in made_masks(
                 self.event_size, self.hidden, transform.n_params_per_dim,
                 np.random.default_rng(0),

@@ -297,10 +297,11 @@ def _flatten_weights(params) -> List[jax.Array]:
         assert len(ws) == 3, "pallas path expects 2 hidden layers"
         w3, b3 = ws[2], bs[2]
         two_db = w3.shape[1]
-        perm = jnp.concatenate(
-            [jnp.arange(0, two_db, 2), jnp.arange(1, two_db, 2)]
-        )
-        flat.extend([ws[0], bs[0], ws[1], bs[1], w3[:, perm], b3[perm]])
+        # host-side (numpy) index math: params may be numpy leaves (NeuTra
+        # snapshots them for closure capture) and numpy arrays reject traced
+        # indices; a static np permutation works for both numpy and traced w3
+        perm = np.concatenate([np.arange(0, two_db, 2), np.arange(1, two_db, 2)])
+        flat.extend([ws[0], bs[0], ws[1], bs[1], jnp.asarray(w3)[:, perm], jnp.asarray(b3)[perm]])
     return flat
 
 
@@ -311,8 +312,8 @@ def _unflatten_weight_grads(gflat, params):
     for l in range(len(params)):
         gw1, gb1, gw2, gb2, gw3d, gb3d = gflat[6 * l : 6 * l + 6]
         two_db = gw3d.shape[1]
-        perm = jnp.concatenate([jnp.arange(0, two_db, 2), jnp.arange(1, two_db, 2)])
-        inv = jnp.argsort(perm)
+        perm = np.concatenate([np.arange(0, two_db, 2), np.arange(1, two_db, 2)])
+        inv = np.argsort(perm)
         gparams.append({"w": [gw1, gw2, gw3d[:, inv]], "b": [gb1, gb2, gb3d[inv]]})
     return gparams
 

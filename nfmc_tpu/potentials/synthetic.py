@@ -39,10 +39,12 @@ class DiagonalGaussian(Potential):
     """Gaussian with diagonal covariance: U(x) = 0.5 * sum((x-mu)^2 / sigma^2)."""
 
     def __init__(self, mu: jax.Array, sigma: jax.Array):
-        mu = jnp.asarray(mu, dtype=jnp.float32)
+        # Parameters live as host (numpy) arrays; they fold into trace-time
+        # constants when the potential is captured by a jitted sampler step.
+        mu = np.asarray(mu, dtype=np.float32)
         super().__init__(mu.shape)
         self.mu = mu
-        self.sigma = jnp.broadcast_to(jnp.asarray(sigma, dtype=jnp.float32), mu.shape)
+        self.sigma = np.broadcast_to(np.asarray(sigma, dtype=np.float32), mu.shape)
 
     def compute(self, x: jax.Array) -> jax.Array:
         z = (x - self.mu) / self.sigma
@@ -68,18 +70,19 @@ class DiagonalGaussian1(DiagonalGaussian):
     used at reference ``test/test_moment_estimation.py:10``."""
 
     def __init__(self, n_dim: int = 100):
-        sigma = jnp.asarray(np.tile(np.arange(1, 11), n_dim // 10 + 1)[:n_dim], dtype=jnp.float32)
-        super().__init__(jnp.zeros(n_dim), sigma)
+        sigma = np.tile(np.arange(1, 11), n_dim // 10 + 1)[:n_dim].astype(np.float32)
+        super().__init__(np.zeros(n_dim, dtype=np.float32), sigma)
 
 
 class FullRankGaussian(Potential):
     """Gaussian with dense covariance (given its Cholesky factor)."""
 
     def __init__(self, mu: jax.Array, chol: jax.Array):
-        mu = jnp.asarray(mu, dtype=jnp.float32)
+        # host (numpy) storage, as in DiagonalGaussian
+        mu = np.asarray(mu, dtype=np.float32)
         super().__init__(mu.shape)
         self.mu = mu
-        self.chol = jnp.asarray(chol, dtype=jnp.float32)
+        self.chol = np.asarray(chol, dtype=np.float32)
 
     def compute(self, x: jax.Array) -> jax.Array:
         diff = x - self.mu
@@ -153,7 +156,8 @@ class GaussianMixture(Potential):
     """Equally weighted Gaussian mixture with shared isotropic scale."""
 
     def __init__(self, means: jax.Array, sigma: float = 1.0):
-        means = jnp.asarray(means, dtype=jnp.float32)  # (n_components, d)
+        # host (numpy) storage, as in DiagonalGaussian
+        means = np.asarray(means, dtype=np.float32)  # (n_components, d)
         super().__init__(means.shape[1:])
         self.means = means
         self.sigma = float(sigma)
@@ -169,7 +173,7 @@ class GaussianMixture(Potential):
         n_comp = self.means.shape[0]
         idx = jax.random.randint(kc, tuple(batch_shape), 0, n_comp)
         eps = jax.random.normal(ke, (*tuple(batch_shape), *self.event_shape))
-        return self.means[idx] + self.sigma * eps
+        return jnp.asarray(self.means)[idx] + self.sigma * eps
 
 
 class DoubleWell(Potential):

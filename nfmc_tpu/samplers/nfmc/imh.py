@@ -105,23 +105,20 @@ class AbstractIMH(Sampler):
         out.running_samples.add(self.kernel.flow.sample(x0.shape[0], key=k_draw))
         return out
 
-    def _make_accept_step(self):
-        """Pure fn (params, x, flp_x, u_x, key) -> (x', flp', u', mask, diverged).
+    def _make_accept_core(self):
+        """Accept logic given an already-materialized proposal.
 
-        Both the flow log-prob of the current state (reference semantics,
-        ``imh.py:214-236``) and its target potential are carried and updated
-        through the accept mask: one target call per iteration instead of two
-        on expensive targets (reported counters keep the reference contract).
+        ``(x, flp_x, u_x, x', flp', u', k_acc) -> (x_new, flp_new, u_new,
+        mask, diverged)``. Both the flow log-prob of the current state
+        (reference semantics, ``imh.py:214-236``) and its target potential are
+        carried and updated through the accept mask: one target call per
+        iteration instead of two on expensive targets (reported counters keep
+        the reference contract).
         """
-        flow = self.kernel.flow
-        target = self.target
         event_ndim = len(self.event_shape)
 
-        def accept_step(params, x, flp_x, u_x, key):
+        def accept_core(x, flp_x, u_x, x_prime, flp_prime, u_prime, k_acc):
             n_chains = x.shape[0]
-            k_prop, k_acc = jax.random.split(key)
-            x_prime, flp_prime = flow.sample_fn(params, k_prop, n_chains, return_log_prob=True)
-            u_prime = target(x_prime)
             log_alpha = metropolis_acceptance_log_ratio(
                 log_prob_target_curr=-u_x,
                 log_prob_target_prime=-u_prime,
@@ -141,6 +138,21 @@ class AbstractIMH(Sampler):
             diverged = (~jnp.all(finite)).astype(jnp.int32)
             return x_new, flp_new, u_new, mask, diverged
 
+        return accept_core
+
+    def _make_accept_step(self):
+        """Pure fn (params, x, flp_x, u_x, key) -> (x', flp', u', mask, diverged)."""
+        flow = self.kernel.flow
+        target = self.target
+        accept_core = self._make_accept_core()
+
+        def accept_step(params, x, flp_x, u_x, key):
+            n_chains = x.shape[0]
+            k_prop, k_acc = jax.random.split(key)
+            x_prime, flp_prime = flow.sample_fn(params, k_prop, n_chains, return_log_prob=True)
+            u_prime = target(x_prime)
+            return accept_core(x, flp_x, u_x, x_prime, flp_prime, u_prime, k_acc)
+
         return accept_step
 
 
@@ -157,13 +169,42 @@ class FixedIMH(AbstractIMH):
         out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples,
                          on_device=getattr(self.params, 'store_samples_on_device', False))
 
-        accept_step = self._make_accept_step()
+        accept_core = self._make_accept_core()
         flow = self.kernel.flow
+        target = self.target
+        event_shape = self.event_shape
+
+        def make_precompute(tuning):
+            # Proposals are independent of the chain state: one base draw +
+            # coupling inverse + proposal log-prob + target eval for the WHOLE
+            # chunk, as (chunk*C, *event) batches that tile onto the MXU. The
+            # scan body is left with pure elementwise accept logic. Key
+            # derivation matches _make_accept_step (k_prop = split(key)[0]).
+            def precompute(kstate, keys):
+                params, flp_x, _u_x = kstate
+                chunk, n_chains = keys.shape[0], flp_x.shape[0]
+                k_props = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+                z = jax.vmap(lambda k: flow.sample_base_fn(k, n_chains))(k_props)
+                zf = z.reshape(chunk * n_chains, *event_shape)
+                xf, log_det_inv = flow.bijection.inverse_fn(params, zf)
+                flp = flow.base_log_prob_fn(zf) - log_det_inv
+                u = target(xf)
+                return (
+                    xf.reshape(chunk, n_chains, *event_shape),
+                    flp.reshape(chunk, n_chains),
+                    u.reshape(chunk, n_chains),
+                )
+
+            return precompute
 
         def make_step(tuning):
-            def step(x, kstate, key):
+            def step(x, kstate, key, aux):
                 params, flp_x, u_x = kstate
-                x_new, flp_new, u_new, mask, diverged = accept_step(params, x, flp_x, u_x, key)
+                x_prime, flp_prime, u_prime = aux
+                k_acc = jax.random.split(key)[1]
+                x_new, flp_new, u_new, mask, diverged = accept_core(
+                    x, flp_x, u_x, x_prime, flp_prime, u_prime, k_acc
+                )
                 info = StepInfo(
                     n_accepted=jnp.sum(mask).astype(jnp.int32), diverged=diverged
                 )
@@ -171,12 +212,12 @@ class FixedIMH(AbstractIMH):
 
             return step
 
-        # accept_step bakes in the flow structure, its base-log-prob override
-        # and the target (params are threaded through the scan carry), so the
-        # driver is reusable across calls and flow refits.
+        # The step/precompute bake in the flow structure, its base-log-prob
+        # override and the target (params are threaded through the scan
+        # carry), so the driver is reusable across calls and flow refits.
         driver = self._cached_driver(
             (id(flow), id(flow.bijection), id(flow._base_log_prob_override), id(self.target)),
-            lambda: ChunkedScanDriver(self.event_shape, make_step),
+            lambda: ChunkedScanDriver(self.event_shape, make_step, make_precompute=make_precompute),
             keepalive=(flow, flow.bijection, flow._base_log_prob_override, self.target),
         )
         t0 = time.time()

@@ -158,6 +158,46 @@ class JumpNFMC(Sampler):
 
         return jump_step
 
+    def _make_jump_accept(self):
+        """Jump accept given an already-materialized flow proposal.
+
+        ``(params, x, k_acc, (x', logq', U(x'))) -> (x_new, mask)``. Only the
+        state-dependent work (U(x), flow forward log-prob of x) stays per
+        iteration; the proposal itself (base draw + coupling inverse + its
+        log-prob + target eval) is hoisted to a chunk-batched precompute in
+        ``_get_fused_runner``.
+        """
+        flow = self.kernel.flow
+        target = self.target
+        adjusted = self.params.adjusted_jumps
+        event_ndim = len(self.event_shape)
+
+        def jump_accept(params, x, k_acc, aux):
+            n_chains = x.shape[0]
+            x_prime, f_x_prime, u_x_prime = aux
+            if adjusted:
+                u_x = target(x)
+                f_x = flow.log_prob_fn(params, x)
+                log_alpha = metropolis_acceptance_log_ratio(
+                    log_prob_target_curr=-u_x,
+                    log_prob_target_prime=-u_x_prime,
+                    log_prob_proposal_curr=f_x,
+                    log_prob_proposal_prime=f_x_prime,
+                )
+                finite = (
+                    jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
+                    & jnp.isfinite(log_alpha)
+                )
+                log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
+                mask = (log_u < log_alpha) & finite
+            else:
+                mask = jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
+            bmask = mask.reshape(mask.shape + (1,) * event_ndim)
+            x_new = jnp.where(bmask, x_prime, x)
+            return x_new, mask
+
+        return jump_accept
+
     def _jump_calls_per_iter(self, n_chains: int) -> int:
         return 2 * n_chains if self.params.adjusted_jumps else 0
 
@@ -176,15 +216,40 @@ class JumpNFMC(Sampler):
                 inner_sampler._extract_mstate(state), x
             )
 
-        jump_step = self._make_jump_step()
+        jump_accept = self._make_jump_accept()
         collect = self.params.store_samples
         resample_x0 = getattr(self.inner_sampler, "resample_x0_fn", None)
+        flow = self.kernel.flow
+        target = self.target
+        adjusted = self.params.adjusted_jumps
+        event_shape = self.event_shape
 
         def run_chunk(x, inner_kstate, flow_params, acc, jump_acc, key, chunk):
             keys = jax.random.split(key, chunk + 1)
             key_next, keys = keys[0], keys[1:]
+            n_chains = x.shape[0]
 
-            def outer_body(carry, key):
+            # Flow jump proposals are independent of the chain state: hoist
+            # the base draw + coupling inverse + proposal log-prob + target
+            # eval for the WHOLE chunk into one (chunk*C, *event) batched pass
+            # (MXU-tiled), leaving only the state-dependent U(x) / logq(x) in
+            # the scan body. Key derivation matches the in-scan path:
+            # k_jump = split(key, 3)[1], k_prop = split(k_jump)[0].
+            k_jumps = jax.vmap(lambda k: jax.random.split(k, 3)[1])(keys)
+            k_props = jax.vmap(lambda k: jax.random.split(k)[0])(k_jumps)
+            z = jax.vmap(lambda k: flow.sample_base_fn(k, n_chains))(k_props)
+            zf = z.reshape(chunk * n_chains, *event_shape)
+            xpf, log_det_inv = flow.bijection.inverse_fn(flow_params, zf)
+            f_prime = (flow.base_log_prob_fn(zf) - log_det_inv).reshape(chunk, n_chains)
+            u_prime = (
+                target(xpf).reshape(chunk, n_chains)
+                if adjusted
+                else jnp.zeros((chunk, n_chains), dtype=jnp.float32)
+            )
+            proposals = (xpf.reshape(chunk, n_chains, *event_shape), f_prime, u_prime)
+
+            def outer_body(carry, xs_i):
+                key, aux = xs_i
                 x, ks, acc, jump_acc = carry
                 k_inner, k_jump, k_reset = jax.random.split(key, 3)
                 if resample_x0 is not None:
@@ -201,7 +266,8 @@ class JumpNFMC(Sampler):
                 (x, ks, acc), inner_xs = jax.lax.scan(
                     inner_body, (x, ks, acc), jax.random.split(k_inner, inner_n)
                 )
-                x, jmask = jump_step(flow_params, x, k_jump)
+                k_acc = jax.random.split(k_jump)[1]
+                x, jmask = jump_accept(flow_params, x, k_acc, aux)
                 # chain-shaped caches in the inner state (e.g. Langevin's
                 # cached U/grad) are stale for jumped chains — rebuild
                 ks = inner_refresh(ks, x)
@@ -213,7 +279,7 @@ class JumpNFMC(Sampler):
                 return (x, ks, acc, jump_acc), emit
 
             (x, inner_kstate, acc, jump_acc), ys = jax.lax.scan(
-                outer_body, (x, inner_kstate, acc, jump_acc), keys
+                outer_body, (x, inner_kstate, acc, jump_acc), (keys, proposals)
             )
             return x, inner_kstate, acc, jump_acc, key_next, ys
 
