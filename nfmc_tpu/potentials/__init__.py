@@ -18,6 +18,11 @@ from .synthetic import (
     GaussianMixture,
     DoubleWell,
 )
+from .applied import (
+    BayesianLogisticRegression,
+    Phi4Lattice,
+    StudentT,
+)
 
 __all__ = [
     "Potential",
@@ -31,4 +36,7 @@ __all__ = [
     "Rosenbrock",
     "GaussianMixture",
     "DoubleWell",
+    "BayesianLogisticRegression",
+    "Phi4Lattice",
+    "StudentT",
 ]

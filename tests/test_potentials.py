@@ -69,3 +69,73 @@ def test_as_potential_wraps_callable():
     assert pot.event_shape == (3,)
     u = pot(jnp.ones((4, 3)))
     assert u.shape == (4,)
+
+
+# ---------------------------------------------------------------------------
+# Applied targets (potentials/applied.py)
+# ---------------------------------------------------------------------------
+
+def _applied_potentials():
+    from nfmc_tpu.potentials import BayesianLogisticRegression, Phi4Lattice, StudentT
+
+    return [
+        BayesianLogisticRegression.synthetic(n=50, d=6, seed=0),
+        Phi4Lattice(L=4),
+        StudentT(n_dim=4, df=5.0),
+    ]
+
+
+@pytest.mark.parametrize("pot", _applied_potentials(), ids=lambda p: type(p).__name__)
+def test_applied_batched_contract_and_grads(pot):
+    x = jax.random.normal(jax.random.key(0), (7, *pot.event_shape))
+    u = pot(x)
+    assert u.shape == (7,)
+    assert np.isfinite(np.asarray(u)).all()
+    _, g = value_and_batched_grad(pot)(x)
+    assert g.shape == x.shape
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_studentt_exact_sampler():
+    from nfmc_tpu.potentials import StudentT
+
+    pot = StudentT(n_dim=3, df=5.0)
+    x = np.asarray(pot.sample((40000,), key=jax.random.key(1)))
+    assert np.allclose(x.mean(0), 0.0, atol=0.05)
+    assert np.allclose((x**2).mean(0), 5.0 / 3.0, rtol=0.15)
+
+
+def test_logreg_posterior_mala_recovers_separating_weights():
+    """Short MALA run on the logistic posterior: finite draws, posterior mean
+    predicts the training labels better than chance."""
+    from nfmc_tpu.potentials import BayesianLogisticRegression
+    from nfmc_tpu.samplers.mcmc import MALA
+
+    pot = BayesianLogisticRegression.synthetic(n=80, d=5, seed=1)
+    s = MALA(pot.event_shape, pot)
+    s.params.n_warmup_iterations = 100
+    s.params.n_iterations = 300
+    x0 = jax.random.normal(jax.random.key(2), (16, *pot.event_shape)) * 0.1
+    w = s.warmup(x0, show_progress=False, seed=3)  # tunes step ~0.55 -> ~0.04
+    out = s.sample(np.asarray(w.samples)[-1], show_progress=False, seed=4)
+    beta = np.asarray(out.mean)
+    assert np.isfinite(beta).all()
+    logits = pot.X @ beta[:-1] + beta[-1]
+    acc = ((logits > 0) == (pot.y > 0)).mean()
+    assert acc > 0.75, acc  # matches the MAP fit's 0.85 on this dataset
+
+
+def test_phi4_matrix_event_jump_hmc():
+    """phi^4 with (L, L) matrix events end-to-end through a jump sampler."""
+    from nfmc_tpu.potentials import Phi4Lattice
+    from nfmc_tpu.samplers.nfmc import JumpHMC
+
+    pot = Phi4Lattice(L=4, kappa=0.2)
+    s = JumpHMC(pot.event_shape, pot)
+    s.params.n_iterations = 3
+    s.inner_sampler.params.n_iterations = 2
+    x0 = jax.random.normal(jax.random.key(4), (8, 4, 4)) * 0.1
+    out = s.sample(x0, show_progress=False, seed=5)
+    samples = np.asarray(out.samples)
+    assert samples.shape == (3 * 3, 8, 4, 4)
+    assert np.isfinite(samples).all()
