@@ -27,11 +27,7 @@ import jax.numpy as jnp
 from .samples import MCMCSamples
 from .statistics import MCMCStatistics
 
-try:  # pragma: no cover - cosmetic only
-    from tqdm import tqdm
-except Exception:  # pragma: no cover
-    def tqdm(it, **kwargs):
-        return it
+from ..utils import tqdm  # shared fallback shim
 
 
 class StepInfo(NamedTuple):

@@ -21,14 +21,11 @@ import numpy as np
 import optax
 
 from ..core.rng import resolve_key
-from ..transport.ais import make_ais
+from ..transport.ais import anneal_chain
+from ..transport.common import make_mala_sweep, tempered
 from ..utils import as_numpy
 
-try:
-    from tqdm import tqdm
-except Exception:  # pragma: no cover
-    def tqdm(it, **kwargs):
-        return it
+from ..utils import tqdm  # shared fallback shim
 
 
 class _RingBuffer:
@@ -56,7 +53,8 @@ class _RingBuffer:
 
 class FAB:
     def __init__(self, target_potential, flow, buffer_size: int = 10_000,
-                 n_ais_steps: int = 8, ais_step_size: float = 0.05, lr: float = 3e-3):
+                 n_ais_steps: int = 8, ais_step_size: float = 0.05, lr: float = 3e-3,
+                 n_mcmc_steps: int = 3):
         self.target_potential = target_potential
         self.flow = flow
         self.event_shape = flow.event_shape
@@ -66,6 +64,7 @@ class FAB:
         self.opt = optax.adamw(lr)
         self.n_ais_steps = n_ais_steps
         self.ais_step_size = ais_step_size
+        self.n_mcmc_steps = int(n_mcmc_steps)
         self._train_step = jax.jit(self._make_train_step())
         self._ais_round = jax.jit(self._make_ais_round(), static_argnums=(2,))
 
@@ -76,26 +75,13 @@ class FAB:
         def ais_round(params, key, n_particles):
             k_draw, k_ais = jax.random.split(key)
             x, log_q = flow.sample_fn(params, k_draw, n_particles, return_log_prob=True)
-            # AIS from q toward p^2/q (alpha=2 optimal proposal)
+            # AIS from q toward p^2/q (alpha=2 optimal proposal); the shared
+            # annealing loop from transport/ais.py with params-dependent ends
             prior_pot = lambda v: -flow.log_prob_fn(params, v)
             target_pot = lambda v: 2.0 * target(v) + flow.log_prob_fn(params, v)
-            from ..transport.common import make_mala_sweep, tempered
-
             u = tempered(prior_pot, target_pot)
-            sweep = make_mala_sweep(u, n_steps=3, step_size=self.ais_step_size)
-            lambdas = jnp.linspace(0.0, 1.0, self.n_ais_steps + 1)
-
-            def body(carry, inputs):
-                x, log_w = carry
-                lam_prev, lam_next, k = inputs
-                log_w = log_w + u(x, lam_prev) - u(x, lam_next)
-                x = sweep(x, lam_next, k)
-                return (x, log_w), None
-
-            keys = jax.random.split(k_ais, self.n_ais_steps)
-            (x, log_w), _ = jax.lax.scan(
-                body, (x, jnp.zeros(n_particles)), (lambdas[:-1], lambdas[1:], keys)
-            )
+            sweep = make_mala_sweep(u, n_steps=self.n_mcmc_steps, step_size=self.ais_step_size)
+            x, log_w = anneal_chain(u, sweep, self.n_ais_steps)(x, k_ais)
             return x, log_w, flow.log_prob_fn(params, x)
 
         return ais_round

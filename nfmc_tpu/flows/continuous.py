@@ -132,17 +132,22 @@ class ContinuousFlow(Bijection):
         def step(carry, i):
             v, ld = carry
             t = (1.0 - i * h) if reverse else (i * h)
+            # d/dt log|det dz_t/dx| = +tr(df/dx): forward (sign=+1) accumulates
+            # +int tr dt; the backward traversal (sign=-1) accumulates
+            # log|det dx/dz| = -int tr dt. (A sign flip here once negated every
+            # large-d CNF density; the exact-slogdet path below
+            # ``exact_trace_dim`` is the ground truth it must match.)
             if self.method == "euler":
                 f, tr = aug_b(v, t)
                 v = v + sign * h * f
-                ld = ld - sign * h * tr
+                ld = ld + sign * h * tr
             else:
                 f1, tr1 = aug_b(v, t)
                 f2, tr2 = aug_b(v + sign * 0.5 * h * f1, t + sign * 0.5 * h)
                 f3, tr3 = aug_b(v + sign * 0.5 * h * f2, t + sign * 0.5 * h)
                 f4, tr4 = aug_b(v + sign * h * f3, t + sign * h)
                 v = v + sign * h / 6.0 * (f1 + 2 * f2 + 2 * f3 + f4)
-                ld = ld - sign * h / 6.0 * (tr1 + 2 * tr2 + 2 * tr3 + tr4)
+                ld = ld + sign * h / 6.0 * (tr1 + 2 * tr2 + 2 * tr3 + tr4)
             return (v, ld), None
 
         ld0 = jnp.zeros(batch_shape)

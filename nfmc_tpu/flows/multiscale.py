@@ -527,7 +527,9 @@ class _ConvContinuous(Bijection):
             f3, tr3 = self._f_and_trace(params, v + sign * 0.5 * h * f2, t + sign * 0.5 * h)
             f4, tr4 = self._f_and_trace(params, v + sign * h * f3, t + sign * h)
             v = v + sign * h / 6.0 * (f1 + 2 * f2 + 2 * f3 + f4)
-            ld = ld - sign * h / 6.0 * (tr1 + 2 * tr2 + 2 * tr3 + tr4)
+            # +sign: d/dt log|det dz_t/dx| = +tr(df/dx); see
+            # flows/continuous.py _integrate (the exact-slogdet ground truth)
+            ld = ld + sign * h / 6.0 * (tr1 + 2 * tr2 + 2 * tr3 + tr4)
             return (v, ld), None
 
         (v, ld), _ = jax.lax.scan(
@@ -564,7 +566,8 @@ class ConvolutionalDDB(_ConvContinuous):
             v, ld = carry
             t = (1.0 - i * h) if reverse else (i * h)
             f, tr = self._f_and_trace(params, v, t)
-            return (v + sign * h * f, ld - sign * h * tr), None
+            # +sign: see flows/continuous.py _integrate sign note
+            return (v + sign * h * f, ld + sign * h * tr), None
 
         (v, ld), _ = jax.lax.scan(
             step, (v, jnp.zeros((b,))), jnp.arange(self_method_steps, dtype=jnp.float32)

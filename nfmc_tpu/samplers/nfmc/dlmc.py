@@ -30,11 +30,7 @@ from ...core.output import MCMCOutput
 from ...core.sampler import NFMCKernel, NFMCParameters, Sampler
 from ...utils import batched_grad, metropolis_acceptance_log_ratio
 
-try:
-    from tqdm import tqdm
-except Exception:  # pragma: no cover
-    def tqdm(it, **kwargs):
-        return it
+from ...utils import tqdm  # shared fallback shim
 
 
 @dataclass

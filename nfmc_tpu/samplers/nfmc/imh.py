@@ -32,11 +32,7 @@ from ...core.rng import resolve_key
 from ...core.sampler import NFMCKernel, NFMCParameters, Sampler
 from ...utils import metropolis_acceptance_log_ratio
 
-try:
-    from tqdm import tqdm
-except Exception:  # pragma: no cover
-    def tqdm(it, **kwargs):
-        return it
+from ...utils import tqdm  # shared fallback shim
 
 
 @dataclass

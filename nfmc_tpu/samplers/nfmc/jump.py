@@ -40,11 +40,7 @@ from ..mcmc.langevin import MALA, ULA
 from ..mcmc.mh import MH
 from ..mcmc.nuts import NUTS
 
-try:
-    from tqdm import tqdm
-except Exception:  # pragma: no cover
-    def tqdm(it, **kwargs):
-        return it
+from ...utils import tqdm  # shared fallback shim
 
 
 @dataclass

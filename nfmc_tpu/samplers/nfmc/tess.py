@@ -33,11 +33,7 @@ from ...core.output import MCMCOutput
 from ...core.sampler import NFMCKernel, NFMCParameters, Sampler
 from ...utils import get_batch_shape
 
-try:
-    from tqdm import tqdm
-except Exception:  # pragma: no cover
-    def tqdm(it, **kwargs):
-        return it
+from ...utils import tqdm  # shared fallback shim
 
 
 @dataclass

@@ -32,11 +32,7 @@ from ..core.rng import resolve_key
 from ..utils import as_numpy
 from .common import log_ess, make_mala_sweep, systematic_resample, tempered
 
-try:
-    from tqdm import tqdm
-except Exception:  # pragma: no cover
-    def tqdm(it, **kwargs):
-        return it
+from ..utils import tqdm  # shared fallback shim
 
 
 class AnnealedFlowTransport:
@@ -64,21 +60,47 @@ class AnnealedFlowTransport:
         )
         self.opt = optax.adam(train_lr)
         self._train_step = jax.jit(self._make_train_step())
+        self._fit_level = jax.jit(self._make_fit_level())
         self._transport = jax.jit(self._make_transport())
 
+    def _loss_fn(self, params, x, w, lam):
+        x_t, log_det = self.flow.bijection.forward_fn(params, x)
+        return jnp.sum(w * (self.u(x_t, lam) - log_det))
+
     def _make_train_step(self):
-        flow = self.flow
-
-        def loss_fn(params, x, w, lam):
-            x_t, log_det = flow.bijection.forward_fn(params, x)
-            return jnp.sum(w * (self.u(x_t, lam) - log_det))
-
         def train_step(params, opt_state, x, w, lam):
-            loss, grads = jax.value_and_grad(loss_fn)(params, x, w, lam)
+            loss, grads = jax.value_and_grad(self._loss_fn)(params, x, w, lam)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
         return train_step
+
+    def _make_fit_level(self):
+        """One level's full training loop (n_train_epochs steps with
+        forward-only val loss and best-weights tracking) as a single compiled
+        scan: one device dispatch per level instead of 2*n_epochs dispatches
+        plus n_epochs host syncs (each sync costs a full tunnel round trip)."""
+        train_step = self._make_train_step()
+
+        def fit_level(params, opt_state, x_train, w_train, x_val, w_val, lam):
+            def body(carry, _):
+                params, opt_state, best_params, best_val = carry
+                params, opt_state, _ = train_step(params, opt_state, x_train, w_train, lam)
+                val = self._loss_fn(params, x_val, w_val, lam)
+                better = jnp.isfinite(val) & (val < best_val)
+                best_params = jax.tree_util.tree_map(
+                    lambda b, p: jnp.where(better, p, b), best_params, params
+                )
+                best_val = jnp.where(better, val, best_val)
+                return (params, opt_state, best_params, best_val), None
+
+            init = (params, opt_state, params, jnp.inf)
+            (_, _, best_params, best_val), _ = jax.lax.scan(
+                body, init, None, length=self.n_train_epochs
+            )
+            return best_params, best_val
+
+        return fit_level
 
     def _make_transport(self):
         flow = self.flow
@@ -126,24 +148,22 @@ class AnnealedFlowTransport:
             lam_prev = (k - 1) / (self.n_steps - 1)
             lam_next = k / (self.n_steps - 1)
 
-            # 1. fit flow on weighted train particles (val early stopping)
+            # 1. fit flow on weighted train particles (val best-weights),
+            # fully on device — no per-epoch host syncs
             opt_state = self.opt.init(params)
             w_train = jnp.exp(lw_train - jax.scipy.special.logsumexp(lw_train))
             w_val = jnp.exp(lw_val - jax.scipy.special.logsumexp(lw_val))
-            best_params, best_val = params, np.inf
-            for _ in range(self.n_train_epochs):
-                params, opt_state, _ = self._train_step(params, opt_state, x_train, w_train, lam_next)
-                val_loss = float(self._train_step(params, opt_state, x_val, w_val, lam_next)[2])
-                if np.isfinite(val_loss) and val_loss < best_val:
-                    best_val, best_params = val_loss, params
-            params = best_params
+            params, _best_val = self._fit_level(
+                params, opt_state, x_train, w_train, x_val, w_val, lam_next
+            )
 
             # 2. transport & reweight
             x_base, lw_base, dlZ, ess_b = self._transport(params, x_base, lw_base, lam_prev, lam_next)
             x_train, lw_train, _, ess_t = self._transport(params, x_train, lw_train, lam_prev, lam_next)
             x_val, lw_val, _, _ = self._transport(params, x_val, lw_val, lam_prev, lam_next)
             log_Z += float(dlZ)
-            ess_trace.append(float(jnp.exp(ess_t)) * n_train_particles)
+            # log_ess returns log of the ABSOLUTE ESS (in [0, log n])
+            ess_trace.append(float(jnp.exp(ess_t)))
 
             # 3. resample on train-ESS criterion (reference design)
             if float(ess_t) - math.log(n_train_particles) <= math.log(threshold):

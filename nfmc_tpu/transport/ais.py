@@ -15,13 +15,14 @@ import jax.numpy as jnp
 from .common import make_mala_sweep, tempered
 
 
-def make_ais(prior_potential: Callable, target_potential: Callable,
-             n_steps: int = 10, n_mcmc_steps: int = 3, step_size: float = 0.05):
-    """Returns jitted ``ais(x0, key) -> (x, log_w)`` where ``x0 ~ prior``."""
-    u = tempered(prior_potential, target_potential)
-    sweep = make_mala_sweep(u, n_steps=n_mcmc_steps, step_size=step_size)
+def anneal_chain(u: Callable, sweep: Callable, n_steps: int):
+    """The AIS annealing loop as a traceable core: ``(x0, key) -> (x, log_w)``
+    over a linear schedule with weight increments
+    ``log_w += u(x, lam_prev) - u(x, lam_next)`` followed by an MCMC sweep at
+    the new level. Shared by :func:`make_ais` and FAB's bootstrap round (which
+    anneals toward the params-dependent alpha=2 target)."""
 
-    def ais(x0, key):
+    def run(x0, key):
         lambdas = jnp.linspace(0.0, 1.0, n_steps + 1)
 
         def body(carry, inputs):
@@ -39,7 +40,15 @@ def make_ais(prior_potential: Callable, target_potential: Callable,
         )
         return x, log_w
 
-    return jax.jit(ais)
+    return run
+
+
+def make_ais(prior_potential: Callable, target_potential: Callable,
+             n_steps: int = 10, n_mcmc_steps: int = 3, step_size: float = 0.05):
+    """Returns jitted ``ais(x0, key) -> (x, log_w)`` where ``x0 ~ prior``."""
+    u = tempered(prior_potential, target_potential)
+    sweep = make_mala_sweep(u, n_steps=n_mcmc_steps, step_size=step_size)
+    return jax.jit(anneal_chain(u, sweep, n_steps))
 
 
 def ais_base(x0, prior_potential, target_potential, n_steps: int = 10,

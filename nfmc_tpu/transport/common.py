@@ -28,6 +28,15 @@ def log_ess(log_w: jax.Array) -> jax.Array:
 
 
 def systematic_resample(key, log_w, n: int):
+    """Systematic (low-variance) resampling indices from log-weights: one
+    uniform offset, n evenly-spaced points through the weight CDF."""
+    w = jnp.exp(log_w - jax.scipy.special.logsumexp(log_w))
+    cdf = jnp.cumsum(w)
+    u = (jax.random.uniform(key, ()) + jnp.arange(n, dtype=w.dtype)) / n
+    return jnp.searchsorted(cdf, u, side="left").clip(0, log_w.shape[0] - 1)
+
+
+def multinomial_resample(key, log_w, n: int):
     """Multinomial resampling indices from log-weights."""
     return jax.random.categorical(key, log_w, shape=(n,))
 

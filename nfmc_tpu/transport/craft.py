@@ -23,11 +23,7 @@ from ..core.rng import resolve_key
 from ..utils import as_numpy
 from .common import log_ess, make_mala_sweep, systematic_resample, tempered
 
-try:
-    from tqdm import tqdm
-except Exception:  # pragma: no cover
-    def tqdm(it, **kwargs):
-        return it
+from ..utils import tqdm  # shared fallback shim
 
 
 class CRAFT:

@@ -5,11 +5,18 @@ The reference sketch (``transport/nested.py:8-35``) references an undefined
 working nested sampler (Skilling 2006): live points from the prior, iterative
 worst-point replacement under the hard likelihood constraint
 ``L(x) > L_worst``, standard evidence accumulation with the
-``X_i = exp(-i / n_live)`` prior-volume shrinkage. Early iterations use
-constrained prior rejection; once enough structure exists the flow (fit to
-the live set every ``n_live`` iterations, as in the reference sketch)
-proposes candidates around the worst point's latent.
-"""
+``X_i = exp(-i / n_live)`` prior-volume shrinkage.
+
+Replacement draws must be *prior-distributed* on ``{L > L_worst}`` or the
+shrinkage law (and hence log_Z) is biased. Early iterations use constrained
+prior rejection; once enough structure exists the flow (refit to the live set
+every ``n_live`` iterations, as in the reference sketch) serves as an
+importance proposal: draw a population from the flow, weight each candidate
+by ``prior(x)/q_flow(x)`` (zero off the prior's support), restrict to the
+likelihood constraint, and resample one candidate by those weights (SIR, as
+in nessai/pocoMC-style flow-based nested samplers). The proposal pass (flow
+sample + likelihood + both densities) is one jitted call with the flow params
+threaded as arguments (the flow is refit mid-run — no closure baking)."""
 from __future__ import annotations
 
 import math
@@ -22,11 +29,7 @@ import numpy as np
 from ..core.rng import resolve_key
 from ..utils import as_numpy
 
-try:
-    from tqdm import tqdm
-except Exception:  # pragma: no cover
-    def tqdm(it, **kwargs):
-        return it
+from ..utils import tqdm  # shared fallback shim
 
 
 class NestedSampling:
@@ -37,9 +40,28 @@ class NestedSampling:
         self.log_likelihood = log_likelihood
         self.flow = flow
         self.n_live = int(n_live_points)
-        self.latent_scale = float(latent_scale)
+        self.latent_scale = float(latent_scale)  # kept for API compat (unused)
         self.n_pop = int(n_population_draws)
         self.flow_fit_kwargs = flow_fit_kwargs or {"n_epochs": 30, "lr": 0.01}
+
+        flow_ = flow
+        prior_ = prior
+        log_likelihood_ = log_likelihood
+
+        def _flow_propose(params, key):
+            """Population draw from the flow + everything the SIR pick needs:
+            likelihoods and log prior/flow-density importance weights."""
+            xp, logq = flow_.sample_fn(params, key, self.n_pop, return_log_prob=True)
+            lls = log_likelihood_(xp)
+            log_w = -prior_(xp) - logq  # log[prior(x)/q(x)] up to a constant
+            return xp, lls, log_w
+
+        def _prior_draw(key):
+            cand = prior_.sample((self.n_pop,), key=key)
+            return cand, log_likelihood_(cand)
+
+        self._flow_propose = jax.jit(_flow_propose)
+        self._prior_draw = jax.jit(_prior_draw)
 
     def run(self, n_iterations: int = 1000, show_progress: bool = False,
             key=None, seed=None):
@@ -52,8 +74,7 @@ class NestedSampling:
         log_Z = -np.inf
         log_X_prev = 0.0
         dead_points, dead_ll = [], []
-
-        ll_fn = jax.jit(self.log_likelihood)
+        rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
 
         iterator = tqdm(range(n_iterations), desc="NS", disable=not show_progress)
         for i in iterator:
@@ -70,30 +91,33 @@ class NestedSampling:
 
             replacement = None
             if i >= n_rs_iterations:
-                # flow-guided proposal around the worst point's latent
-                key, k1, k2 = jax.random.split(key, 3)
-                z_worst, _ = self.flow.bijection.forward(jnp.asarray(x[worst][None]))
-                z_prop = (
-                    z_worst
-                    + self.latent_scale
-                    * jax.random.normal(k1, (self.n_pop, *self.flow.event_shape))
+                # flow population + SIR to the constrained prior: restrict to
+                # L > L_worst, then resample ONE candidate by prior/q weights
+                # (a candidate outside the prior support has weight exp(-inf)=0)
+                key, k1 = jax.random.split(key)
+                x_prop, lls, lw = jax.device_get(
+                    self._flow_propose(self.flow.params, k1)
                 )
-                x_prop, _ = self.flow.bijection.inverse(z_prop)
-                lls = np.asarray(ll_fn(x_prop))
-                ok = np.where(np.isfinite(lls) & (lls > l_worst))[0]
+                ok = np.where(np.isfinite(lls) & (lls > l_worst) & np.isfinite(lw))[0]
                 if len(ok) > 0:
-                    pick = ok[int(jax.random.randint(k2, (), 0, len(ok)))]
-                    replacement = (np.asarray(x_prop)[pick], float(lls[pick]))
+                    w = np.exp(lw[ok] - lw[ok].max())
+                    w_sum = w.sum()
+                    if np.isfinite(w_sum) and w_sum > 0:
+                        pick = ok[rng.choice(len(ok), p=w / w_sum)]
+                        replacement = (np.asarray(x_prop)[pick], float(lls[pick]))
 
             if replacement is None:
-                # constrained rejection sampling from the prior (batched)
+                # constrained rejection sampling from the prior (batched,
+                # exactly prior-distributed on {L > L_worst})
                 for _ in range(200):
                     key, kr = jax.random.split(key)
-                    cand = np.asarray(self.prior.sample((self.n_pop,), key=kr), dtype=np.float32)
-                    lls = np.asarray(ll_fn(jnp.asarray(cand)))
+                    cand, lls = jax.device_get(self._prior_draw(kr))
                     ok = np.where(lls > l_worst)[0]
                     if len(ok) > 0:
-                        replacement = (cand[ok[0]], float(lls[ok[0]]))
+                        replacement = (
+                            np.asarray(cand, dtype=np.float32)[ok[0]],
+                            float(lls[ok[0]]),
+                        )
                         break
             if replacement is None:
                 break  # cannot improve the worst point; terminate

@@ -45,11 +45,7 @@ def _ess_np(log_w: np.ndarray) -> float:
     lw = log_w - np.logaddexp.reduce(log_w)
     return float(np.exp(-np.logaddexp.reduce(2.0 * lw)))
 
-try:
-    from tqdm import tqdm
-except Exception:  # pragma: no cover
-    def tqdm(it, **kwargs):
-        return it
+from ..utils import tqdm  # shared fallback shim
 
 
 class PreconditionedMonteCarlo:

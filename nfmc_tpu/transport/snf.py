@@ -28,11 +28,7 @@ import optax
 from ..core.rng import resolve_key
 from ..utils import as_numpy, batched_grad, sum_except_batch, value_and_batched_grad
 
-try:
-    from tqdm import tqdm
-except Exception:  # pragma: no cover
-    def tqdm(it, **kwargs):
-        return it
+from ..utils import tqdm  # shared fallback shim
 
 
 class SNFLayer:
@@ -59,7 +55,9 @@ class MALALayer(SNFLayer):
         eta = jax.random.normal(key, x.shape)
         x_prime = x - self.eps * g_x + math.sqrt(2.0 * self.eps / self.beta) * eta
         g_xp = grad_u(x_prime)
-        eta_tilde = math.sqrt(self.eps / 2.0) * (g_x + g_xp) - eta
+        # backward noise solves x = x' - eps*g_xp + sqrt(2 eps/beta) eta~:
+        # eta~ = sqrt(eps*beta/2) (g_x + g_xp) - eta  (beta enters the sqrt)
+        eta_tilde = math.sqrt(self.eps * self.beta / 2.0) * (g_x + g_xp) - eta
         delta_s = -0.5 * (
             sum_except_batch(eta_tilde**2, self.event_shape)
             - sum_except_batch(eta**2, self.event_shape)

@@ -15,6 +15,45 @@ import numpy as np
 Shape = Tuple[int, ...]
 
 
+try:  # progress bars are optional; every call site imports this shim
+    from tqdm import tqdm
+except Exception:  # pragma: no cover
+
+    class tqdm:  # noqa: N801 - drop-in for tqdm.tqdm
+        """No-op fallback supporting both usage styles: wrapping an iterable
+        (``for x in tqdm(it, ...)``) and manual bars (``tqdm(total=...)`` with
+        ``update``/``set_postfix_str``/``refresh``/``close``)."""
+
+        def __init__(self, iterable=None, total=None, **kwargs):
+            self.iterable = iterable
+            self.total = total
+            self.n = 0
+
+        def __iter__(self):
+            return iter(self.iterable if self.iterable is not None else ())
+
+        def update(self, n=1):
+            self.n += n
+
+        def set_postfix_str(self, s=""):
+            pass
+
+        def set_description(self, s=""):
+            pass
+
+        def refresh(self):
+            pass
+
+        def close(self):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+
 def event_size_of(event_shape: Sequence[int]) -> int:
     return int(np.prod(np.asarray(event_shape, dtype=np.int64))) if len(event_shape) else 1
 

@@ -82,6 +82,47 @@ def test_ffjord():
            recon_tol=1e-3, ld_tol=2e-2)
 
 
+def test_ffjord_trace_fallback_logdet_sign():
+    """Regression: the large-d instantaneous-trace fallback must match the
+    exact-slogdet path's log-det (a sign flip here once negated every CNF
+    density above exact_trace_dim)."""
+    from nfmc_tpu.flows.continuous import FFJORD
+
+    exact = FFJORD((6,), hidden_size=16, n_steps=6)
+    fallback = FFJORD((6,), hidden_size=16, n_steps=6, exact_trace_dim=0, n_probes=64)
+    f = Flow(exact, seed=3)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(jax.random.key(5), p.shape), f.params
+    )
+    z_e, ld_e = exact.forward_fn(params, X6)
+    z_h, ld_h = fallback.forward_fn(params, X6)
+    assert np.allclose(np.asarray(z_e), np.asarray(z_h), atol=1e-4)
+    assert np.allclose(np.asarray(ld_e), np.asarray(ld_h), atol=5e-2), (ld_e, ld_h)
+    # inverse direction too: log|det dx/dz| = -log|det dz/dx|
+    _, ld_ih = fallback.inverse_fn(params, z_h)
+    assert np.allclose(np.asarray(ld_ih), -np.asarray(ld_h), atol=5e-2)
+
+
+def test_conv_ffjord_logdet():
+    """Conv CNF log-det vs brute-force autodiff slogdet on a tiny image."""
+    from nfmc_tpu.flows.multiscale import ConvolutionalFFJORD
+
+    bij = ConvolutionalFFJORD((4, 4), hidden_channels=4, n_steps=6)
+    x = jax.random.normal(jax.random.key(2), (2, 4, 4)) * 0.5
+    f = Flow(bij, seed=3)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.05 * jax.random.normal(jax.random.key(5), p.shape), f.params
+    )
+    z, ld_f = bij.forward_fn(params, x)
+    x2, ld_i = bij.inverse_fn(params, z)
+    assert float(jnp.max(jnp.abs(x2 - x))) < 1e-3
+    J = jax.vmap(jax.jacfwd(lambda v: bij.forward_fn(params, v[None])[0][0]))(x)
+    J = J.reshape(2, 16, 16)
+    ld_auto = jnp.linalg.slogdet(J)[1]
+    assert float(jnp.max(jnp.abs(ld_auto - ld_f))) < 5e-2, (ld_auto, ld_f)
+    assert np.allclose(np.asarray(ld_i), -np.asarray(ld_f), atol=5e-2)
+
+
 def test_otflow():
     from nfmc_tpu.flows.continuous import OTFlow
 

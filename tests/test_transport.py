@@ -26,6 +26,40 @@ def test_ais_log_z():
     assert np.abs(np.asarray(x).mean(0) - 2.0).max() < 1.0
 
 
+def test_snf_mala_layer_delta_s_detailed_balance():
+    """Regression (beta factor): delta_s must equal the exact log ratio of
+    reverse/forward transition densities for any temperature beta."""
+    import jax.numpy as jnp
+
+    from nfmc_tpu.transport.snf import MALALayer
+
+    eps_beta_cases = [(0.1, 1.0), (0.1, 2.5), (0.05, 0.5)]
+    for time_step, beta in eps_beta_cases:
+        layer = MALALayer((3,), time_step=time_step, beta=beta)
+        pot = lambda v: 0.5 * jnp.sum((v - 1.0) ** 2, axis=-1)
+        x = jax.random.normal(jax.random.key(0), (64, 3))
+        x_prime, delta_s = layer.apply((), x, pot, jax.random.key(1))
+        eps = layer.eps
+        g = jax.vmap(jax.grad(lambda v: pot(v[None])[0]))
+        # log q(x | x') - log q(x' | x) under N(. ; y - eps*g(y), 2 eps/beta I)
+        fwd = -beta / (4 * eps) * jnp.sum((x_prime - x + eps * g(x)) ** 2, axis=-1)
+        rev = -beta / (4 * eps) * jnp.sum((x - x_prime + eps * g(x_prime)) ** 2, axis=-1)
+        assert np.allclose(np.asarray(delta_s), np.asarray(rev - fwd), atol=1e-4), beta
+
+
+def test_systematic_resample_low_variance():
+    """Counts of systematic resampling match n*w within 1 (the defining
+    low-variance property; multinomial would fluctuate by O(sqrt(n*w)))."""
+    import jax.numpy as jnp
+
+    from nfmc_tpu.transport.common import systematic_resample
+
+    w = np.array([0.5, 0.25, 0.125, 0.0625, 0.0625])
+    idx = np.asarray(systematic_resample(jax.random.key(3), jnp.log(w), 400))
+    counts = np.bincount(idx, minlength=5)
+    assert np.abs(counts - 400 * w).max() <= 1.0, counts
+
+
 def test_aft():
     from nfmc_tpu.transport import aft
 
@@ -63,6 +97,16 @@ def test_ns():
     assert out["dead_points"].shape[0] > 0
     # live points should have climbed the likelihood
     assert out["live_log_likelihoods"].min() > out["dead_log_likelihoods"][0]
+
+
+def test_ns_log_z_accuracy():
+    """NS evidence convention is Z = E_{normalized prior}[L]: per dim
+    int N(x;0,1) exp(-(x-2)^2/(2 * 0.25)) dx = 0.5/sqrt(1.25) * exp(-1.6)."""
+    from nfmc_tpu.transport import ns
+
+    true_log_z = 3 * (np.log(0.5) - 0.5 * np.log(1.25) - 1.6)  # = -7.214
+    out = ns(PRIOR, TARGET, FLOW, n_particles=64, n_iterations=400, seed=1)
+    assert abs(out["log_Z"] - true_log_z) < 1.0, (out["log_Z"], true_log_z)
 
 
 def test_pmc():
