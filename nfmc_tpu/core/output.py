@@ -42,7 +42,10 @@ class MCMCOutput:
         return self.running_samples.as_tensor()
 
     def resample(self, n: int, seed: int = 0) -> np.ndarray:
-        flat = self.samples.reshape(-1, *self.event_shape)
+        samples = self.samples
+        if samples is None:
+            raise ValueError("no stored samples (store_samples=False) — resample needs the chain history")
+        flat = samples.reshape(-1, *self.event_shape)
         rng = np.random.default_rng(seed)
         idx = rng.integers(low=0, high=len(flat), size=(n,))
         return flat[idx]
@@ -58,13 +61,28 @@ class MCMCOutput:
         s = self.running_samples.as_tensor()
         return jnp.asarray(s).reshape(s.shape[0], s.shape[1], -1)
 
-    def effective_sample_size(self):
+    def effective_sample_size(self, max_window: int = 8192, dim_slab: int = 25):
         """Per-dimension ESS (summed over chains) of the stored draws, shape
         ``(event_size,)``; computed on device (``nfmc_tpu.diagnostics``).
-        Requires stored samples. A capability the reference lacks."""
+        Requires stored samples. A capability the reference lacks.
+
+        Long histories are estimated on a trailing ``max_window`` of draws and
+        extrapolated linearly in the draw count (TPU FFT compile time blows up
+        at nfft >= 64k, and for any chain whose autocorrelation time is well
+        under the window ESS is linear in n); the event dimension is processed
+        in ``dim_slab`` slabs to bound the FFT pad-buffer footprint."""
+        import jax.numpy as jnp
+
         from ..diagnostics import effective_sample_size
 
-        return effective_sample_size(self._stored_chains())
+        chains = self._stored_chains()
+        n = chains.shape[0]
+        window = chains[-min(max_window, n):]
+        parts = [
+            effective_sample_size(window[..., i : i + dim_slab])
+            for i in range(0, window.shape[-1], dim_slab)
+        ]
+        return jnp.concatenate(parts) * (n / window.shape[0])
 
     def potential_scale_reduction(self):
         """Per-dimension split-R-hat of the stored draws, shape ``(event_size,)``."""
@@ -78,7 +96,7 @@ class MCMCOutput:
 
     @property
     def variance(self):
-        return self.statistics.running_second_moment - self.statistics.running_first_moment**2
+        return self.statistics.running_variance
 
     @property
     def second_moment(self):

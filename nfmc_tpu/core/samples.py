@@ -39,7 +39,10 @@ class MCMCSamples:
         self.n_samples = 0
 
     def __getitem__(self, index):
-        if index == -1 or index == self.n_samples - 1:
+        # The last-ADDED state equals the last STORED sample only without
+        # thinning (with thinning the final state of a block may be dropped,
+        # and last_sample would disagree with as_tensor()[-1]).
+        if self.thinning == 1 and (index == -1 or index == self.n_samples - 1):
             return self.last_sample
         if not self.on_device:
             return self._running[index]

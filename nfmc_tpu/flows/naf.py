@@ -69,7 +69,11 @@ class _MonotoneSigmoidTransform:
         dydx = jnp.exp(ld0)
         x = x0 - jnp.clip((y0 - y) / jnp.maximum(dydx, 1e-30), -1.0, 1.0)
         x = jnp.clip(x, -_BRACKET, _BRACKET)
-        _, ld = self.forward(jax.lax.stop_gradient(x), raw)
+        # evaluate at the DIFFERENTIABLE x: the log-det's gradient needs the
+        # d(ld)/dx * dx/d(y,raw) chain term (x carries exact first-order
+        # implicit gradients from the Newton step); a stop_gradient here
+        # truncated reverse-KL training gradients for every NAF flow
+        _, ld = self.forward(x, raw)
         return x, -ld
 
 
@@ -149,7 +153,7 @@ class DeepDenseSigmoidTransform(DenseSigmoidTransform):
     @property
     def n_params_per_dim(self):
         K = self.K
-        return 2 * K * K + 6 * K  # a, b, W1, c1, W2, c2, w
+        return 2 * K * K + 5 * K  # a, b (2K) + W1, W2 (2K^2) + c1, c2 (2K) + w (K)
 
     def _split2(self, raw):
         K = self.K

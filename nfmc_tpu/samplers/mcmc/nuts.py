@@ -9,15 +9,12 @@ same chunked-scan driver as the other kernels.
 """
 from __future__ import annotations
 
-import dataclasses
 import math
 from dataclasses import dataclass
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
-from ...utils import batched_grad, flatten_event, sum_except_batch
 from .base import MetropolisKernel, MetropolisParameters, MetropolisSampler
 
 

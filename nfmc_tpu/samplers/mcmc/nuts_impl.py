@@ -237,7 +237,10 @@ def make_nuts_step(
             lambda z, k: single_chain_step(z, eps, inv_mass_diag, k)
         )(x_flat, keys)
         diverged_any = jnp.any(diverged).astype(jnp.int32)
-        total_leapfrog = jnp.sum(n_leapfrog).astype(jnp.int32)
-        return z_new.reshape(x.shape), moved, diverged_any, accept_stat, total_leapfrog
+        # + n_chains: the per-chain seed evaluation u_grad(z0) in
+        # single_chain_step is a real target call+gradient on top of the
+        # leapfrogs (counter contract, SURVEY.md section 2.8)
+        total_evals = jnp.sum(n_leapfrog).astype(jnp.int32) + jnp.int32(n_chains)
+        return z_new.reshape(x.shape), moved, diverged_any, accept_stat, total_evals
 
     return nuts_step

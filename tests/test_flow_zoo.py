@@ -49,6 +49,33 @@ def test_coupling_deep_dense_sf():
     _check(CouplingDeepDenseSF((6,), n_layers=2, hidden_size=16), X6, recon_tol=1e-3, ld_tol=1e-3)
 
 
+def test_naf_inverse_logdet_gradient():
+    """Regression: gradients of the bisection-inverse log-det w.r.t. the raw
+    conditioner params must include the d(ld)/dx * dx/d(raw) implicit chain
+    term (a stop_gradient once truncated it, biasing reverse-KL training)."""
+    from nfmc_tpu.flows.naf import DeepSigmoidTransform
+
+    tr = DeepSigmoidTransform(4)
+    raw = 0.3 * jax.random.normal(jax.random.key(0), (3, tr.n_params_per_dim))
+    y = jnp.array([0.5, -1.2, 2.0])
+
+    def ld_inv(raw):
+        return jnp.sum(tr.inverse(y, raw)[1])
+
+    g = jax.grad(ld_inv)(raw)
+    # central finite differences
+    eps = 1e-3
+    g_fd = np.zeros_like(np.asarray(raw))
+    for i in range(raw.shape[0]):
+        for j in range(raw.shape[1]):
+            dp = np.zeros(raw.shape, dtype=np.float64)
+            dp[i, j] = eps
+            g_fd[i, j] = (
+                float(ld_inv(raw + dp)) - float(ld_inv(raw - dp))
+            ) / (2 * eps)
+    assert np.allclose(np.asarray(g), g_fd, atol=2e-2), np.abs(np.asarray(g) - g_fd).max()
+
+
 def test_planar():
     from nfmc_tpu.flows.residual import PlanarFlow
 
