@@ -54,4 +54,10 @@ def __getattr__(name):
         from .api import registry
 
         return getattr(registry, name)
+    if name == "profiling":
+        # importlib, not `from . import`: the from-import form re-enters this
+        # __getattr__ through _handle_fromlist before the submodule loads
+        import importlib
+
+        return importlib.import_module(".profiling", __name__)
     raise AttributeError(f"module 'nfmc_tpu' has no attribute {name}")
