@@ -123,23 +123,31 @@ class ChunkedScanDriver:
     def __init__(
         self,
         event_shape: Tuple[int, ...],
-        make_step: Callable[[bool], StepFn],
+        make_step: Optional[Callable[[bool], StepFn]] = None,
         data_transform: Optional[Callable[[jax.Array], jax.Array]] = None,
         emit_transform: Optional[Callable[[jax.Array], jax.Array]] = None,
         make_precompute: Optional[Callable[[bool], Callable]] = None,
+        make_step_aux: Optional[Callable[[bool], Callable]] = None,
     ):
         self.event_shape = tuple(event_shape)
         self.make_step = make_step
-        # State-independent per-iteration work (e.g. IMH's flow proposals:
-        # base draw + coupling inverse + proposal log-prob + target eval) can
-        # be hoisted out of the scan and computed for the WHOLE chunk as one
-        # large batched pass — (chunk*C, *event) matmuls tile onto the MXU,
-        # where the in-scan (C, *event) ops are latency-bound. When set,
-        # ``make_precompute(tuning)`` returns ``fn(kstate, keys) -> aux`` (a
-        # pytree with leading dim = chunk) and the step signature becomes
-        # ``step(x, kstate, key, aux_i)``. RNG parity: the precompute must
-        # derive per-iteration keys exactly as the in-scan step would.
+        # State-independent per-iteration work can be hoisted out of the scan
+        # and computed for the WHOLE chunk in one batched pass: flow proposals
+        # (base draw + coupling inverse + log-prob + target eval — (chunk*C,
+        # *event) matmuls tile onto the MXU) and plain per-step RNG (noise +
+        # accept uniforms; the in-scan serial threefry chains are ~30% of a
+        # small-chain MALA step). When set, ``make_precompute(tuning)``
+        # returns ``fn(x, kstate, keys) -> aux`` (a pytree with leading dim =
+        # chunk, or None to decline — e.g. a size guard for huge
+        # chunk*chains*event footprints) and iterations run through
+        # ``make_step_aux(tuning)`` = ``step(x, kstate, key, aux_i)``; when
+        # the precompute declines (or is absent) they run through plain
+        # ``make_step``. RNG parity: the precompute must derive per-iteration
+        # keys exactly as the in-scan step would.
         self.make_precompute = make_precompute
+        self.make_step_aux = make_step_aux
+        if make_step is None and (make_step_aux is None or make_precompute is None):
+            raise ValueError("need make_step, or make_step_aux + make_precompute")
         # data_transform feeds the in-scan moment accumulators (NeuTra maps
         # latent -> data, reference ``neutra.py:122``); emit_transform maps the
         # carried state to what gets *stored* (TESS stores x = f^{-1}(u) while
@@ -152,7 +160,8 @@ class ChunkedScanDriver:
     def _runner(self, tuning: bool, collect: bool):
         cache_key = (tuning, collect)
         if cache_key not in self._runners:
-            step_fn = self.make_step(tuning)
+            step_fn = self.make_step(tuning) if self.make_step else None
+            step_aux_fn = self.make_step_aux(tuning) if self.make_step_aux else None
             precompute_fn = self.make_precompute(tuning) if self.make_precompute else None
             data_transform = self.data_transform
             emit_transform = self.emit_transform
@@ -165,13 +174,15 @@ class ChunkedScanDriver:
                 # the loop used to do per chunk were real money).
                 keys = jax.random.split(key, chunk + 1)
                 key_next, keys = keys[0], keys[1:]
-                xs = (keys, precompute_fn(kstate, keys)) if precompute_fn else keys
+                aux = precompute_fn(x, kstate, keys) if precompute_fn else None
+                use_aux = aux is not None  # trace-time decision
+                xs = (keys, aux) if use_aux else keys
 
                 def body(carry, xs_i):
                     x, ks, acc = carry
-                    if precompute_fn is not None:
+                    if use_aux:
                         key_i, aux_i = xs_i
-                        x_new, ks_new, info = step_fn(x, ks, key_i, aux_i)
+                        x_new, ks_new, info = step_aux_fn(x, ks, key_i, aux_i)
                     else:
                         x_new, ks_new, info = step_fn(x, ks, xs_i)
                     acc_new = acc.add(info, data_transform(x_new))

@@ -66,21 +66,47 @@ class HMC(MetropolisSampler):
     def _static_config(self):
         return super()._static_config() + (self.kernel.n_leapfrog_steps,)
 
+    def make_draws(self):
+        """Raw momentum normals + accept uniforms (the 1/sqrt(inv_mass) scale
+        is state-dependent and applies in the step); hoistable per chunk with
+        bit-identical results to the in-scan derivation."""
+        event_size = self.kernel.event_size
+        adjustment = self.params.adjustment
+
+        def draws(key, n_chains):
+            k_mom, k_accept = jax.random.split(key)
+            p_raw = jax.random.normal(k_mom, (n_chains, event_size))
+            if adjustment:
+                log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
+            else:
+                log_u = jnp.zeros((n_chains,), dtype=jnp.float32)
+            return p_raw, log_u
+
+        return draws
+
     def make_propose(self):
+        propose_aux = self.make_propose_aux()
+        draws = self.make_draws()
+
+        def propose(x, mstate, key):
+            return propose_aux(x, mstate, draws(key, x.shape[0]))
+
+        return propose
+
+    def make_propose_aux(self):
         target = self.target
         event_shape = self.event_shape
         adjustment = self.params.adjustment
         n_leapfrog = self.kernel.n_leapfrog_steps
         grad_u = batched_grad(target)
 
-        def propose(x, mstate, key):
+        def propose(x, mstate, aux):
             n_chains = x.shape[0]
-            k_mom, k_accept = jax.random.split(key)
+            p_raw, log_u = aux
             inv_mass = mstate.inv_mass_diag  # (d,)
             eps = mstate.step_size
 
-            p_flat = jax.random.normal(k_mom, (n_chains, inv_mass.shape[0])) / jnp.sqrt(inv_mass)[None]
-            p0 = p_flat.reshape(x.shape)
+            p0 = (p_raw / jnp.sqrt(inv_mass)[None]).reshape(x.shape)
 
             def precondition(v):
                 v_flat = flatten_event(v, event_shape)
@@ -107,7 +133,6 @@ class HMC(MetropolisSampler):
                 h_start = target(x) + 0.5 * sum_except_batch(precondition(p0) * p0, event_shape)
                 h_end = target(x_prime) + 0.5 * sum_except_batch(precondition(p_prime) * p_prime, event_shape)
                 log_prob_accept = -h_end + h_start
-                log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
                 mask = (log_u < log_prob_accept) & finite_prop & jnp.isfinite(h_end)
                 # Divergence = non-finite trajectory end OR non-finite
                 # Hamiltonian there (Stan convention; superset of the

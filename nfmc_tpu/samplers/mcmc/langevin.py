@@ -76,7 +76,33 @@ class Langevin(MetropolisSampler):
         u0, g0 = value_and_batched_grad(self.target)(x0)
         return (mstate, u0, g0)
 
+    def make_draws(self):
+        """Per-iteration randomness, hoistable per chunk (bit-identical to the
+        in-scan derivation in ``_make_step``)."""
+        event_shape = self.event_shape
+        adjustment = self.params.adjustment
+
+        def draws(key, n_chains):
+            k_noise, k_accept = jax.random.split(key)
+            noise = jax.random.normal(k_noise, (n_chains, *event_shape))
+            if adjustment:
+                log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
+            else:
+                log_u = jnp.zeros((n_chains,), dtype=jnp.float32)
+            return noise, log_u
+
+        return draws
+
     def _make_step(self, tuning: bool):
+        step_aux = self._make_step_aux(tuning)
+        draws = self.make_draws()
+
+        def step(x, state, key):
+            return step_aux(x, state, key, draws(key, x.shape[0]))
+
+        return step
+
+    def _make_step_aux(self, tuning: bool):
         from ...core.driver import StepInfo
 
         target = self.target
@@ -86,11 +112,10 @@ class Langevin(MetropolisSampler):
         u_and_grad = value_and_batched_grad(target)
         update_kernel = self.make_update_kernel()
 
-        def step(x, state, key):
+        def step(x, state, key, aux):
             mstate, u_x, g_x = state
             n_chains = x.shape[0]
-            k_noise, k_accept = jax.random.split(key)
-            noise = jax.random.normal(k_noise, x.shape)
+            noise, log_u = aux
             tau = mstate.step_size
             inv_mass = mstate.inv_mass_diag
 
@@ -114,7 +139,6 @@ class Langevin(MetropolisSampler):
                     log_prob_proposal_curr=-proposal_potential(x_flat, xp_flat, gp_flat, a_diag, tau),
                     log_prob_proposal_prime=-proposal_potential(xp_flat, x_flat, g_flat, a_diag, tau),
                 )
-                log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
                 mask = (log_u < log_ratio) & finite_prop & jnp.isfinite(u_xp)
             else:
                 mask = finite_prop & jnp.isfinite(u_xp)

@@ -47,29 +47,52 @@ class MH(MetropolisSampler):
     def name(self):
         return "MH"
 
-    def make_propose(self):
-        target = self.target
-        event_shape = self.event_shape
+    def make_draws(self):
+        """Raw proposal normals + accept uniforms (the inv_mass_diag scale is
+        state-dependent and stays in the step); hoistable per chunk with
+        bit-identical results to the in-scan derivation."""
+        event_size = self.kernel.event_size
         adjustment = self.params.adjustment
 
-        def propose(x, mstate, key):
-            n_chains = x.shape[0]
+        def draws(key, n_chains):
             k_noise, k_accept = jax.random.split(key)
-            noise = jax.random.normal(k_noise, (n_chains, mstate.inv_mass_diag.shape[0]))
-            noise = (noise * mstate.inv_mass_diag).reshape(x.shape)
-            x_prime = x + noise
+            noise = jax.random.normal(k_noise, (n_chains, event_size))
+            if adjustment:
+                log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
+            else:
+                log_u = jnp.zeros((n_chains,), dtype=jnp.float32)
+            return noise, log_u
+
+        return draws
+
+    def make_propose_aux(self):
+        target = self.target
+        adjustment = self.params.adjustment
+
+        def propose(x, mstate, aux):
+            n_chains = x.shape[0]
+            noise, log_u = aux
+            x_prime = x + (noise * mstate.inv_mass_diag).reshape(x.shape)
 
             finite_prop = jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
             if adjustment:
                 log_ratio = metropolis_acceptance_log_ratio(
                     -target(x), -target(x_prime), 0.0, 0.0
                 )
-                log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
                 mask = (log_u < log_ratio) & finite_prop
             else:
                 mask = finite_prop
             diverged = (~jnp.all(finite_prop)).astype(jnp.int32)
             return x_prime, mask, diverged
+
+        return propose
+
+    def make_propose(self):
+        propose_aux = self.make_propose_aux()
+        draws = self.make_draws()
+
+        def propose(x, mstate, key):
+            return propose_aux(x, mstate, draws(key, x.shape[0]))
 
         return propose
 
@@ -79,11 +102,22 @@ class MH(MetropolisSampler):
         return (mstate, self.target(x0))
 
     def _make_step(self, tuning: bool):
+        if not self.params.adjustment:
+            return super()._make_step(tuning)
+        step_aux = self._make_step_aux(tuning)
+        draws = self.make_draws()
+
+        def step(x, state, key):
+            return step_aux(x, state, key, draws(key, x.shape[0]))
+
+        return step
+
+    def _make_step_aux(self, tuning: bool):
         """Carried-potential step (cf. Langevin/IMH/ESS/TESS): when adjusted,
         U(x) rides in the scan state and only the proposal is evaluated each
         iteration; reported counters keep the reference's 2B contract."""
         if not self.params.adjustment:
-            return super()._make_step(tuning)
+            return super()._make_step_aux(tuning)
 
         from ...core.driver import StepInfo
 
@@ -91,17 +125,15 @@ class MH(MetropolisSampler):
         event_ndim = len(self.event_shape)
         update_kernel = self.make_update_kernel()
 
-        def step(x, state, key):
+        def step(x, state, key, aux):
             mstate, u_x = state
             n_chains = x.shape[0]
-            k_noise, k_accept = jax.random.split(key)
-            noise = jax.random.normal(k_noise, (n_chains, mstate.inv_mass_diag.shape[0]))
+            noise, log_u = aux
             x_prime = x + (noise * mstate.inv_mass_diag).reshape(x.shape)
 
             finite_prop = jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
             u_prime = target(x_prime)
             log_ratio = metropolis_acceptance_log_ratio(-u_x, -u_prime, 0.0, 0.0)
-            log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
             finite_prop = finite_prop & jnp.isfinite(u_prime)
             mask = (log_u < log_ratio) & finite_prop
 

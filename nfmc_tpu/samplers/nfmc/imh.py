@@ -176,7 +176,7 @@ class FixedIMH(AbstractIMH):
             # chunk, as (chunk*C, *event) batches that tile onto the MXU. The
             # scan body is left with pure elementwise accept logic. Key
             # derivation matches _make_accept_step (k_prop = split(key)[0]).
-            def precompute(kstate, keys):
+            def precompute(x, kstate, keys):
                 params, flp_x, _u_x = kstate
                 chunk, n_chains = keys.shape[0], flp_x.shape[0]
                 k_props = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
@@ -213,7 +213,9 @@ class FixedIMH(AbstractIMH):
         # carry), so the driver is reusable across calls and flow refits.
         driver = self._cached_driver(
             (id(flow), id(flow.bijection), id(flow._base_log_prob_override), id(self.target)),
-            lambda: ChunkedScanDriver(self.event_shape, make_step, make_precompute=make_precompute),
+            lambda: ChunkedScanDriver(
+                self.event_shape, make_step_aux=make_step, make_precompute=make_precompute
+            ),
             keepalive=(flow, flow.bijection, flow._base_log_prob_override, self.target),
         )
         t0 = time.time()
