@@ -62,14 +62,34 @@ class ESSParameters(MCMCParameters):
     max_ess_step_iterations: int = 5
 
 
+def ess_step_draws(key, f_shape: Tuple[int, ...], event_shape: Tuple[int, ...],
+                   max_iterations: int, use_chol: bool):
+    """Per-iteration randomness of one ESS step, hoistable per chunk.
+
+    Replicates the in-step key derivation exactly: (raw ellipse normal,
+    threshold uniform, raw bracket-angle uniform, shrink uniforms)."""
+    batch_shape = f_shape[: len(f_shape) - len(event_shape)]
+    d = int(np.prod(event_shape)) if event_shape else 1
+    expand = (*batch_shape, *([1] * len(event_shape)))
+    k_nu, k_u, k_theta, k_shrink = jax.random.split(key, 4)
+    z = jax.random.normal(k_nu, (*batch_shape, d) if use_chol else f_shape)
+    u = jax.random.uniform(k_u, batch_shape)
+    theta0 = jax.random.uniform(k_theta, expand)
+    shrink = jax.vmap(lambda k: jax.random.uniform(k, expand))(
+        jax.random.split(k_shrink, max_iterations)
+    )
+    return z, u, theta0, shrink
+
+
 def elliptical_slice_sampling_step(
     f: jax.Array,
     negative_log_likelihood: Callable,
     event_shape: Tuple[int, ...],
-    key: jax.Array,
+    key: Optional[jax.Array],
     chol: Optional[jax.Array] = None,
     max_iterations: int = 5,
     nll_f: Optional[jax.Array] = None,
+    draws=None,
 ):
     """One vectorized ESS step; reference ``ess.py:12-64``.
 
@@ -78,35 +98,35 @@ def elliptical_slice_sampling_step(
     shrinking for not-yet-accepted chains. ``nll_f`` optionally carries the
     current state's likelihood (known from the previous step's acceptance),
     saving the reference's leading evaluation; reported counters keep the
-    (max_iter + 1) * B contract. Returns ``(f', nll(f'), accepted)``.
+    (max_iter + 1) * B contract. ``draws`` optionally supplies the step's
+    randomness pre-drawn (see :func:`ess_step_draws`); by default it derives
+    from ``key``. Returns ``(f', nll(f'), accepted)``.
     """
     batch_shape = get_batch_shape(f, event_shape)
-    d = int(np.prod(event_shape)) if event_shape else 1
-    k_nu, k_u, k_theta, k_shrink = jax.random.split(key, 4)
+    expand = (*batch_shape, *([1] * len(event_shape)))
+    if draws is None:
+        draws = ess_step_draws(key, f.shape, event_shape, max_iterations, chol is not None)
+    z, u, theta0, shrink = draws
 
     # 1. Choose ellipse
     if chol is None:
-        nu = jax.random.normal(k_nu, f.shape)
+        nu = z.reshape(f.shape)
     else:
-        z = jax.random.normal(k_nu, (*batch_shape, d))
         nu = (z @ chol.T).reshape(f.shape)
 
     # 2. Log-likelihood threshold
     if nll_f is None:
         nll_f = negative_log_likelihood(f)
-    u = jax.random.uniform(k_u, batch_shape)
     log_y = -nll_f + jnp.log(u)
 
     # 3. Initial proposal angle defines the bracket
-    expand = (*batch_shape, *([1] * len(event_shape)))
-    theta = jax.random.uniform(k_theta, expand) * (2.0 * math.pi)
+    theta = theta0 * (2.0 * math.pi)
     theta_min = theta - 2.0 * math.pi
     theta_max = theta
 
     accepted = jnp.zeros(batch_shape, dtype=bool)
     f_proposed = f
     nll_proposed = nll_f
-    shrink_keys = jax.random.split(k_shrink, max_iterations)
 
     def body(i, carry):
         f_proposed, nll_proposed, accepted, theta, theta_min, theta_max = carry
@@ -120,8 +140,7 @@ def elliptical_slice_sampling_step(
         theta_neg = theta < 0
         theta_min = jnp.where(theta_neg, theta, theta_min)
         theta_max = jnp.where(~theta_neg, theta, theta_max)
-        noise = jax.random.uniform(shrink_keys[i], expand)
-        theta = noise * (theta_max - theta_min) + theta_min
+        theta = shrink[i] * (theta_max - theta_min) + theta_min
         accepted = accepted | newly
         return f_proposed, nll_proposed, accepted, theta, theta_min, theta_max
 
@@ -171,7 +190,28 @@ class ESS(MCMCSampler):
     def _augment_state(self, mstate, x0):
         return (mstate, self.negative_log_likelihood(x0))
 
+    def make_draws(self):
+        event_shape = self.event_shape
+        max_iterations = self.params.max_ess_step_iterations
+        use_chol = self.kernel.cov is not None
+
+        def draws(key, n_chains):
+            return ess_step_draws(
+                key, (n_chains, *event_shape), event_shape, max_iterations, use_chol
+            )
+
+        return draws
+
     def _make_step(self, tuning: bool):
+        step_aux = self._make_step_aux(tuning)
+        draws = self.make_draws()
+
+        def step(x, state, key):
+            return step_aux(x, state, key, draws(key, x.shape[0]))
+
+        return step
+
+    def _make_step_aux(self, tuning: bool):
         """Carried-likelihood step (cf. Langevin's carried potential): the
         current state's nll rides in the scan state, saving the leading
         evaluation of every iteration."""
@@ -181,12 +221,12 @@ class ESS(MCMCSampler):
         event_shape = self.event_shape
         max_iterations = self.params.max_ess_step_iterations
 
-        def step(x, state, key):
+        def step(x, state, key, aux):
             mstate, nll_x = state
             n_chains = x.shape[0]
             x_prime, nll_prime, _accepted = elliptical_slice_sampling_step(
                 x, nll, event_shape, key, chol=mstate.chol,
-                max_iterations=max_iterations, nll_f=nll_x,
+                max_iterations=max_iterations, nll_f=nll_x, draws=aux,
             )
             # All-accept hack, matching reference ``ess.py:107``.
             finite = jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)

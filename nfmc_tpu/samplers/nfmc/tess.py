@@ -75,23 +75,39 @@ def make_tess_step(flow, potential, event_shape: Tuple[int, ...],
         lp_u, x_u = log_pi_hat(params, u)
         return lp_u, x_u
 
-    def tess_step(params, u, lp_u, x0, key):
-        batch_shape = get_batch_shape(u, event_shape)
+    def tess_draws(key, batch_shape):
+        """The step's randomness, hoistable per chunk (exact in-step key
+        derivation: raw ellipse normal, threshold uniform, raw theta normal,
+        shrink uniforms)."""
+        expand = (*batch_shape, *([1] * event_ndim))
         k_v, k_w, k_theta, k_shrink = jax.random.split(key, 4)
+        if chol is None:
+            z = jax.random.normal(k_v, (*batch_shape, *event_shape))
+        else:
+            z = jax.random.normal(k_v, (*batch_shape, chol.shape[0]))
+        w = jax.random.uniform(k_w, batch_shape)
+        theta0 = jax.random.normal(k_theta, expand)
+        shrink = jax.vmap(lambda k: jax.random.uniform(k, expand))(
+            jax.random.split(k_shrink, max_iterations)
+        )
+        return z, w, theta0, shrink
+
+    def tess_step(params, u, lp_u, x0, key, draws=None):
+        batch_shape = get_batch_shape(u, event_shape)
+        if draws is None:
+            draws = tess_draws(key, batch_shape)
+        z, w, theta0, shrink = draws
 
         if chol is None:
-            v = jax.random.normal(k_v, u.shape)
+            v = z.reshape(u.shape)
         else:
-            d = chol.shape[0]
-            z = jax.random.normal(k_v, (*batch_shape, d))
             v = (z @ chol.T).reshape(u.shape)
 
-        w = jax.random.uniform(k_w, batch_shape)
         log_s = lp_u + log_phi(params, v) + jnp.log(w)
 
         expand = (*batch_shape, *([1] * event_ndim))
         # Reference quirk (``tess.py:44``): theta ~ Normal * 2*pi, not Uniform.
-        theta = jax.random.normal(k_theta, expand) * (2.0 * math.pi)
+        theta = theta0 * (2.0 * math.pi)
         theta_min = theta - 2.0 * math.pi
         theta_max = theta
 
@@ -99,7 +115,6 @@ def make_tess_step(flow, potential, event_shape: Tuple[int, ...],
         u_prop = u
         x_prop = x0
         lp_prop = lp_u
-        shrink_keys = jax.random.split(k_shrink, max_iterations)
 
         def body(i, carry):
             u_prop, x_prop, lp_prop, accepted, theta, theta_min, theta_max = carry
@@ -115,8 +130,7 @@ def make_tess_step(flow, potential, event_shape: Tuple[int, ...],
             theta_neg = theta < 0
             theta_min = jnp.where(theta_neg, theta, theta_min)
             theta_max = jnp.where(~theta_neg, theta, theta_max)
-            noise = jax.random.uniform(shrink_keys[i], expand)
-            theta = noise * (theta_max - theta_min) + theta_min
+            theta = shrink[i] * (theta_max - theta_min) + theta_min
             accepted = accepted | newly
             return u_prop, x_prop, lp_prop, accepted, theta, theta_min, theta_max
 
@@ -126,7 +140,7 @@ def make_tess_step(flow, potential, event_shape: Tuple[int, ...],
         )
         return x_prop, u_prop, lp_prop, accepted
 
-    return tess_init, tess_step
+    return tess_init, tess_step, tess_draws
 
 
 class TESS(Sampler):
@@ -151,7 +165,7 @@ class TESS(Sampler):
         flow = self.kernel.flow
         n_chains = x0.shape[0]
         max_iter = self.params.max_ess_step_iterations
-        tess_init, tess_step = make_tess_step(
+        tess_init, tess_step, _tess_draws = make_tess_step(
             flow, self.negative_log_likelihood, self.event_shape,
             max_iterations=max_iter, chol=self.kernel.chol(),
         )
@@ -207,7 +221,7 @@ class TESS(Sampler):
                          on_device=getattr(self.params, 'store_samples_on_device', False))
         flow = self.kernel.flow
         max_iter = self.params.max_ess_step_iterations
-        tess_init, tess_step = make_tess_step(
+        tess_init, tess_step, tess_draws = make_tess_step(
             flow, self.negative_log_likelihood, self.event_shape,
             max_iterations=max_iter, chol=self.kernel.chol(),
         )
@@ -227,6 +241,30 @@ class TESS(Sampler):
 
             return step
 
+        def make_step_aux(tuning):
+            def step(x, kstate, key, aux):
+                params, u, lp_u = kstate
+                x_new, u_new, lp_new, accepted = tess_step(
+                    params, u, lp_u, x, key, draws=aux
+                )
+                info = StepInfo(
+                    n_accepted=jnp.sum(accepted).astype(jnp.int32),
+                    diverged=(~jnp.all(jnp.isfinite(u_new))).astype(jnp.int32),
+                )
+                return x_new, (params, u_new, lp_new), info
+
+            return step
+
+        def make_precompute(tuning):
+            # chunk-hoisted step randomness (exact in-step derivation);
+            # declines above the footprint cap
+            def precompute(x, kstate, keys):
+                if keys.shape[0] * x.size > (1 << 27):
+                    return None
+                return jax.vmap(lambda k: tess_draws(k, (x.shape[0],)))(keys)
+
+            return precompute
+
         # chol is a closure constant, tokenized by value (a small host array
         # callers may mutate in place); the base-log-prob override is baked
         # into log_phi. Params are threaded through the carry.
@@ -235,7 +273,10 @@ class TESS(Sampler):
         driver = self._cached_driver(
             (max_iter, id(flow.bijection), id(flow._base_log_prob_override),
              cov_token, id(self.negative_log_likelihood)),
-            lambda: ChunkedScanDriver(self.event_shape, make_step),
+            lambda: ChunkedScanDriver(
+                self.event_shape, make_step,
+                make_precompute=make_precompute, make_step_aux=make_step_aux,
+            ),
             keepalive=(flow.bijection, flow._base_log_prob_override,
                        self.negative_log_likelihood),
         )

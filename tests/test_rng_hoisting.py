@@ -45,6 +45,40 @@ def test_jump_inner_hoisted_matches_inscan(cls):
     assert np.allclose(np.asarray(oa.samples), np.asarray(ob.samples), atol=1e-5)
 
 
+def test_ess_hoisted_matches_inscan():
+    from nfmc_tpu.samplers.mcmc import ESS
+
+    def build():
+        s = ESS((5,), standard_gaussian_potential,
+                negative_log_likelihood=standard_gaussian_potential)
+        s.params.n_iterations = 10
+        return s
+
+    a = build()
+    b = build()
+    b.rng_hoist_element_limit = 0
+    oa = a.sample(X0, show_progress=False, seed=6)
+    ob = b.sample(X0, show_progress=False, seed=6)
+    assert np.allclose(np.asarray(oa.samples), np.asarray(ob.samples), atol=1e-5)
+
+
+def test_tess_step_hoisted_matches_inscan():
+    from nfmc_tpu.flows import Flow, RealNVP
+    from nfmc_tpu.samplers.nfmc.tess import make_tess_step
+
+    flow = Flow(RealNVP((4,), n_layers=2, hidden_size=16), seed=0)
+    tess_init, tess_step, tess_draws = make_tess_step(
+        flow, standard_gaussian_potential, (4,), max_iterations=5, chol=None
+    )
+    u = jax.random.normal(jax.random.key(1), (8, 4))
+    lp, x = tess_init(flow.params, u)
+    key = jax.random.key(2)
+    r1 = tess_step(flow.params, u, lp, x, key)
+    r2 = tess_step(flow.params, u, lp, x, key, draws=tess_draws(key, (8,)))
+    for a, b in zip(r1, r2):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_draws_match_step_derivation():
     """The draws fn replicates the step's in-scan key derivation exactly
     (checked at the raw-draw level, where bit equality does hold)."""
