@@ -30,6 +30,12 @@ from .statistics import MCMCStatistics
 from ..utils import tqdm  # shared fallback shim
 
 
+# Footprint cap (f32 elements across a chunk) for hoisted precomputes —
+# ~512 MB, small next to 16 GB HBM yet far above the benchmark configs.
+# Samplers default their per-instance limits to this.
+RNG_HOIST_ELEMENT_LIMIT = 1 << 27
+
+
 class StepInfo(NamedTuple):
     """Per-iteration dynamic outputs of a kernel step.
 
@@ -176,6 +182,11 @@ class ChunkedScanDriver:
                 key_next, keys = keys[0], keys[1:]
                 aux = precompute_fn(x, kstate, keys) if precompute_fn else None
                 use_aux = aux is not None  # trace-time decision
+                if not use_aux and step_fn is None:
+                    raise RuntimeError(
+                        "driver precompute declined (returned None) but no plain "
+                        "make_step fallback was provided"
+                    )
                 xs = (keys, aux) if use_aux else keys
 
                 def body(carry, xs_i):

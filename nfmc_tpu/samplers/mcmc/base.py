@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.driver import ChunkedScanDriver, StepInfo
+from ...core.driver import RNG_HOIST_ELEMENT_LIMIT, ChunkedScanDriver, StepInfo
 from ...core.output import MCMCOutput
 from ...core.sampler import MCMCKernel, MCMCParameters, Sampler
 from ...core.tuning import (
@@ -136,10 +136,8 @@ class MCMCSampler(Sampler):
         return None
 
     # Footprint cap for hoisted draws (f32 elements across the chunk): above
-    # this the precompute declines and iterations derive RNG in-scan. 2^27
-    # elements = 512 MB — small next to 16 GB HBM, large enough that the
-    # 100-chain benchmark configs always hoist.
-    rng_hoist_element_limit: int = 1 << 27
+    # this the precompute declines and iterations derive RNG in-scan.
+    rng_hoist_element_limit: int = RNG_HOIST_ELEMENT_LIMIT
 
     def calls_per_iter(self, n_chains: int) -> int:
         raise NotImplementedError
@@ -163,6 +161,8 @@ class MCMCSampler(Sampler):
             getattr(p, "tune_inv_mass_diag", None),
             getattr(p, "tune_step_size", None),
             getattr(p, "imd_adjustment", None),
+            # baked into the driver's precompute closure
+            self.rng_hoist_element_limit,
         )
 
     # ---- kernel adaptation -------------------------------------------------

@@ -166,7 +166,15 @@ class ESS(MCMCSampler):
         return "ESS"
 
     def _static_config(self):
-        return (self.params.max_ess_step_iterations,)
+        # cov is tokenized by value: make_draws bakes use_chol into the cached
+        # driver, so mutating kernel.cov between runs must rebuild it
+        cov = self.kernel.cov
+        cov_token = None if cov is None else hash(np.asarray(cov).tobytes())
+        return (
+            self.params.max_ess_step_iterations,
+            cov_token,
+            self.rng_hoist_element_limit,
+        )
 
     def make_propose(self):
         nll = self.negative_log_likelihood

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.driver import ChunkedScanDriver, StepInfo
+from ...core.driver import RNG_HOIST_ELEMENT_LIMIT, ChunkedScanDriver, StepInfo
 from ...core.output import MCMCOutput
 from ...core.rng import resolve_key
 from ...core.sampler import NFMCKernel, NFMCParameters, Sampler
@@ -74,6 +74,10 @@ def sample_bounded_geom(rng: np.random.Generator, p: float, max_val: int) -> int
 
 
 class AbstractIMH(Sampler):
+    # footprint cap for the chunk-hoisted proposal precompute (see
+    # core/driver.py RNG_HOIST_ELEMENT_LIMIT)
+    rng_hoist_element_limit: int = RNG_HOIST_ELEMENT_LIMIT
+
     def __init__(self, event_shape, target, kernel: Optional[IMHKernel] = None,
                  params: Optional[IMHParameters] = None):
         if kernel is None:
@@ -166,9 +170,11 @@ class FixedIMH(AbstractIMH):
                          on_device=getattr(self.params, 'store_samples_on_device', False))
 
         accept_core = self._make_accept_core()
+        accept_step = self._make_accept_step()
         flow = self.kernel.flow
         target = self.target
         event_shape = self.event_shape
+        hoist_limit = self.rng_hoist_element_limit
 
         def make_precompute(tuning):
             # Proposals are independent of the chain state: one base draw +
@@ -176,9 +182,14 @@ class FixedIMH(AbstractIMH):
             # chunk, as (chunk*C, *event) batches that tile onto the MXU. The
             # scan body is left with pure elementwise accept logic. Key
             # derivation matches _make_accept_step (k_prop = split(key)[0]).
+            # Declines above the footprint cap (falls back to the in-scan
+            # accept step below) — the batched inverse materializes
+            # (chunk*C, *event) positions plus coupling activations.
             def precompute(x, kstate, keys):
                 params, flp_x, _u_x = kstate
                 chunk, n_chains = keys.shape[0], flp_x.shape[0]
+                if chunk * x.size > hoist_limit:
+                    return None
                 k_props = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
                 z = jax.vmap(lambda k: flow.sample_base_fn(k, n_chains))(k_props)
                 zf = z.reshape(chunk * n_chains, *event_shape)
@@ -193,7 +204,7 @@ class FixedIMH(AbstractIMH):
 
             return precompute
 
-        def make_step(tuning):
+        def make_step_aux(tuning):
             def step(x, kstate, key, aux):
                 params, flp_x, u_x = kstate
                 x_prime, flp_prime, u_prime = aux
@@ -208,13 +219,29 @@ class FixedIMH(AbstractIMH):
 
             return step
 
+        def make_step(tuning):
+            # in-scan fallback when the proposal precompute declines
+            def step(x, kstate, key):
+                params, flp_x, u_x = kstate
+                x_new, flp_new, u_new, mask, diverged = accept_step(
+                    params, x, flp_x, u_x, key
+                )
+                info = StepInfo(
+                    n_accepted=jnp.sum(mask).astype(jnp.int32), diverged=diverged
+                )
+                return x_new, (params, flp_new, u_new), info
+
+            return step
+
         # The step/precompute bake in the flow structure, its base-log-prob
         # override and the target (params are threaded through the scan
         # carry), so the driver is reusable across calls and flow refits.
         driver = self._cached_driver(
-            (id(flow), id(flow.bijection), id(flow._base_log_prob_override), id(self.target)),
+            (id(flow), id(flow.bijection), id(flow._base_log_prob_override),
+             id(self.target), self.rng_hoist_element_limit),
             lambda: ChunkedScanDriver(
-                self.event_shape, make_step_aux=make_step, make_precompute=make_precompute
+                self.event_shape, make_step,
+                make_step_aux=make_step_aux, make_precompute=make_precompute,
             ),
             keepalive=(flow, flow.bijection, flow._base_log_prob_override, self.target),
         )

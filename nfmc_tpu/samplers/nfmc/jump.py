@@ -221,6 +221,7 @@ class JumpNFMC(Sampler):
             )
 
         jump_accept = self._make_jump_accept()
+        jump_step = self._make_jump_step()  # in-scan fallback above the cap
         collect = self.params.store_samples
         resample_x0 = getattr(self.inner_sampler, "resample_x0_fn", None)
         flow = self.kernel.flow
@@ -238,19 +239,24 @@ class JumpNFMC(Sampler):
             # eval for the WHOLE chunk into one (chunk*C, *event) batched pass
             # (MXU-tiled), leaving only the state-dependent U(x) / logq(x) in
             # the scan body. Key derivation matches the in-scan path:
-            # k_jump = split(key, 3)[1], k_prop = split(k_jump)[0].
-            k_jumps = jax.vmap(lambda k: jax.random.split(k, 3)[1])(keys)
-            k_props = jax.vmap(lambda k: jax.random.split(k)[0])(k_jumps)
-            z = jax.vmap(lambda k: flow.sample_base_fn(k, n_chains))(k_props)
-            zf = z.reshape(chunk * n_chains, *event_shape)
-            xpf, log_det_inv = flow.bijection.inverse_fn(flow_params, zf)
-            f_prime = (flow.base_log_prob_fn(zf) - log_det_inv).reshape(chunk, n_chains)
-            u_prime = (
-                target(xpf).reshape(chunk, n_chains)
-                if adjusted
-                else jnp.zeros((chunk, n_chains), dtype=jnp.float32)
-            )
-            proposals = (xpf.reshape(chunk, n_chains, *event_shape), f_prime, u_prime)
+            # k_jump = split(key, 3)[1], k_prop = split(k_jump)[0]. Above the
+            # footprint cap the jump falls back to the in-scan jump_step.
+            use_proposal_aux = chunk * x.size <= rng_hoist_limit
+            if use_proposal_aux:
+                k_jumps = jax.vmap(lambda k: jax.random.split(k, 3)[1])(keys)
+                k_props = jax.vmap(lambda k: jax.random.split(k)[0])(k_jumps)
+                z = jax.vmap(lambda k: flow.sample_base_fn(k, n_chains))(k_props)
+                zf = z.reshape(chunk * n_chains, *event_shape)
+                xpf, log_det_inv = flow.bijection.inverse_fn(flow_params, zf)
+                f_prime = (flow.base_log_prob_fn(zf) - log_det_inv).reshape(chunk, n_chains)
+                u_prime = (
+                    target(xpf).reshape(chunk, n_chains)
+                    if adjusted
+                    else jnp.zeros((chunk, n_chains), dtype=jnp.float32)
+                )
+                proposals = (xpf.reshape(chunk, n_chains, *event_shape), f_prime, u_prime)
+            else:
+                proposals = jnp.zeros((chunk, 0))  # placeholder scan input
 
             # hoisted inner-step randomness: (chunk, inner_n, ...) draws via
             # the exact per-key derivation the in-scan path would use
@@ -262,9 +268,12 @@ class JumpNFMC(Sampler):
             if use_inner_aux:
                 k_inners = jax.vmap(lambda k: jax.random.split(k, 3)[0])(keys)
                 inner_keys = jax.vmap(lambda k: jax.random.split(k, inner_n))(k_inners)
-                idraws = jax.vmap(lambda k: inner_draws(k, n_chains))(
-                    inner_keys.reshape(chunk * inner_n)
+                # reshape preserves any trailing key-data dims (legacy
+                # uint32 PRNGKeys are (..., 2))
+                flat_keys = inner_keys.reshape(
+                    (chunk * inner_n,) + inner_keys.shape[2:]
                 )
+                idraws = jax.vmap(lambda k: inner_draws(k, n_chains))(flat_keys)
                 idraws = jax.tree_util.tree_map(
                     lambda a: a.reshape(chunk, inner_n, *a.shape[1:]), idraws
                 )
@@ -281,28 +290,31 @@ class JumpNFMC(Sampler):
                     # the redrawn state
                     ks = inner_refresh(ks, x)
 
-                inner_keys_i = jax.random.split(k_inner, inner_n)
                 if use_inner_aux:
-                    def inner_body(c, xs):
-                        k, d = xs
+                    # the hoisted draws ARE the inner randomness; no in-scan
+                    # key chain needed (every step_aux ignores its key arg)
+                    def inner_body(c, d):
                         x, ks, acc = c
-                        x2, ks2, info = inner_step_aux(x, ks, k, d)
+                        x2, ks2, info = inner_step_aux(x, ks, None, d)
                         return (x2, ks2, acc.add(info, x2)), (x2 if collect else None)
 
-                    inner_xs_in = (inner_keys_i, idraw)
+                    inner_xs_in = idraw
                 else:
                     def inner_body(c, xs):
                         x, ks, acc = c
                         x2, ks2, info = inner_step(x, ks, xs)
                         return (x2, ks2, acc.add(info, x2)), (x2 if collect else None)
 
-                    inner_xs_in = inner_keys_i
+                    inner_xs_in = jax.random.split(k_inner, inner_n)
 
                 (x, ks, acc), inner_xs = jax.lax.scan(
                     inner_body, (x, ks, acc), inner_xs_in
                 )
-                k_acc = jax.random.split(k_jump)[1]
-                x, jmask = jump_accept(flow_params, x, k_acc, aux)
+                if use_proposal_aux:
+                    k_acc = jax.random.split(k_jump)[1]
+                    x, jmask = jump_accept(flow_params, x, k_acc, aux)
+                else:
+                    x, jmask = jump_step(flow_params, x, k_jump)
                 # chain-shaped caches in the inner state (e.g. Langevin's
                 # cached U/grad) are stale for jumped chains — rebuild
                 ks = inner_refresh(ks, x)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.driver import ChunkedScanDriver, StepInfo
+from ...core.driver import RNG_HOIST_ELEMENT_LIMIT, ChunkedScanDriver, StepInfo
 from ...core.output import MCMCOutput
 from ...core.sampler import NFMCKernel, NFMCParameters, Sampler
 from ...utils import get_batch_shape
@@ -144,6 +144,11 @@ def make_tess_step(flow, potential, event_shape: Tuple[int, ...],
 
 
 class TESS(Sampler):
+    # footprint cap for the chunk-hoisted step randomness (see
+    # core/driver.py RNG_HOIST_ELEMENT_LIMIT); set to 0 to force the
+    # in-scan fallback
+    rng_hoist_element_limit: int = RNG_HOIST_ELEMENT_LIMIT
+
     def __init__(self, event_shape, target, negative_log_likelihood,
                  kernel: Optional[TESSKernel] = None,
                  params: Optional[TESSParameters] = None):
@@ -255,11 +260,13 @@ class TESS(Sampler):
 
             return step
 
+        hoist_limit = self.rng_hoist_element_limit
+
         def make_precompute(tuning):
             # chunk-hoisted step randomness (exact in-step derivation);
             # declines above the footprint cap
             def precompute(x, kstate, keys):
-                if keys.shape[0] * x.size > (1 << 27):
+                if keys.shape[0] * x.size > hoist_limit:
                     return None
                 return jax.vmap(lambda k: tess_draws(k, (x.shape[0],)))(keys)
 
@@ -272,7 +279,8 @@ class TESS(Sampler):
         cov_token = None if cov is None else hash(np.asarray(cov).tobytes())
         driver = self._cached_driver(
             (max_iter, id(flow.bijection), id(flow._base_log_prob_override),
-             cov_token, id(self.negative_log_likelihood)),
+             cov_token, id(self.negative_log_likelihood),
+             self.rng_hoist_element_limit),
             lambda: ChunkedScanDriver(
                 self.event_shape, make_step,
                 make_precompute=make_precompute, make_step_aux=make_step_aux,

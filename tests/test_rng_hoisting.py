@@ -79,6 +79,62 @@ def test_tess_step_hoisted_matches_inscan():
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_jump_accepts_legacy_prngkey():
+    """Regression: the fused runner's hoisted inner-key reshape must preserve
+    the trailing key-data dims of legacy uint32 PRNGKeys."""
+    s = JumpMALA((5,), standard_gaussian_potential)
+    s.params.n_iterations = 3
+    s.inner_sampler.params.n_iterations = 2
+    out = s.sample(X0, show_progress=False, key=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(out.samples)).all()
+
+
+def test_ess_cov_mutation_rebuilds_driver():
+    """Regression: make_draws bakes chol-ness into the cached driver; mutating
+    kernel.cov between runs must rebuild it (value-tokenized config)."""
+    from nfmc_tpu.samplers.mcmc import ESS
+
+    s = ESS((4,), standard_gaussian_potential,
+            negative_log_likelihood=standard_gaussian_potential)
+    s.params.n_iterations = 4
+    x0 = np.asarray(jax.random.normal(jax.random.key(5), (8, 4)))
+    out1 = s.sample(x0, show_progress=False, seed=1)
+    s.kernel.cov = np.eye(4, dtype=np.float32) * 2.0
+    out2 = s.sample(x0, show_progress=False, seed=1)
+    assert np.isfinite(np.asarray(out2.samples)).all()
+
+
+def test_tess_hoisted_matches_inscan():
+    from nfmc_tpu.samplers.nfmc import TESS
+
+    def build(limit):
+        s = TESS((4,), standard_gaussian_potential,
+                 negative_log_likelihood=standard_gaussian_potential)
+        s.params.n_iterations = 6
+        s.rng_hoist_element_limit = limit
+        return s
+
+    x0 = np.asarray(jax.random.normal(jax.random.key(6), (8, 4)))
+    oa = build(1 << 27).sample(x0, show_progress=False, seed=2)
+    ob = build(0).sample(x0, show_progress=False, seed=2)
+    assert np.allclose(np.asarray(oa.samples), np.asarray(ob.samples), atol=1e-5)
+
+
+def test_fixed_imh_hoisted_matches_inscan():
+    from nfmc_tpu.samplers.nfmc import FixedIMH
+
+    def build(limit):
+        s = FixedIMH((4,), standard_gaussian_potential)
+        s.params.n_iterations = 8
+        s.rng_hoist_element_limit = limit
+        return s
+
+    x0 = np.asarray(jax.random.normal(jax.random.key(7), (8, 4)))
+    oa = build(1 << 27).sample(x0, show_progress=False, seed=3)
+    ob = build(0).sample(x0, show_progress=False, seed=3)
+    assert np.allclose(np.asarray(oa.samples), np.asarray(ob.samples), atol=1e-5)
+
+
 def test_draws_match_step_derivation():
     """The draws fn replicates the step's in-scan key derivation exactly
     (checked at the raw-draw level, where bit equality does hold)."""
