@@ -57,6 +57,10 @@ FLOW_REFERENCE_DATA = {
     "ot-flow": {"alt": ["ot-flow", "otflow", "ot flow"], "family": ("continuous", "standard")},
     "ffjord": {"alt": ["ffjord"], "family": ("continuous", "standard")},
     "conv-ffjord": {"alt": ["conv-ffjord"], "family": ("continuous", "convolutional")},
+    # Quirk kept for parity: the reference reuses 'ddnf' as conv-ddb's alias
+    # and 'rnode' as conv-rnode's (``nfmc/util.py:68-71``), so those aliases
+    # resolve to the NON-conv canonical names and the conv variants are only
+    # reachable by their canonical names.
     "ddb": {"alt": ["ddnf"], "family": ("continuous", "standard")},
     "conv-ddb": {"alt": ["ddnf"], "family": ("continuous", "convolutional")},
     "rnode": {"alt": ["rnode"], "family": ("continuous", "standard")},

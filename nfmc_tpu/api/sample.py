@@ -225,12 +225,23 @@ def sample(
         "n_warmup_iterations": n_warmup_iterations,
     }
 
+    key = resolve_key(None, seed)
+    k_flow, k_x0, k_warm, k_samp, k_shuffle = jax.random.split(key, 5)
+
+    # Pin the flow's init params to the seed-derived stream (when the caller
+    # builds the flow from a registry name and supplies no explicit seed):
+    # without this two sample(seed=7) calls start from different flow weights.
+    if seed is not None and isinstance(flow, str):
+        flow_kwargs = dict(kwargs.get("flow_kwargs") or {})
+        flow_kwargs.setdefault(
+            "seed", int(jax.random.randint(k_flow, (), 0, 2**31 - 1))
+        )
+        kwargs["flow_kwargs"] = flow_kwargs
+
     sampler = create_sampler(
         target=target, event_shape=event_shape, flow=flow, strategy=strategy, **kwargs
     )
 
-    key = resolve_key(None, seed)
-    k_x0, k_warm, k_samp, k_shuffle = jax.random.split(key, 4)
     if x0 is None:
         x0 = jax.random.normal(k_x0, (n_chains, *sampler.event_shape))
     x0 = jnp.asarray(x0, dtype=jnp.float32)
@@ -240,12 +251,15 @@ def sample(
             x0=x0, show_progress=show_progress,
             time_limit_seconds=warmup_time_limit_seconds, key=k_warm,
         )
-        if warmup_output.samples is not None:
+        n_stored = warmup_output.running_samples.n_samples
+        if warmup_output.store_samples and n_stored > 0:
             flat = warmup_output.samples.reshape(-1, *sampler.event_shape)
             perm = np.asarray(jax.random.permutation(k_shuffle, len(flat)))
             x0 = jnp.asarray(flat[perm][: x0.shape[0]])
-        else:
+        elif warmup_output.running_samples.last_sample is not None:
             x0 = jnp.asarray(warmup_output.running_samples.last_sample)
+        # else: warmup produced nothing (zero iterations / immediate time
+        # limit) — keep the original x0
     return sampler.sample(
         x0=x0, show_progress=show_progress,
         time_limit_seconds=sampling_time_limit_seconds, key=k_samp,

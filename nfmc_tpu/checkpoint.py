@@ -45,7 +45,12 @@ def load_checkpoint(path: str, like: Any) -> Tuple[Any, Dict]:
 
 
 def sampler_state(sampler, x, key) -> Dict[str, Any]:
-    """Canonical resumable state for a sampler mid-run."""
+    """Canonical resumable state for a sampler mid-run.
+
+    Walks nested samplers (NeuTra/Jump hold the tuned Metropolis state on
+    ``sampler.inner_sampler.kernel`` — dropping it would silently resume with
+    untuned step sizes).
+    """
     state: Dict[str, Any] = {
         "x": x,
         "key": jax.random.key_data(key),
@@ -56,6 +61,12 @@ def sampler_state(sampler, x, key) -> Dict[str, Any]:
     flow = getattr(kernel, "flow", None)
     if flow is not None:
         state["flow_params"] = flow.params
+    inner = getattr(sampler, "inner_sampler", None)
+    if inner is not None:
+        state["inner"] = sampler_state(inner, x, key)
+        # x/key are stored at the top level only
+        state["inner"].pop("x", None)
+        state["inner"].pop("key", None)
     return state
 
 
@@ -70,6 +81,20 @@ def restore_sampler_state(sampler, state: Dict[str, Any]):
         kernel.flow.params = jax.tree_util.tree_map(
             lambda p, s: s, kernel.flow.params, state["flow_params"]
         )
+    inner = getattr(sampler, "inner_sampler", None)
+    if inner is not None and "inner" in state:
+        inner_kernel = inner.kernel
+        inner_state = state["inner"]
+        if "kernel" in inner_state and hasattr(inner_kernel, "sync_from_state"):
+            fresh = inner_kernel.make_state()
+            restored = jax.tree_util.tree_map(
+                lambda _, s: s, fresh, inner_state["kernel"]
+            )
+            inner_kernel.sync_from_state(restored)
+        if "flow_params" in inner_state and getattr(inner_kernel, "flow", None) is not None:
+            inner_kernel.flow.params = jax.tree_util.tree_map(
+                lambda p, s: s, inner_kernel.flow.params, inner_state["flow_params"]
+            )
     key = jax.random.wrap_key_data(np.asarray(state["key"]))
     return state["x"], key
 

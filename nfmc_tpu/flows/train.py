@@ -122,7 +122,7 @@ def fit(
     # 1-epoch fits) must not recompile every call.
     cache = flow.__dict__.setdefault("_fit_runner_cache", {})
     cache_key = ("mle", bs, n_batches, val_data.shape[0], lr, keep_best_weights,
-                 id(flow._base_log_prob_override),
+                 shuffle, id(flow._base_log_prob_override),
                  None if mesh is None else (mesh.axis_names, mesh.devices.size))
     if cache_key not in cache:
         log_prob_fn = flow.log_prob_fn
@@ -144,9 +144,13 @@ def fit(
                       data, w_data, val_data, val_weights):
             def train_epoch(carry, epoch_key):
                 p, os = carry
-                perm = jax.random.permutation(epoch_key, data.shape[0])
-                xs = data[perm].reshape(n_batches, bs, *event_shape)
-                ws = w_data[perm].reshape(n_batches, bs)
+                if shuffle:
+                    perm = jax.random.permutation(epoch_key, data.shape[0])
+                    xs = data[perm].reshape(n_batches, bs, *event_shape)
+                    ws = w_data[perm].reshape(n_batches, bs)
+                else:
+                    xs = data.reshape(n_batches, bs, *event_shape)
+                    ws = w_data.reshape(n_batches, bs)
                 if batch_sharding is not None:
                     # keep the per-batch axis (not the scan axis) sharded
                     xs = jax.lax.with_sharding_constraint(xs, batch_sharding)
@@ -179,8 +183,11 @@ def fit(
             )
             return params, opt_state, best_params, best_loss, vls
 
-        cache[cache_key] = jax.jit(run_block)
-    run_block_fn = cache[cache_key]
+        # keepalive: the override object backs an id() in the key — hold a
+        # reference so a freed lambda's recycled id can't collide with a
+        # trainer compiled against the OLD base log-prob
+        cache[cache_key] = (jax.jit(run_block), flow._base_log_prob_override)
+    run_block_fn = cache[cache_key][0]
 
     def run_block(params, opt_state, best_params, best_loss, keys):
         return run_block_fn(params, opt_state, best_params, best_loss, keys,

@@ -131,7 +131,10 @@ class DLMC(Sampler):
         out.statistics.update_counters(n_target_calls=n_chains, n_target_gradient_calls=n_chains)
         out.statistics.update_elapsed_time(time.time() - t0)
 
-        rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+        # split FIRST: consuming `key` for the numpy seed and then splitting
+        # the same key would correlate the shuffle stream with k_fit/k_acc
+        key, k_perm = jax.random.split(key)
+        rng = np.random.default_rng(int(jax.random.randint(k_perm, (), 0, 2**31 - 1)))
         pbar = tqdm(range(self.params.n_iterations), desc="DLMC sampling", disable=not show_progress)
         for _ in pbar:
             if (
@@ -142,11 +145,17 @@ class DLMC(Sampler):
             t0 = time.time()
             key, k_fit, k_acc = jax.random.split(key, 3)
 
-            # (1) fit flow to current particles
-            x_np = np.asarray(x)[rng.permutation(n_chains)]
-            n_train = int(len(x_np) * self.params.train_pct)
-            x_train = x_np[:n_train][: self.params.max_train_size]
-            x_val = x_np[n_train:][: self.params.max_val_size]
+            # (1) fit flow to current particles (shared split helper; the
+            # [None] lifts (C, *event) to the helper's (K, C, *event) layout)
+            from ...core.tuning import train_val_split
+
+            x_train, x_val = train_val_split(
+                np.asarray(x)[None],
+                train_pct=self.params.train_pct,
+                max_train_size=self.params.max_train_size,
+                max_val_size=self.params.max_val_size,
+                seed=int(rng.integers(0, 2**31 - 1)),
+            )
             try:
                 flow.fit(x_train, x_val=x_val, **self.params.flow_fit_kwargs, key=k_fit)
             except ValueError:

@@ -121,16 +121,22 @@ class NeuTra(Sampler):
         fit_limit = 0.3 * time_limit_seconds if time_limit_seconds is not None else None
 
         t0 = time.time()
-        self.kernel.flow.variational_fit(
-            lambda v: -self.target(v),
-            **{**dict(time_limit_seconds=fit_limit), **self.params.warmup_fit_kwargs},
-            show_progress=show_progress,
-            key=k_fit,
-        )
+        # merge (user kwargs win) rather than passing show_progress/key twice:
+        # a user-supplied 'show_progress' in warmup_fit_kwargs must not raise
+        fit_kwargs = {
+            "time_limit_seconds": fit_limit,
+            "show_progress": show_progress,
+            "key": k_fit,
+            **self.params.warmup_fit_kwargs,
+        }
+        self.kernel.flow.variational_fit(lambda v: -self.target(v), **fit_kwargs)
         elapsed = time.time() - t0
         inner_limit = (time_limit_seconds - elapsed) if time_limit_seconds is not None else None
 
-        self._invalidate_inner()
+        # record the post-fit param token while invalidating: leaving the
+        # token at None made the first sample() after warmup re-trace the
+        # whole grad-through-inverse scan a second time for identical params
+        self._refresh_inner_if_stale()
         self.inner_sampler.params.tuning_mode()
         self.inner_sampler.params.store_samples = self.params.store_samples
         self.inner_sampler.params.n_warmup_iterations = self.params.n_warmup_iterations

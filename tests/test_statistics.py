@@ -107,6 +107,44 @@ def test_determinism_same_seed():
     assert np.allclose(out1.samples, out2.samples)
 
 
+def test_front_door_seed_reproducible_with_flow():
+    """Regression: sample(seed=...) must pin the FLOW INIT too — registry
+    flows previously drew init params from the advancing global stream."""
+    import nfmc_tpu
+
+    def run():
+        return nfmc_tpu.sample(
+            standard_gaussian_potential, event_shape=(3,), strategy="imh",
+            flow='realnvp%{"n_layers": 2, "hidden_size": 16}',
+            n_chains=8, n_iterations=5, show_progress=False, seed=11,
+        )
+
+    out1, out2 = run(), run()
+    assert np.allclose(np.asarray(out1.samples), np.asarray(out2.samples))
+
+
+def test_front_door_warmup_zero_iterations():
+    """Regression: warmup=True with nothing stored must fall back to x0, not
+    crash on np.stack of an empty list."""
+    import nfmc_tpu
+
+    out = nfmc_tpu.sample(
+        standard_gaussian_potential, event_shape=(3,), strategy="mala",
+        n_chains=8, n_iterations=4, n_warmup_iterations=0,
+        warmup=True, show_progress=False, seed=12,
+    )
+    assert np.isfinite(np.asarray(out.samples)).all()
+
+
+def test_fit_shuffle_false_smoke():
+    from nfmc_tpu.flows import Flow, RealNVP
+
+    flow = Flow(RealNVP((3,), n_layers=2, hidden_size=16), seed=0)
+    data = np.asarray(jax.random.normal(jax.random.key(1), (256, 3)))
+    flow.fit(data, n_epochs=3, lr=5e-3, shuffle=False, seed=2)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(flow.params))
+
+
 def test_imh_counter_contract():
     """FixedIMH: 2B target calls/iter, 0 grads (reference ``imh.py:244``)."""
     from nfmc_tpu.samplers.nfmc import FixedIMH

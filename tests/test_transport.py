@@ -166,6 +166,41 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.isfinite(out.samples).all()
 
 
+def test_checkpoint_nested_sampler_keeps_tuned_inner(tmp_path):
+    """Regression: NeuTra/Jump keep their tuned Metropolis state on
+    sampler.inner_sampler.kernel — checkpoints must carry it."""
+    from nfmc_tpu.checkpoint import (
+        load_checkpoint,
+        restore_sampler_state,
+        sampler_state,
+        save_checkpoint,
+    )
+    from nfmc_tpu.samplers.nfmc import JumpMALA
+
+    from tests.util import standard_gaussian_potential
+
+    s = JumpMALA(event_shape=(3,), target=standard_gaussian_potential)
+    s.inner_sampler.params.n_iterations = 2
+    x0 = jax.random.normal(jax.random.key(0), (4, 3))
+    s.inner_sampler.params.n_warmup_iterations = 10
+    s.inner_sampler.warmup(x0, show_progress=False)
+    tuned_step = s.inner_sampler.kernel.step_size
+
+    state = sampler_state(s, x0, jax.random.key(5))
+    path = str(tmp_path / "ckpt_nested")
+    save_checkpoint(path, state)
+
+    s2 = JumpMALA(event_shape=(3,), target=standard_gaussian_potential)
+    s2.inner_sampler.params.n_iterations = 2
+    restored, _ = load_checkpoint(path, sampler_state(s2, x0, jax.random.key(0)))
+    x, key = restore_sampler_state(s2, restored)
+    assert abs(s2.inner_sampler.kernel.step_size - tuned_step) < 1e-6
+    assert np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(s2.kernel.flow.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(s.kernel.flow.params)[0]),
+    )
+
+
 def test_checkpoint_orbax_roundtrip(tmp_path):
     from nfmc_tpu.checkpoint import (
         load_checkpoint_orbax,
