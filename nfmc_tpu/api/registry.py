@@ -298,13 +298,18 @@ def create_flow_object(flow_string: str, event_shape, **kwargs) -> Flow:
 # ---------------------------------------------------------------------------
 
 def get_supported_mcmc_samplers() -> List[str]:
-    return ["hmc", "uhmc", "ula", "mala", "mh", "ess"]
+    # "nuts" is a superset of the reference list (``util.py:421-425``): the
+    # reference ships a broken single-chain Pyro shim it never dispatches
+    # (``nfmc/algorithms/sampling/mcmc/nuts.py:38-51``); ours is native
+    # multi-chain NUTS (samplers/mcmc/nuts_impl.py) and front-door reachable.
+    return ["hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts"]
 
 
 def get_supported_nfmc_samplers() -> List[str]:
     return [
         "imh", "fixed_imh", "adaptive_imh",
         "jump_mala", "jump_ula", "jump_hmc", "jump_uhmc", "jump_ess", "jump_mh",
+        "jump_nuts",  # superset, see get_supported_mcmc_samplers
         "neutra_mh", "neutra_hmc", "tess", "dlmc",
     ]
 

@@ -25,6 +25,7 @@ from ..samplers.mcmc import (
     HMC,
     MALA,
     MH,
+    NUTS,
     UHMC,
     ULA,
     ESSKernel,
@@ -35,6 +36,8 @@ from ..samplers.mcmc import (
     LangevinParameters,
     MHKernel,
     MHParameters,
+    NUTSKernel,
+    NUTSParameters,
 )
 from ..samplers.nfmc import (
     DLMC,
@@ -50,6 +53,7 @@ from ..samplers.nfmc import (
     JumpMALA,
     JumpMH,
     JumpNFMCParameters,
+    JumpNUTS,
     JumpUHMC,
     JumpULA,
     NeuTraHMC,
@@ -91,7 +95,15 @@ def create_sampler(
     event_shape = tuple(int(s) for s in event_shape)
     event_size = int(np.prod(event_shape))
 
-    if strategy in ("hmc", "uhmc", "ula", "mala", "mh", "ess"):
+    if strategy in ("hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts"):
+        if strategy == "nuts":
+            # Superset of the reference registry: the reference's NUTS is a
+            # broken single-chain Pyro shim excluded from its own dispatch
+            # (``nfmc/algorithms/sampling/mcmc/nuts.py:38-51``); ours is a
+            # native multi-chain implementation, so it IS front-door reachable.
+            return NUTS(event_shape, target,
+                        NUTSKernel(event_size=event_size, **kernel_kwargs),
+                        NUTSParameters(**param_kwargs))
         if strategy == "hmc":
             return HMC(event_shape, target, HMCKernel(event_size=event_size, **kernel_kwargs),
                        HMCParameters(**param_kwargs))
@@ -117,6 +129,7 @@ def create_sampler(
     nfmc_strategies = (
         "imh", "fixed_imh", "adaptive_imh",
         "jump_mala", "jump_ula", "jump_hmc", "jump_uhmc", "jump_ess", "jump_mh",
+        "jump_nuts",  # superset: reference's NUTS delegation is broken
         "neutra_hmc", "neutra_mh", "tess", "dlmc",
     )
     if strategy not in nfmc_strategies:
@@ -168,6 +181,14 @@ def create_sampler(
                            kernel=kernel, params=params,
                            inner_kernel=ESSKernel(event_shape=event_shape, **inner_kernel_kwargs),
                            inner_params=ESSParameters(**inner_param_kwargs))
+        if inner == "nuts":
+            # Superset (see "nuts" above); inner defaults mirror jump_hmc's
+            # 5-iteration inner run (reference ``sample.py:161-162``).
+            if "n_iterations" not in inner_param_kwargs:
+                inner_param_kwargs["n_iterations"] = 5
+            return JumpNUTS(event_shape, target, kernel=kernel, params=params,
+                            inner_kernel=NUTSKernel(event_size=event_size, **inner_kernel_kwargs),
+                            inner_params=NUTSParameters(**inner_param_kwargs))
 
     if strategy == "tess":
         if negative_log_likelihood is None:

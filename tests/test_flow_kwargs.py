@@ -52,9 +52,15 @@ def test_registry_names():
     for name in ["realnvp", "nice", "maf", "iaf", "c-rqnsf", "c-lrsnsf", "resflow", "ffjord"]:
         assert name in flows
     samplers = nfmc_tpu.get_supported_samplers()
-    assert samplers == [
+    # Reference list (``util.py:421-444``) plus the documented supersets
+    # "nuts"/"jump_nuts" (the reference's NUTS is a broken Pyro shim; ours is
+    # native multi-chain and front-door reachable).
+    reference_names = [
         "hmc", "uhmc", "ula", "mala", "mh", "ess",
         "imh", "fixed_imh", "adaptive_imh",
         "jump_mala", "jump_ula", "jump_hmc", "jump_uhmc", "jump_ess", "jump_mh",
         "neutra_mh", "neutra_hmc", "tess", "dlmc",
     ]
+    for name in reference_names:
+        assert name in samplers
+    assert set(samplers) - set(reference_names) == {"nuts", "jump_nuts"}

