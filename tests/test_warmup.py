@@ -1,6 +1,9 @@
 """Warmup output contracts per sampler family (mirrors reference
-``test/test_warmup.py``; the ESS/JumpESS cases the reference skips as "Not
-implemented" are skipped here for the same parity reason)."""
+``test/test_warmup.py``). Documented deviation: the ESS/JumpESS cases the
+reference skips as "Not implemented" (``test/test_warmup.py:38,76``) run here
+un-skipped — ESS warmup adapts the ellipse covariance to the warmup draws
+while folding a prior correction into the likelihood (``ess.py:ESS.warmup``),
+so the targeted posterior is unchanged."""
 import jax
 import numpy as np
 import pytest
@@ -74,6 +77,73 @@ def test_warmup_neutra():
         sampler.inner_sampler.params.n_warmup_iterations, N_CHAINS, N_DIM
     )
     assert np.isfinite(warmup_output.samples).all()
+
+
+def test_warmup_ess():
+    """Un-skipped vs the reference: ESS warmup returns the standard MCMC
+    warmup contract and adapts the ellipse covariance."""
+    from nfmc_tpu.samplers.mcmc import ESS
+
+    n_iterations = 7
+    sampler = ESS(
+        event_shape=(N_DIM,), target=standard_gaussian_potential,
+        negative_log_likelihood=standard_gaussian_potential,
+    )
+    sampler.params.n_warmup_iterations = n_iterations
+    assert sampler.kernel.cov is None
+    warmup_output = sampler.warmup(_x0(), show_progress=False)
+    assert warmup_output.samples.shape == (n_iterations, N_CHAINS, N_DIM)
+    assert np.isfinite(warmup_output.samples).all()
+    # ellipse adapted: diagonal covariance now set from warmup draw variance
+    assert sampler.kernel.cov is not None
+    assert sampler.kernel.cov.shape == (N_DIM, N_DIM)
+    assert np.all(np.diag(sampler.kernel.cov) > 0)
+
+
+def test_warmup_jump_ess():
+    """Un-skipped vs the reference (``test/test_warmup.py:76``)."""
+    from nfmc_tpu.samplers.nfmc import JumpESS
+
+    sampler = JumpESS(
+        event_shape=(N_DIM,), target=standard_gaussian_potential,
+        negative_log_likelihood=standard_gaussian_potential,
+        kernel=NFMCKernel((N_DIM,), flow=small_flow((N_DIM,))),
+    )
+    sampler.params.flow_fit_kwargs = fast_fit_kwargs()
+    sampler.inner_sampler.params.n_warmup_iterations = 4
+    warmup_output = sampler.warmup(_x0(), show_progress=False)
+    assert warmup_output.samples.shape[1:] == (N_CHAINS, N_DIM)
+    assert np.isfinite(warmup_output.samples).all()
+    assert sampler.inner_sampler.kernel.cov is not None
+
+
+def test_ess_warmup_preserves_target():
+    """The ellipse adaptation must not change the sampled posterior.
+
+    With implicit prior N(0, I) and likelihood exp(-0.5 sum(x/s)^2), the
+    posterior is a diagonal Gaussian with variance 1/(1 + 1/s^2) per dim.
+    After warmup adaptation (which rewrites both cov and the likelihood),
+    long-run sample variance must still match the analytic value.
+    """
+    import jax.numpy as jnp
+    from nfmc_tpu.samplers.mcmc import ESS
+
+    s = np.array([0.5, 1.0, 2.0, 4.0], dtype=np.float32)
+    target_var = 1.0 / (1.0 + 1.0 / s**2)
+
+    def nll(x):
+        return 0.5 * jnp.sum((x / s) ** 2, axis=-1)
+
+    sampler = ESS(event_shape=(4,), target=nll, negative_log_likelihood=nll)
+    sampler.params.n_warmup_iterations = 100
+    sampler.params.n_iterations = 400
+    x0 = jax.random.normal(jax.random.key(5), (64, 4))
+    sampler.warmup(x0, show_progress=False)
+    adapted_diag = np.diag(sampler.kernel.cov)
+    assert not np.allclose(adapted_diag, np.ones(4), atol=0.05)
+    out = sampler.sample(x0, show_progress=False)
+    var = np.asarray(out.statistics.running_variance)
+    np.testing.assert_allclose(var, target_var, rtol=0.2)
 
 
 def test_warmup_tunes_kernel():
