@@ -28,12 +28,44 @@ from ..core.rng import resolve_key
 from ..utils import event_size_of, std_normal_log_prob
 
 
+def hutchinson_probes(v: jax.Array, n_probes: int, base_key: Optional[jax.Array] = None,
+                      dtype=None) -> jax.Array:
+    """Rademacher probes for stochastic trace/log-det estimators, derived per
+    call AND per sample.
+
+    A probe set drawn once from a fixed key gives every call the same
+    systematically biased estimate, which training can imprint instead of
+    averaging out. Folding the (gradient-stopped) bit pattern of the input
+    ``v`` into the key decorrelates that bias across samples and training
+    steps while staying deterministic and jit-compatible — no key threading
+    through the ``(params, x)`` Bijection API is needed. An explicit
+    ``base_key`` (e.g. ``Bijection.probe_key``) additionally decorrelates
+    probes across callers: distinct keys give distinct probe streams.
+    """
+    if base_key is None:
+        base_key = jax.random.key(0)
+    flat = jax.lax.stop_gradient(v).astype(jnp.float32).reshape(-1)
+    bits = jax.lax.bitcast_convert_type(flat, jnp.uint32)
+    # position-weighted mix (odd weights) so permuted inputs hash differently;
+    # uint32 sum wraps mod 2^32
+    weights = jnp.arange(bits.size, dtype=jnp.uint32) * jnp.uint32(2) + jnp.uint32(1)
+    mix = jnp.sum(bits * weights, dtype=jnp.uint32)
+    key = jax.random.fold_in(base_key, mix)
+    return jax.random.rademacher(key, (int(n_probes), flat.size),
+                                 dtype=dtype if dtype is not None else v.dtype)
+
+
 class Bijection:
     """Invertible map with static config; params are an explicit pytree."""
+
+    #: weight of ``regularization`` added to training losses (RNODE et al.)
+    regularization_weight: float = 0.0
 
     def __init__(self, event_shape: Sequence[int]):
         self.event_shape: Tuple[int, ...] = tuple(int(s) for s in event_shape)
         self.params: Any = None  # set by Flow / init()
+        #: optional explicit base key for stochastic log-det probe streams
+        self.probe_key: Optional[jax.Array] = None
 
     @property
     def event_size(self) -> int:
@@ -50,6 +82,12 @@ class Bijection:
     def inverse_fn(self, params, z: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """latent -> data; returns (x, log_det)."""
         raise NotImplementedError
+
+    def regularization(self, params, x: jax.Array) -> jax.Array:
+        """Scalar training regularizer, weighted by ``regularization_weight``
+        in ``fit``/``variational_fit`` losses (RNODE's kinetic energy; 0 by
+        default)."""
+        return jnp.asarray(0.0, dtype=jnp.float32)
 
     # ---- stateful convenience (reference-parity call sites) ---------------
     def forward(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:

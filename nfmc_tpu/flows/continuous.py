@@ -22,7 +22,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from .base import Bijection
+from .base import Bijection, hutchinson_probes
 from .conditioners import mlp_apply, mlp_init
 
 
@@ -56,7 +56,7 @@ class ContinuousFlow(Bijection):
         if d <= self.exact_trace_dim:
             J = jax.jacfwd(f1)(v)
             return f1(v), jnp.trace(J)
-        probes = jax.random.rademacher(jax.random.key(0), (self.n_probes, d), dtype=v.dtype)
+        probes = hutchinson_probes(v, self.n_probes, base_key=self.probe_key)
         y, pullbacks = jax.vjp(f1, v)
 
         def probe(e):
@@ -176,7 +176,15 @@ class FFJORD(ContinuousFlow):
 
 
 class RNODE(ContinuousFlow):
-    """FFJORD + kinetic regularization during training (Finlay et al. 2020)."""
+    """FFJORD + kinetic regularization during training (Finlay et al. 2020).
+
+    ``regularization_weight`` activates the kinetic-energy term
+    (:meth:`ContinuousFlow.regularization`) inside ``fit``/``variational_fit``
+    losses — this is what makes RNODE train differently from FFJORD
+    (reference registry names ``rnode`` vs ``ffjord``,
+    ``nfmc/util.py:68-71``)."""
+
+    regularization_weight = 0.01
 
 
 class DeepDiffeomorphicBijection(ContinuousFlow):
@@ -207,7 +215,7 @@ class OTFlow(ContinuousFlow):
         if d <= self.exact_trace_dim:
             H = jax.jacfwd(grad_phi)(v)
             return -grad_phi(v), -jnp.trace(H)
-        probes = jax.random.rademacher(jax.random.key(0), (self.n_probes, d), dtype=v.dtype)
+        probes = hutchinson_probes(v, self.n_probes, base_key=self.probe_key)
 
         def probe(e):
             _, hvp = jax.jvp(grad_phi, (v,), (e,))

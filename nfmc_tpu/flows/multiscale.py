@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import Bijection
+from .base import Bijection, hutchinson_probes
 from .transforms import AffineTransform, LRSplineTransform, RQSplineTransform, ShiftTransform
 from .naf import DeepSigmoidTransform, DenseSigmoidTransform, DeepDenseSigmoidTransform
 
@@ -389,10 +389,9 @@ class _ConvResidual(Bijection):
         return conv(self._sn(p["w2"], c), h) + p["b2"][None, :, None, None]
 
     def _logdet(self, p, x):
-        d = int(np.prod(self.chw))
-        probes = jax.random.rademacher(jax.random.key(0), (self.n_probes, d), dtype=x.dtype)
-
         def per_sample(xi):
+            probes = hutchinson_probes(xi, self.n_probes, base_key=self.probe_key)
+
             def g1(v):
                 return self._g(p, v.reshape(1, *self.chw)).reshape(-1)
 
@@ -498,9 +497,8 @@ class _ConvContinuous(Bijection):
             ys, trs = jax.vmap(per_sample)(flat)
             return ys.reshape(v.shape), trs
 
-        probes = jax.random.rademacher(jax.random.key(0), (self.n_probes, d), dtype=v.dtype)
-
         def per_sample(vi):
+            probes = hutchinson_probes(vi, self.n_probes, base_key=self.probe_key)
             f1 = lambda u: self._f(p, u.reshape(1, *self.chw), t).reshape(-1)
             y, pullback = jax.vjp(f1, vi)
 
@@ -543,13 +541,28 @@ class _ConvContinuous(Bijection):
     def inverse_fn(self, params, z):
         return self._integrate(params, z, reverse=True)
 
+    def regularization(self, params, x) -> jax.Array:
+        """Kinetic-energy regularizer E_t[|f|^2] over the conv dynamics
+        (RNODE, Finlay et al. 2020) — conv analogue of
+        ``ContinuousFlow.regularization``."""
+        batch = x.shape[: x.ndim - len(self.event_shape)]
+        b = int(np.prod(batch)) if batch else 1
+        v = x.reshape(b, *self.chw)
+        ts = jnp.linspace(0.0, 1.0, 4)
+        f = jax.vmap(lambda t: self._f(params, v, t))(ts)
+        return jnp.mean(jnp.sum(f * f, axis=(2, 3, 4)))
+
 
 class ConvolutionalFFJORD(_ConvContinuous):
-    pass
+    """Conv CNF trained by plain MLE (no kinetic term)."""
 
 
 class ConvolutionalRNODE(_ConvContinuous):
-    pass
+    """Conv CNF + kinetic regularization during training (Finlay et al.
+    2020); distinct from :class:`ConvolutionalFFJORD` via the nonzero
+    ``regularization_weight`` consumed by ``fit``/``variational_fit``."""
+
+    regularization_weight = 0.01
 
 
 class ConvolutionalDDB(_ConvContinuous):

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .base import Bijection
+from .base import Bijection, hutchinson_probes
 
 
 def _flatten(v, event_shape):
@@ -330,12 +330,13 @@ class _ContractiveResidual(Bijection):
         if d <= self.exact_logdet_dim:
             J = jax.vmap(jax.jacfwd(lambda v: self._g(p, v[None])[0]))(x)
             return jnp.linalg.slogdet(jnp.eye(d)[None] + J)[1]
-        # truncated power series with deterministic Rademacher probes
+        # truncated power series; Rademacher probes derived per call/sample
+        # (see flows/base.py hutchinson_probes)
         n_probes = 4
-        key = jax.random.key(0)
-        probes = jax.random.rademacher(key, (n_probes, d), dtype=x.dtype)
 
         def per_sample(xi):
+            probes = hutchinson_probes(xi, n_probes, base_key=self.probe_key)
+
             def g1(v):
                 return self._g(p, v[None])[0]
 

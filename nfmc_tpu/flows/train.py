@@ -120,12 +120,15 @@ def fit(
     # Compiled trainers are cached on the Flow keyed by static config: callers
     # that refit per sampling iteration (DLMC, TESS warmup, AdaptiveIMH's
     # 1-epoch fits) must not recompile every call.
+    reg_weight = float(getattr(flow.bijection, "regularization_weight", 0.0))
+
     cache = flow.__dict__.setdefault("_fit_runner_cache", {})
     cache_key = ("mle", bs, n_batches, val_data.shape[0], lr, keep_best_weights,
-                 shuffle, id(flow._base_log_prob_override),
+                 shuffle, reg_weight, id(flow._base_log_prob_override),
                  None if mesh is None else (mesh.axis_names, mesh.devices.size))
     if cache_key not in cache:
         log_prob_fn = flow.log_prob_fn
+        regularization_fn = flow.bijection.regularization
         event_shape = flow.event_shape
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -138,7 +141,12 @@ def fit(
 
         def loss_fn(p, xb, wb):
             lp = log_prob_fn(p, xb)
-            return -jnp.sum(lp * wb) / jnp.maximum(jnp.sum(wb), 1.0)
+            loss = -jnp.sum(lp * wb) / jnp.maximum(jnp.sum(wb), 1.0)
+            if reg_weight:
+                # RNODE-style training regularizer (flows/base.py
+                # Bijection.regularization); weight 0 compiles it away
+                loss = loss + reg_weight * regularization_fn(p, xb)
+            return loss
 
         def run_block(params, opt_state, best_params, best_loss, keys,
                       data, w_data, val_data, val_weights):
@@ -272,12 +280,17 @@ def variational_fit(
     bijection = flow.bijection
     event_shape = flow.event_shape
 
+    reg_weight = float(getattr(bijection, "regularization_weight", 0.0))
+
     def loss_fn(p, k):
         z = jax.random.normal(k, (n_samples, *event_shape))
         if z_sharding is not None:
             z = jax.lax.with_sharding_constraint(z, z_sharding)
         x, log_det_inv = bijection.inverse_fn(p, z)
-        return jnp.mean(-target_log_prob(x) - log_det_inv)
+        loss = jnp.mean(-target_log_prob(x) - log_det_inv)
+        if reg_weight:
+            loss = loss + reg_weight * bijection.regularization(p, x)
+        return loss
 
     def run_block(params, opt_state, best_params, best_loss, keys):
         def body(carry, k):

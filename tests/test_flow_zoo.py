@@ -210,3 +210,88 @@ def test_registry_constructs_all_names():
         flow = create_flow_object(name, (4,), n_layers=1)
         lp = flow.log_prob(jnp.zeros((2, 4)))
         assert np.isfinite(np.asarray(lp)).all(), name
+
+
+def test_rnode_trains_differently_from_ffjord():
+    """VERDICT round 1 item 3: RNODE's kinetic regularizer must be live in
+    training — same data/seed, FFJORD vs RNODE trajectories diverge."""
+    from nfmc_tpu.flows.continuous import FFJORD, RNODE
+
+    x = np.asarray(jax.random.normal(jax.random.key(0), (64, 3)) * 2.0)
+
+    def train(cls):
+        f = Flow(cls((3,), hidden_size=8, n_hidden_layers=1, n_steps=2), seed=0)
+        f.fit(x, n_epochs=3, batch_size=32, shuffle=False, seed=1)
+        return f.params
+
+    assert RNODE.regularization_weight > 0 and FFJORD.regularization_weight == 0
+    p_ffjord = train(FFJORD)
+    p_rnode = train(RNODE)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), p_ffjord, p_rnode
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 1e-6
+
+
+def test_conv_rnode_trains_differently_from_conv_ffjord():
+    from nfmc_tpu.flows.multiscale import ConvolutionalFFJORD, ConvolutionalRNODE
+
+    x = np.asarray(jax.random.normal(jax.random.key(0), (8, 4, 4)))
+
+    def train(cls):
+        f = Flow(cls((4, 4), hidden_channels=4, n_steps=2), seed=0)
+        f.fit(x, n_epochs=2, batch_size=8, shuffle=False, seed=1)
+        return f.params
+
+    assert ConvolutionalRNODE.regularization_weight > 0
+    p_f = train(ConvolutionalFFJORD)
+    p_r = train(ConvolutionalRNODE)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), p_f, p_r
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 1e-6
+
+
+def test_hutchinson_probes_vary_per_call_and_key():
+    """VERDICT round 1 item 4: probes must differ across inputs and across
+    explicit base keys (no baked jax.random.key(0) bias)."""
+    from nfmc_tpu.flows.base import hutchinson_probes
+
+    v1 = jnp.arange(6.0)
+    v2 = jnp.arange(6.0) + 1.0
+    p1 = hutchinson_probes(v1, 4)
+    p1b = hutchinson_probes(v1, 4)
+    p2 = hutchinson_probes(v2, 4)
+    pk = hutchinson_probes(v1, 4, base_key=jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p1b))  # deterministic
+    assert not np.array_equal(np.asarray(p1), np.asarray(p2))  # per-input
+    assert not np.array_equal(np.asarray(p1), np.asarray(pk))  # per-key
+    assert set(np.unique(np.asarray(p1))) <= {-1.0, 1.0}
+
+
+def test_hutchinson_logdet_unbiased_vs_exact():
+    """Stochastic power-series log-det (per-sample derived probes) must agree
+    with exact slogdet on average over many inputs (small event)."""
+    from nfmc_tpu.flows.residual import ResFlow
+
+    d = 6
+    bij = ResFlow((d,), n_layers=1, hidden_size=8)
+    f = Flow(bij, seed=2)
+    f.params = jax.tree_util.tree_map(
+        lambda p: p + 0.3 * jax.random.normal(jax.random.key(9), p.shape), f.params
+    )
+    x = jax.random.normal(jax.random.key(11), (2048, d))
+    p0 = f.params[0]
+    exact = jnp.linalg.slogdet(
+        jnp.eye(d)[None]
+        + jax.vmap(jax.jacfwd(lambda v: bij._g(p0, v[None])[0]))(x)
+    )[1]
+    bij.exact_logdet_dim = 0  # force the stochastic power-series path
+    bij.series_terms = 40  # make truncation bias negligible vs probe noise
+    est = bij._logdet(p0, x)
+    # Per-sample derived probes decorrelate the estimator error so it averages
+    # out over inputs (measured: the old shared-key(0) probes gave a +0.43
+    # mean bias here that does NOT shrink with more samples; per-sample probes
+    # give ~0.000 at n=2048 with per-sample std ~0.27).
+    assert abs(float(jnp.mean(est - exact))) < 0.02
+    assert float(jnp.std(est - exact)) < 1.0
