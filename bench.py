@@ -484,14 +484,17 @@ def run_scale_1024():
     s = DLMC((d,), target, negative_log_likelihood=target,
              kernel=DLMCKernel((d,), flow=Flow(RealNVP((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN), seed=0)))
     s.params.store_samples = False
+    # Fixed-effort refit config -> the fused in-scan path (dlmc.py module
+    # docstring): refit epochs + drift + accept compile into one scan step.
     s.params.flow_fit_kwargs = dict(n_epochs=10, lr=5e-3)
-    s.params.n_iterations = 2
-    s.sample(x0, show_progress=False, seed=0)  # compile warm-up
-    s.params.n_iterations = 10
+    s.params.n_iterations = 341  # warm chunk sizes 1+4+16+64+256
+    s.sample(x0, show_progress=False, seed=0)
+    n_dlmc = 200
+    s.params.n_iterations = n_dlmc
     t0 = time.time()
     out = s.sample(x0, show_progress=False, seed=0)
     wall = time.time() - t0
-    result["dlmc_1024_iters_per_s"] = round(10 / wall, 2)
+    result["dlmc_1024_iters_per_s"] = round(n_dlmc / wall, 2)
     result["dlmc_1024_moment_err"] = round(float(np.max(np.abs(out.mean))), 4)
 
     # MXU utilization on the training path: jitted MLE steps for a wide

@@ -12,9 +12,16 @@ Parity with reference ``nfmc/algorithms/sampling/nfmc/dlmc.py``:
 * counters per SURVEY.md section 2.8: B (init) + B (drift) + 2B (accept);
 * warmup is a no-op returning x0 (``dlmc.py:36-42``).
 
-The flow refits every iteration, so the outer loop is host-side; the drift
-and accept steps are jitted with flow params threaded as arguments (no
-recompilation across refits).
+The flow refits every iteration. When the refit is *fixed effort* (no early
+stopping / time limit — e.g. ``flow_fit_kwargs=dict(n_epochs=10)``), the whole
+iteration — refit epochs, drift, accept — compiles into one pure scan step and
+runs through the shared :class:`ChunkedScanDriver`, so the host issues one
+dispatch per chunk of iterations instead of ~10+ per iteration (fit-block
+dispatches plus a D2H fetch of all particles; through the tunneled device each
+sync costs ~25-30 ms, which dominated DLMC's 1024-chain wall-clock). Flow
+params ride in the scan carry; a fresh Adam state is initialized inside each
+iteration, matching the host path's fresh-optimizer-per-``fit`` semantics.
+Configs with early stopping fall back to the host-side loop below.
 """
 from __future__ import annotations
 
@@ -63,6 +70,144 @@ class DLMC(Sampler):
         out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples)
         out.running_samples.add(jnp.asarray(x0))
         return out
+
+    def _fused_fit_config(self):
+        """Static fixed-effort fit config for the fused in-scan refit, or
+        ``None`` when ``flow_fit_kwargs`` needs host control (early stopping /
+        time limits / unknown kwargs)."""
+        kw = dict(self.params.flow_fit_kwargs or {})
+        if kw.get("early_stopping", False) or kw.get("time_limit_seconds") is not None:
+            return None
+        allowed = {
+            "n_epochs", "lr", "batch_size", "keep_best_weights", "shuffle",
+            "early_stopping", "early_stopping_threshold", "show_progress",
+            "check_for_divergences",
+        }
+        if set(kw) - allowed:
+            return None
+        return (
+            int(kw.get("n_epochs", 500)),
+            float(kw.get("lr", 5e-3)),
+            kw.get("batch_size", "adaptive"),
+            bool(kw.get("keep_best_weights", True)),
+            bool(kw.get("shuffle", True)),
+        )
+
+    def _make_fused_step(self, n_chains: int, fit_cfg):
+        """One DLMC iteration (refit + drift + accept) as a pure scan step
+        ``(x, flow_params, key) -> (x', flow_params', StepInfo)``."""
+        import optax
+
+        from ...core.driver import StepInfo
+        from ...flows.train import _adaptive_batch_size
+
+        n_epochs, lr, batch_size, keep_best_weights, shuffle = fit_cfg
+        flow = self.kernel.flow
+        tau = float(self.kernel.step_size)
+        target = self.target
+        latent_updates = self.params.latent_updates
+        event_shape = self.event_shape
+
+        # Static train/val split geometry (reference train_val_split,
+        # ``tuning.py:44-65``): shuffle, split by train_pct, cap at max sizes.
+        # Deviation (documented): the train set truncates to a multiple of the
+        # batch size instead of padding the last batch.
+        n_train = min(int(n_chains * self.params.train_pct), self.params.max_train_size)
+        n_train = max(1, n_train)
+        n_val = min(n_chains - n_train, self.params.max_val_size)
+        if batch_size in ("adaptive", None):
+            bs = _adaptive_batch_size(n_train)
+        else:
+            bs = min(int(batch_size), n_train)
+        n_train_eff = max(bs, (n_train // bs) * bs)
+        n_batches = n_train_eff // bs
+        keep_best = keep_best_weights and n_val > 0
+        opt = optax.adam(lr)
+
+        def nll_loss(p, xb):
+            return -jnp.mean(flow.log_prob_fn(p, xb))
+
+        def fit(params, x, key):
+            k_perm, k_epochs = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, n_chains)
+            xt = x[perm[:n_train_eff]]
+            xv = x[perm[n_train:n_train + n_val]] if n_val else xt[:bs]
+            opt_state = opt.init(params)
+
+            def epoch(carry, ek):
+                p, os, bp, bl = carry
+                xs = jax.random.permutation(ek, xt) if shuffle else xt
+                xs = xs.reshape(n_batches, bs, *event_shape)
+
+                def bstep(c, xb):
+                    p, os = c
+                    loss, g = jax.value_and_grad(nll_loss)(p, xb)
+                    u, os = opt.update(g, os, p)
+                    return (optax.apply_updates(p, u), os), loss
+
+                (p, os), losses = jax.lax.scan(bstep, (p, os), xs)
+                vl = nll_loss(p, xv) if keep_best else jnp.mean(losses)
+                better = vl < bl
+                bl = jnp.where(better, vl, bl)
+                if keep_best:
+                    bp = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(better, new, old), p, bp
+                    )
+                return (p, os, bp, bl), None
+
+            init = (params, opt_state, params, jnp.asarray(jnp.inf, jnp.float32))
+            (p, _os, bp, _bl), _ = jax.lax.scan(
+                epoch, init, jax.random.split(k_epochs, n_epochs)
+            )
+            fitted = bp if keep_best else p
+            # Rollback-on-divergence (the host path's ValueError contract,
+            # reference ``dlmc.py:73-79``): a non-finite post-fit density
+            # keeps the pre-fit params.
+            ok = jnp.isfinite(nll_loss(fitted, xv))
+            return jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), fitted, params
+            )
+
+        def drift(params, x):
+            if latent_updates:
+                z, _ = flow.bijection.forward_fn(params, x)
+                g = batched_grad(target)(x)
+                z = z - tau * (g - z)
+                x_new, _ = flow.bijection.inverse_fn(params, z)
+            else:
+                g = batched_grad(lambda v: target(v) + flow.log_prob_fn(params, v))(x)
+                x_new = x - tau * g
+            return x_new
+
+        def accept(params, x, key):
+            k_prop, k_acc = jax.random.split(key)
+            x_tilde = flow.sample_fn(params, k_prop, n_chains)
+            log_alpha = metropolis_acceptance_log_ratio(
+                log_prob_target_curr=-target(x),
+                log_prob_target_prime=-target(x_tilde),
+                log_prob_proposal_curr=flow.log_prob_fn(params, x),
+                log_prob_proposal_prime=flow.log_prob_fn(params, x_tilde),
+            )
+            finite = (
+                jnp.all(jnp.isfinite(x_tilde.reshape(n_chains, -1)), axis=-1)
+                & jnp.isfinite(log_alpha)
+            )
+            log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
+            mask = (log_u < log_alpha) & finite
+            bmask = mask.reshape(mask.shape + (1,) * len(event_shape))
+            return jnp.where(bmask, x_tilde, x), mask, (~jnp.all(finite)).astype(jnp.int32)
+
+        def step(x, params, key):
+            k_fit, k_acc = jax.random.split(key)
+            params = fit(params, x, k_fit)
+            x = drift(params, x)
+            x, mask, diverged = accept(params, x, k_acc)
+            info = StepInfo(
+                n_accepted=jnp.sum(mask).astype(jnp.int32), diverged=diverged
+            )
+            return x, params, info
+
+        return step
 
     def sample(self, x0, show_progress: bool = True, time_limit_seconds=None,
                key=None, seed=None) -> MCMCOutput:
@@ -130,6 +275,38 @@ class DLMC(Sampler):
         x = x0 - tau * grad_nll(x0)
         out.statistics.update_counters(n_target_calls=n_chains, n_target_gradient_calls=n_chains)
         out.statistics.update_elapsed_time(time.time() - t0)
+
+        # Fused path: fixed-effort refits compile into the iteration scan
+        # (module docstring); counters per SURVEY.md section 2.8 — B (drift)
+        # + 2B (accept) calls and B grads per iteration on top of the init.
+        fit_cfg = self._fused_fit_config()
+        if fit_cfg is not None:
+            from ...core.driver import ChunkedScanDriver
+
+            fused_token = token + (
+                fit_cfg, self.params.train_pct,
+                self.params.max_train_size, self.params.max_val_size,
+            )
+            driver = self._memo(
+                "dlmc_fused_driver", fused_token,
+                lambda: ChunkedScanDriver(
+                    self.event_shape,
+                    make_step=lambda tuning: self._make_fused_step(n_chains, fit_cfg),
+                ),
+                keepalive=(flow, flow.bijection, flow._base_log_prob_override,
+                           target, self.negative_log_likelihood),
+            )
+            x, flow_params = driver.run(
+                x, flow.params, key, self.params.n_iterations,
+                stats=out.statistics, samples=out.running_samples,
+                calls_per_iter=3 * n_chains, grads_per_iter=n_chains,
+                tuning=False, collect=self.params.store_samples,
+                time_limit_seconds=time_limit_seconds,
+                show_progress=show_progress, desc="DLMC sampling",
+            )
+            flow.params = flow_params
+            out.kernel = self.kernel
+            return out
 
         # split FIRST: consuming `key` for the numpy seed and then splitting
         # the same key would correlate the shuffle stream with k_fit/k_acc

@@ -296,3 +296,46 @@ def test_jump_fit_nf_refits_flow():
     assert out.statistics.n_attempted_jumps == n_iter * n_chains
     after = jax.tree_util.tree_leaves(s.kernel.flow.params)[1]
     assert not np.allclose(np.asarray(before), np.asarray(after))  # it trained
+
+
+def test_dlmc_fused_matches_host_path():
+    """The fused fixed-effort DLMC path (refit+drift+accept compiled into one
+    scan step) must match the host-loop path in counter contract and
+    statistics (VERDICT round 1 item 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nfmc_tpu.flows import Flow, RealNVP
+    from nfmc_tpu.samplers.nfmc import DLMC
+    from nfmc_tpu.samplers.nfmc.dlmc import DLMCKernel
+
+    d, n_chains, n_iter = 5, 128, 25
+    x0 = jax.random.normal(jax.random.key(1), (n_chains, d))
+
+    def build():
+        s = DLMC(
+            (d,), standard_gaussian_potential,
+            negative_log_likelihood=standard_gaussian_potential,
+            kernel=DLMCKernel((d,), flow=Flow(RealNVP((d,), n_layers=2, hidden_size=16), seed=0)),
+        )
+        s.params.flow_fit_kwargs = dict(n_epochs=4, lr=5e-3)
+        s.params.n_iterations = n_iter
+        return s
+
+    fused = build()
+    assert fused._fused_fit_config() is not None
+    out_fused = fused.sample(x0, show_progress=False, seed=0)
+
+    host = build()
+    host._fused_fit_config = lambda: None  # force the host-loop path
+    out_host = host.sample(x0, show_progress=False, seed=0)
+
+    for out in (out_fused, out_host):
+        assert out.samples.shape == (n_iter, n_chains, d)
+        assert np.isfinite(out.samples).all()
+    assert out_fused.statistics.n_target_calls == out_host.statistics.n_target_calls
+    assert (out_fused.statistics.n_target_gradient_calls
+            == out_host.statistics.n_target_gradient_calls)
+    # different RNG streams -> statistical (not bitwise) agreement
+    assert float(np.max(np.abs(out_fused.mean - out_host.mean))) < 0.15
+    assert float(np.max(np.abs(out_fused.variance - out_host.variance))) < 0.4
