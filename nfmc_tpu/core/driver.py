@@ -36,6 +36,27 @@ from ..utils import tqdm  # shared fallback shim
 RNG_HOIST_ELEMENT_LIMIT = 1 << 27
 
 
+def flow_proposal_footprint_per_draw(flow, event_size: int) -> int:
+    """Estimated peak f32 elements a chunk-hoisted flow proposal materializes
+    *per draw*: the persistent outputs (proposal position, base draw in
+    flight, log-prob/target scalars ~ 3 * event) plus the inference working
+    set of the batched inverse (~ the widest conditioner activation — layers
+    run sequentially, so XLA reuses buffers rather than keeping every layer
+    live). The hoist guards compare ``chunk * n_chains * this`` against the
+    element limit; the previous guards counted only ``chunk * x.size``
+    (draws alone), undercounting peak memory by the activation factor
+    (ADVICE round 1). Falls back to ``4 * event_size`` for flows without a
+    discoverable hidden width."""
+    bij = getattr(flow, "bijection", None)
+    hidden = getattr(bij, "hidden", None) if bij is not None else None
+    if hidden is None and bij is not None:
+        hidden = getattr(bij, "hidden_size", None) or getattr(bij, "hidden_channels", None)
+    if isinstance(hidden, (list, tuple)):
+        hidden = max(hidden) if hidden else 0
+    hidden = int(hidden or event_size)
+    return 3 * event_size + hidden
+
+
 class StepInfo(NamedTuple):
     """Per-iteration dynamic outputs of a kernel step.
 

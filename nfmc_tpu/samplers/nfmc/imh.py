@@ -26,7 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.driver import RNG_HOIST_ELEMENT_LIMIT, ChunkedScanDriver, StepInfo
+from ...core.driver import (
+    RNG_HOIST_ELEMENT_LIMIT,
+    ChunkedScanDriver,
+    StepInfo,
+    flow_proposal_footprint_per_draw,
+)
 from ...core.output import MCMCOutput
 from ...core.rng import resolve_key
 from ...core.sampler import NFMCKernel, NFMCParameters, Sampler
@@ -175,6 +180,9 @@ class FixedIMH(AbstractIMH):
         target = self.target
         event_shape = self.event_shape
         hoist_limit = self.rng_hoist_element_limit
+        # Guard against the true peak (draws + inverse working set), not just
+        # the draws (ADVICE round 1; see flow_proposal_footprint_per_draw)
+        per_draw = flow_proposal_footprint_per_draw(flow, int(np.prod(event_shape)))
 
         def make_precompute(tuning):
             # Proposals are independent of the chain state: one base draw +
@@ -188,7 +196,7 @@ class FixedIMH(AbstractIMH):
             def precompute(x, kstate, keys):
                 params, flp_x, _u_x = kstate
                 chunk, n_chains = keys.shape[0], flp_x.shape[0]
-                if chunk * x.size > hoist_limit:
+                if chunk * n_chains * per_draw > hoist_limit:
                     return None
                 k_props = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
                 z = jax.vmap(lambda k: flow.sample_base_fn(k, n_chains))(k_props)

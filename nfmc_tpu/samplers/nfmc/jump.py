@@ -29,7 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core.driver import StatsAccum, chunk_schedule
+from ...core.driver import (
+    RNG_HOIST_ELEMENT_LIMIT,
+    StatsAccum,
+    chunk_schedule,
+    flow_proposal_footprint_per_draw,
+)
 from ...core.output import JumpNFMCOutput, MCMCOutput
 from ...core.sampler import MCMCKernel, MCMCParameters, NFMCKernel, NFMCParameters, Sampler
 from ...core.tuning import train_val_split
@@ -77,6 +82,13 @@ class JumpNFMC(Sampler):
         self.inner_sampler = inner_sampler
         self._fused = None
         self._fused_config = None
+
+    # Footprint cap for the jump's OWN chunk-hoisted flow-proposal precompute.
+    # Distinct from the inner sampler's rng_hoist_element_limit (which keeps
+    # gating the hoisted inner-step draws): zeroing the inner limit — as the
+    # RNG-parity tests do — must not silently disable the unrelated proposal
+    # hoisting (ADVICE round 1).
+    rng_hoist_element_limit: int = RNG_HOIST_ELEMENT_LIMIT
 
     @property
     def name(self):
@@ -200,6 +212,7 @@ class JumpNFMC(Sampler):
     # ------------------------------------------------- fused path (fit_nf=False)
     def _get_fused_runner(self, inner_n: int):
         config = (inner_n, self.params.adjusted_jumps, self.params.store_samples,
+                  self.rng_hoist_element_limit,
                   self.inner_sampler._static_config())
         if self._fused is not None and self._fused_config == config:
             return self._fused
@@ -213,7 +226,11 @@ class JumpNFMC(Sampler):
         # sampler provides no draws or the footprint would be large.
         inner_step_aux = self.inner_sampler._make_step_aux(tuning=False)
         inner_draws = self.inner_sampler.make_draws()
-        rng_hoist_limit = self.inner_sampler.rng_hoist_element_limit
+        inner_hoist_limit = self.inner_sampler.rng_hoist_element_limit
+        proposal_hoist_limit = self.rng_hoist_element_limit
+        proposal_per_draw = flow_proposal_footprint_per_draw(
+            self.kernel.flow, int(np.prod(self.event_shape))
+        )
 
         def inner_refresh(state, x):
             return inner_sampler._augment_state(
@@ -241,7 +258,7 @@ class JumpNFMC(Sampler):
             # the scan body. Key derivation matches the in-scan path:
             # k_jump = split(key, 3)[1], k_prop = split(k_jump)[0]. Above the
             # footprint cap the jump falls back to the in-scan jump_step.
-            use_proposal_aux = chunk * x.size <= rng_hoist_limit
+            use_proposal_aux = chunk * n_chains * proposal_per_draw <= proposal_hoist_limit
             if use_proposal_aux:
                 k_jumps = jax.vmap(lambda k: jax.random.split(k, 3)[1])(keys)
                 k_props = jax.vmap(lambda k: jax.random.split(k)[0])(k_jumps)
@@ -263,7 +280,7 @@ class JumpNFMC(Sampler):
             use_inner_aux = (
                 inner_step_aux is not None
                 and inner_draws is not None
-                and chunk * inner_n * x.size <= rng_hoist_limit
+                and chunk * inner_n * x.size <= inner_hoist_limit
             )
             if use_inner_aux:
                 k_inners = jax.vmap(lambda k: jax.random.split(k, 3)[0])(keys)

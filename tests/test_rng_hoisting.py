@@ -148,3 +148,24 @@ def test_draws_match_step_derivation():
     assert np.array_equal(
         np.asarray(log_u), np.asarray(jnp.log(jax.random.uniform(k_accept, (16,))))
     )
+
+
+def test_jump_proposal_hoist_limit_independent_of_inner():
+    """ADVICE round 1: the jump proposal precompute is gated by the jump
+    sampler's OWN rng_hoist_element_limit — zeroing the inner limit must not
+    disable it, and zeroing the jump limit routes through the in-scan
+    jump_step fallback with identical results (same key derivation)."""
+
+    def build(jump_limit, inner_limit):
+        s = JumpMALA((5,), standard_gaussian_potential)
+        s.params.n_iterations = 6
+        s.inner_sampler.params.n_iterations = 3
+        s.rng_hoist_element_limit = jump_limit
+        s.inner_sampler.rng_hoist_element_limit = inner_limit
+        return s
+
+    full = build(1 << 27, 1 << 27).sample(X0, show_progress=False, seed=9)
+    no_jump_hoist = build(0, 1 << 27).sample(X0, show_progress=False, seed=9)
+    no_hoist = build(0, 0).sample(X0, show_progress=False, seed=9)
+    assert np.allclose(np.asarray(full.samples), np.asarray(no_jump_hoist.samples), atol=1e-5)
+    assert np.allclose(np.asarray(full.samples), np.asarray(no_hoist.samples), atol=1e-5)

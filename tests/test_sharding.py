@@ -118,3 +118,170 @@ def test_variational_fit_with_mesh():
     s = np.asarray(flow.sample(1024, seed=2))
     assert np.isfinite(s).all()
     assert abs(s.mean() - 2.0) < 0.5
+
+
+def test_sharded_neutra_hmc_matches_unsharded():
+    """NeuTra-HMC: gradients THROUGH the flow inverse under GSPMD — the
+    latent-space chains shard, the flow params replicate, and results match
+    the single-placement run (VERDICT round 1 item 2)."""
+    from nfmc_tpu.samplers.nfmc import NeuTraHMC
+
+    from tests.util import small_flow
+
+    def build():
+        s = NeuTraHMC(event_shape=(5,), target=standard_gaussian_potential)
+        s.kernel.flow = small_flow((5,))
+        s.params.n_iterations = 4
+        return s
+
+    x0 = jax.random.normal(jax.random.key(8), (16, 5))
+    out_plain = build().sample(x0, show_progress=False, seed=11)
+    out_sharded = sharded_sample(build(), x0, show_progress=False, seed=11)
+    assert np.allclose(out_plain.samples, out_sharded.samples, atol=1e-4)
+    assert (
+        out_plain.statistics.n_accepted_trajectories
+        == out_sharded.statistics.n_accepted_trajectories
+    )
+
+
+def test_sharded_tess_matches_unsharded():
+    """TESS: bracket-shrink masks + carried density cache under GSPMD."""
+    from nfmc_tpu.samplers.nfmc import TESS
+
+    from tests.util import small_flow
+    from nfmc_tpu.samplers.nfmc.tess import TESSKernel
+
+    def build():
+        s = TESS((5,), standard_gaussian_potential,
+                 negative_log_likelihood=standard_gaussian_potential,
+                 kernel=TESSKernel((5,), flow=small_flow((5,))))
+        s.params.n_iterations = 5
+        return s
+
+    x0 = jax.random.normal(jax.random.key(9), (16, 5))
+    out_plain = build().sample(x0, show_progress=False, seed=12)
+    out_sharded = sharded_sample(build(), x0, show_progress=False, seed=12)
+    assert np.allclose(out_plain.samples, out_sharded.samples, atol=1e-4)
+
+
+def test_sharded_dlmc_fused_matches_unsharded():
+    """DLMC's fused path: the in-scan refit (permutation gathers + minibatch
+    Adam) plus drift/accept under GSPMD."""
+    from nfmc_tpu.flows import Flow, RealNVP
+    from nfmc_tpu.samplers.nfmc import DLMC
+    from nfmc_tpu.samplers.nfmc.dlmc import DLMCKernel
+
+    def build():
+        s = DLMC((5,), standard_gaussian_potential,
+                 negative_log_likelihood=standard_gaussian_potential,
+                 kernel=DLMCKernel((5,), flow=Flow(RealNVP((5,), n_layers=2, hidden_size=16), seed=0)))
+        s.params.flow_fit_kwargs = dict(n_epochs=3, lr=5e-3)
+        s.params.n_iterations = 5
+        return s
+
+    fused = build()
+    assert fused._fused_fit_config() is not None
+    x0 = jax.random.normal(jax.random.key(10), (16, 5))
+    out_plain = build().sample(x0, show_progress=False, seed=13)
+    out_sharded = sharded_sample(build(), x0, show_progress=False, seed=13)
+    assert np.isfinite(out_sharded.samples).all()
+    assert np.allclose(out_plain.samples, out_sharded.samples, atol=1e-3)
+
+
+def test_sharded_aft_matches_unsharded():
+    """AFT with the particle axis sharded over the mesh (GSPMD through the
+    SMC reweighting + flow fits)."""
+    from nfmc_tpu.api.registry import create_flow_object
+    from nfmc_tpu.potentials import DiagonalGaussian, StandardGaussian
+    from nfmc_tpu.transport import aft
+    from nfmc_tpu.transport.aft import AnnealedFlowTransport
+
+    prior = StandardGaussian((3,))
+    target_pot = DiagonalGaussian(mu=np.full(3, 2.0), sigma=np.full(3, 0.5))
+    flow = 'realnvp%{"n_layers": 2, "hidden_size": 16}'
+    mesh = chain_mesh()
+
+    out_plain = aft(prior, target_pot, flow, n_particles=64, n_iterations=4,
+                    seed=0, n_train_epochs=3)
+
+    # shard the initial particles; everything downstream follows the placement
+    flow_obj = create_flow_object(flow, prior.event_shape)
+    algorithm = AnnealedFlowTransport(prior, target_pot, flow_obj,
+                                      n_steps=4, n_train_epochs=3)
+    def sharded_prior_sample(batch_shape, key=None):
+        x = prior.sample(batch_shape, key=key)
+        # AFT also draws auxiliary batches whose size need not tile the mesh
+        return shard_chains(x, mesh) if x.shape[0] % mesh.devices.size == 0 else x
+
+    out_sharded = algorithm.run(
+        sharded_prior_sample,
+        n_particles=64, show_progress=False, full_output=True, seed=0,
+    )
+    assert np.isfinite(out_sharded["log_Z"])
+    assert abs(out_sharded["log_Z"] - out_plain["log_Z"]) < 0.2
+    # flow fits amplify reduction-order float differences (Adam trajectories
+    # are chaotic), so compare distributions rather than elementwise particles
+    assert np.isfinite(out_sharded["particles"]).all()
+    assert np.allclose(
+        out_plain["particles"].mean(0), out_sharded["particles"].mean(0), atol=0.15
+    )
+
+
+def test_sharded_pmc_matches_unsharded():
+    from nfmc_tpu.potentials import DiagonalGaussian, StandardGaussian
+    from nfmc_tpu.transport.pmc import PreconditionedMonteCarlo
+    from nfmc_tpu.api.registry import create_flow_object
+
+    prior = StandardGaussian((3,))
+    target_pot = DiagonalGaussian(mu=np.full(3, 2.0), sigma=np.full(3, 0.5))
+    mesh = chain_mesh()
+
+    def run(shard):
+        flow_obj = create_flow_object('realnvp%{"n_layers": 2, "hidden_size": 16}',
+                                      prior.event_shape)
+        algo = PreconditionedMonteCarlo(prior, target_pot, flow_obj)
+        sample_fn = (
+            (lambda bs, key=None: shard_chains(prior.sample(bs, key=key), mesh))
+            if shard else (lambda bs, key=None: prior.sample(bs, key=key))
+        )
+        return algo.run(sample_fn, n_particles=128, show_progress=False,
+                        full_output=True, seed=0)
+
+    out_plain = run(False)
+    out_sharded = run(True)
+    assert np.isfinite(out_sharded["log_Z"])
+    assert abs(out_sharded["log_Z"] - out_plain["log_Z"]) < 0.3
+
+
+def test_jump_fused_proposal_precompute_stays_partitioned():
+    """The fused jump runner's hoisted (chunk*C, *event) proposal precompute
+    must stay partitioned over the chain axis at 8 devices with a non-trivial
+    chunk size (VERDICT round 1 item 2): the emitted samples and final state
+    keep an 8-device, non-replicated sharding."""
+    import jax.numpy as jnp
+
+    from nfmc_tpu.core.driver import StatsAccum
+    from nfmc_tpu.samplers.nfmc import JumpMALA
+    from nfmc_tpu.samplers.nfmc.jump import _JumpAccum
+
+    mesh = chain_mesh()
+    s = JumpMALA((5,), standard_gaussian_potential)
+    s.inner_sampler.params.n_iterations = 2
+    runner = s._get_fused_runner(2)
+
+    x = shard_chains(jax.random.normal(jax.random.key(3), (16, 5)), mesh)
+    inner_kstate = s.inner_sampler._augment_state(
+        s.inner_sampler.kernel.make_state(), x
+    )
+    acc = StatsAccum.zeros((5,))
+    jump_acc = _JumpAccum.zeros((5,))
+    chunk = 4
+    x_out, _ks, _acc, _jacc, _key, ys = runner(
+        x, inner_kstate, s.kernel.flow.params, acc, jump_acc,
+        jax.random.key(4), chunk,
+    )
+    assert ys.shape == (chunk, 3, 16, 5)  # (chunk, inner+1, C, *event)
+    assert len(x_out.sharding.device_set) == 8
+    assert not x_out.sharding.is_fully_replicated
+    assert len(ys.sharding.device_set) == 8
+    assert not ys.sharding.is_fully_replicated
