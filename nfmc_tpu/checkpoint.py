@@ -70,8 +70,10 @@ def sampler_state(sampler, x, key) -> Dict[str, Any]:
     return state
 
 
-def restore_sampler_state(sampler, state: Dict[str, Any]):
-    """Apply a saved state back onto a sampler; returns (x, key)."""
+def _apply_sampler_level(sampler, state: Dict[str, Any]) -> None:
+    """Apply one level of saved kernel/flow state, then recurse into
+    ``state['inner']`` — symmetric with :func:`sampler_state`'s walk, so
+    arbitrarily nested samplers restore every tuned level."""
     kernel = sampler.kernel
     if "kernel" in state and hasattr(kernel, "sync_from_state"):
         fresh = kernel.make_state()
@@ -83,18 +85,12 @@ def restore_sampler_state(sampler, state: Dict[str, Any]):
         )
     inner = getattr(sampler, "inner_sampler", None)
     if inner is not None and "inner" in state:
-        inner_kernel = inner.kernel
-        inner_state = state["inner"]
-        if "kernel" in inner_state and hasattr(inner_kernel, "sync_from_state"):
-            fresh = inner_kernel.make_state()
-            restored = jax.tree_util.tree_map(
-                lambda _, s: s, fresh, inner_state["kernel"]
-            )
-            inner_kernel.sync_from_state(restored)
-        if "flow_params" in inner_state and getattr(inner_kernel, "flow", None) is not None:
-            inner_kernel.flow.params = jax.tree_util.tree_map(
-                lambda p, s: s, inner_kernel.flow.params, inner_state["flow_params"]
-            )
+        _apply_sampler_level(inner, state["inner"])
+
+
+def restore_sampler_state(sampler, state: Dict[str, Any]):
+    """Apply a saved state back onto a sampler; returns (x, key)."""
+    _apply_sampler_level(sampler, state)
     key = jax.random.wrap_key_data(np.asarray(state["key"]))
     return state["x"], key
 

@@ -61,7 +61,8 @@ class MCMCOutput:
         s = self.running_samples.as_tensor()
         return jnp.asarray(s).reshape(s.shape[0], s.shape[1], -1)
 
-    def effective_sample_size(self, max_window: int = 8192, dim_slab: int = 25):
+    def effective_sample_size(self, max_window: int = 8192, dim_slab: int = 25,
+                              return_extrapolation: bool = False):
         """Per-dimension ESS (summed over chains) of the stored draws, shape
         ``(event_size,)``; computed on device (``nfmc_tpu.diagnostics``).
         Requires stored samples. A capability the reference lacks.
@@ -70,7 +71,13 @@ class MCMCOutput:
         extrapolated linearly in the draw count (TPU FFT compile time blows up
         at nfft >= 64k, and for any chain whose autocorrelation time is well
         under the window ESS is linear in n); the event dimension is processed
-        in ``dim_slab`` slabs to bound the FFT pad-buffer footprint."""
+        in ``dim_slab`` slabs to bound the FFT pad-buffer footprint.
+
+        The linear-in-n assumption overestimates ESS for chains whose
+        autocorrelation time is comparable to the window. Pass
+        ``return_extrapolation=True`` to get ``(ess, factor)`` where
+        ``factor = n_total / n_window`` (1.0 means no extrapolation was
+        applied); the un-extrapolated window ESS is ``ess / factor``."""
         import jax.numpy as jnp
 
         from ..diagnostics import effective_sample_size
@@ -82,7 +89,11 @@ class MCMCOutput:
             effective_sample_size(window[..., i : i + dim_slab])
             for i in range(0, window.shape[-1], dim_slab)
         ]
-        return jnp.concatenate(parts) * (n / window.shape[0])
+        factor = n / window.shape[0]
+        ess = jnp.concatenate(parts) * factor
+        if return_extrapolation:
+            return ess, factor
+        return ess
 
     def potential_scale_reduction(self):
         """Per-dimension split-R-hat of the stored draws, shape ``(event_size,)``."""

@@ -26,6 +26,7 @@ import numpy as np
 import optax
 
 from ..core.rng import resolve_key
+from ..utils import tqdm  # shared fallback shim
 
 
 def _adaptive_batch_size(n_train: int) -> int:
@@ -208,31 +209,41 @@ def fit(
     epochs_since_best = 0
     global_best = math.inf
 
-    while epochs_done < n_epochs:
-        if time_limit_seconds is not None and time.time() - t_start > time_limit_seconds:
-            break
-        block = min(check_every, n_epochs - epochs_done)
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, block)
-        params, opt_state, best_params, best_loss, vls = run_block(
-            params, opt_state, best_params, best_loss, keys
-        )
-        vls = np.asarray(vls)
-        epochs_done += block
-        if not np.all(np.isfinite(vls)):
-            # Preserve the reference's ValueError contract so callers roll back.
-            if check_for_divergences or not np.isfinite(vls[-1]):
-                flow.params = best_params if keep_best_weights else params
-                raise ValueError("flow training diverged (non-finite loss)")
-        # host-side early stopping on the block's val losses
-        for vl in vls:
-            if vl < global_best - 0.0:
-                global_best = float(vl)
-                epochs_since_best = 0
-            else:
-                epochs_since_best += 1
-        if early_stopping and epochs_since_best >= early_stopping_threshold:
-            break
+    # Block-level progress (reference/torchflows show a per-epoch bar,
+    # ``jump.py:30-38``; epochs here run in jitted blocks so the bar advances
+    # per block with the block's last val loss).
+    pbar = tqdm(total=n_epochs, desc="Fitting NF", disable=not show_progress)
+    try:
+        while epochs_done < n_epochs:
+            if time_limit_seconds is not None and time.time() - t_start > time_limit_seconds:
+                break
+            block = min(check_every, n_epochs - epochs_done)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, block)
+            params, opt_state, best_params, best_loss, vls = run_block(
+                params, opt_state, best_params, best_loss, keys
+            )
+            vls = np.asarray(vls)
+            epochs_done += block
+            pbar.update(block)
+            if not np.all(np.isfinite(vls)):
+                # Preserve the reference's ValueError contract so callers roll back.
+                if check_for_divergences or not np.isfinite(vls[-1]):
+                    flow.params = best_params if keep_best_weights else params
+                    raise ValueError("flow training diverged (non-finite loss)")
+            # host-side early stopping on the block's val losses
+            for vl in vls:
+                if vl < global_best - 0.0:
+                    global_best = float(vl)
+                    epochs_since_best = 0
+                else:
+                    epochs_since_best += 1
+            if show_progress:
+                pbar.set_postfix_str(f"val loss: {vls[-1]:.4f} (best {global_best:.4f})")
+            if early_stopping and epochs_since_best >= early_stopping_threshold:
+                break
+    finally:
+        pbar.close()
 
     flow.params = best_params if keep_best_weights else params
 
@@ -326,27 +337,34 @@ def variational_fit(
     global_best = math.inf
     n_nonfinite = 0
 
-    while epochs_done < n_epochs:
-        if time_limit_seconds is not None and time.time() - t_start > time_limit_seconds:
-            break
-        block = min(check_every, n_epochs - epochs_done)
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, block)
-        params, opt_state, best_params, best_loss, losses = run_block(
-            params, opt_state, best_params, best_loss, keys
-        )
-        losses = np.asarray(losses)
-        epochs_done += block
-        n_nonfinite += int(np.sum(~np.isfinite(losses)))
-        if check_for_divergences and n_nonfinite > block:
-            break  # persistent divergence: stop early, keep best weights
-        for l in losses:
-            if np.isfinite(l) and l < global_best:
-                global_best = float(l)
-                epochs_since_best = 0
-            else:
-                epochs_since_best += 1
-        if early_stopping and epochs_since_best >= early_stopping_threshold:
-            break
+    pbar = tqdm(total=n_epochs, desc="Fitting NF (variational)", disable=not show_progress)
+    try:
+        while epochs_done < n_epochs:
+            if time_limit_seconds is not None and time.time() - t_start > time_limit_seconds:
+                break
+            block = min(check_every, n_epochs - epochs_done)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, block)
+            params, opt_state, best_params, best_loss, losses = run_block(
+                params, opt_state, best_params, best_loss, keys
+            )
+            losses = np.asarray(losses)
+            epochs_done += block
+            pbar.update(block)
+            n_nonfinite += int(np.sum(~np.isfinite(losses)))
+            if check_for_divergences and n_nonfinite > block:
+                break  # persistent divergence: stop early, keep best weights
+            for l in losses:
+                if np.isfinite(l) and l < global_best:
+                    global_best = float(l)
+                    epochs_since_best = 0
+                else:
+                    epochs_since_best += 1
+            if show_progress:
+                pbar.set_postfix_str(f"loss: {losses[-1]:.4f} (best {global_best:.4f})")
+            if early_stopping and epochs_since_best >= early_stopping_threshold:
+                break
+    finally:
+        pbar.close()
 
     flow.params = best_params if keep_best_weights else params

@@ -1,0 +1,77 @@
+"""Checkpoint/resume (a capability the reference lacks — SURVEY.md section 5):
+npz roundtrip and symmetric nested sampler-state restore (ADVICE round 1:
+restore must recurse as deep as save does)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nfmc_tpu.checkpoint import (
+    load_checkpoint,
+    restore_sampler_state,
+    sampler_state,
+    save_checkpoint,
+)
+from nfmc_tpu.samplers.mcmc import MALA
+from nfmc_tpu.samplers.nfmc import JumpMALA
+
+from tests.util import standard_gaussian_potential
+
+
+def test_npz_roundtrip(tmp_path):
+    state = {"a": jnp.arange(4.0), "b": [jnp.ones((2, 3)), jnp.asarray(7)]}
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state, metadata={"step": 12})
+    restored, meta = load_checkpoint(path, state)
+    assert meta == {"step": 12}
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(4.0))
+    assert int(restored["b"][1]) == 7
+
+
+def test_sampler_state_restores_nested_tuned_kernel(tmp_path):
+    x0 = jax.random.normal(jax.random.key(0), (8, 5))
+    src = JumpMALA((5,), standard_gaussian_potential)
+    src.inner_sampler.params.n_warmup_iterations = 20
+    src.inner_sampler.warmup(x0, show_progress=False)  # tunes the inner kernel
+    tuned_step = float(src.inner_sampler.kernel.step_size)
+
+    state = sampler_state(src, x0, jax.random.key(1))
+    path = str(tmp_path / "jump.npz")
+    save_checkpoint(path, state)
+
+    dst = JumpMALA((5,), standard_gaussian_potential)
+    assert float(dst.inner_sampler.kernel.step_size) != tuned_step
+    loaded, _ = load_checkpoint(path, sampler_state(dst, x0, jax.random.key(1)))
+    x, key = restore_sampler_state(dst, loaded)
+    assert np.allclose(np.asarray(x), np.asarray(x0))
+    assert float(dst.inner_sampler.kernel.step_size) == tuned_step
+    out = dst.sample(x, show_progress=False, key=key)
+    assert np.isfinite(out.samples).all()
+
+
+def test_restore_recurses_to_arbitrary_depth():
+    """ADVICE round 1: a doubly-nested sampler must resume its deepest tuned
+    state, not silently keep defaults."""
+
+    class Shell:
+        """Minimal sampler-shaped object: a kernel plus an optional inner."""
+
+        def __init__(self, kernel, inner=None):
+            self.kernel = kernel
+            if inner is not None:
+                self.inner_sampler = inner
+
+    inner_inner = MALA((3,), standard_gaussian_potential)
+    inner_inner.kernel.step_size = 0.777
+    nested = Shell(JumpMALA((3,), standard_gaussian_potential).kernel,
+                   Shell(JumpMALA((3,), standard_gaussian_potential).kernel, inner_inner))
+
+    x0 = jnp.zeros((4, 3))
+    state = sampler_state(nested, x0, jax.random.key(2))
+    assert "inner" in state and "inner" in state["inner"]  # depth-2 saved
+
+    fresh_deep = MALA((3,), standard_gaussian_potential)
+    fresh = Shell(JumpMALA((3,), standard_gaussian_potential).kernel,
+                  Shell(JumpMALA((3,), standard_gaussian_potential).kernel, fresh_deep))
+    assert float(fresh_deep.kernel.step_size) != 0.777
+    restore_sampler_state(fresh, state)
+    assert abs(float(fresh_deep.kernel.step_size) - 0.777) < 1e-6
