@@ -119,7 +119,8 @@ def run_ours():
         for i in range(0, EVENT_DIM, slab)
     ]
     ess_window = float(jax.numpy.mean(jax.numpy.concatenate(ess_parts)))
-    ess = ess_window * (n_draws / window.shape[0])
+    extrapolation_factor = n_draws / window.shape[0]
+    ess = ess_window * extrapolation_factor
 
     moment_err = float(np.max(np.abs(out.mean)))  # truth: zeros
     second_err = float(np.max(np.abs(out.second_moment - 1.0)))  # truth: ones
@@ -127,9 +128,17 @@ def run_ours():
         "wall_s": wall,
         "iters_per_s": OUTER_OURS / wall,
         "ess": ess,
+        # un-extrapolated trailing-window estimate + the linear-in-n factor
+        # applied to it (VERDICT round 1 item 6 / ADVICE: make the
+        # extrapolation visible next to the headline number)
+        "ess_window": ess_window,
+        "ess_extrapolation_factor": extrapolation_factor,
         "ess_per_s": ess / wall,
         "moment_err": moment_err,
         "second_moment_err": second_err,
+        # cross-validation observables (matched torch replica reports the same)
+        "accept_rate": float(out.statistics.acceptance_rate),
+        "jump_accept_rate": float(out.statistics.jump_acceptance_rate),
         "device": str(jax.devices()[0]),
     }
 
@@ -240,25 +249,37 @@ def run_torch_baseline():
         log_ratio = (-u_xp.detach()) - (-u_x.detach()) + (-qpot(x, x_prime, grad_u_xp)) - (-qpot(x_prime, x, grad_u_x))
         mask = torch.rand(C).log() < log_ratio
         x[mask] = x_prime[mask]
-        return x
+        return x, int(mask.sum())
 
     x = torch.randn(C, d)
     samples = []
+    inner_accepts = 0
+    jump_accepts = 0
     t0 = time.time()
     for _ in range(OUTER_TORCH):
         for _ in range(INNER_N):
-            x = mala_step(x)
+            x, n_acc = mala_step(x)
+            inner_accepts += n_acc
             samples.append(x.clone())
         with torch.no_grad():
             x_prime, f_prime = flow_sample(C)
             log_alpha = (-target(x_prime)) - (-target(x)) + flow_log_prob(x) - f_prime
             mask = torch.rand(C).log() < log_alpha
+            jump_accepts += int(mask.sum())
             x[mask] = x_prime[mask]
             samples.append(x.clone())
     wall = time.time() - t0
     arr = torch.stack(samples).numpy()
     ess = ess_per_dim(arr)
-    return {"wall_s": wall, "iters_per_s": OUTER_TORCH / wall, "ess": ess, "ess_per_s": ess / wall}
+    return {
+        "wall_s": wall, "iters_per_s": OUTER_TORCH / wall, "ess": ess,
+        "ess_per_s": ess / wall,
+        # cross-validation observables (VERDICT round 1 item 6)
+        "accept_rate": inner_accepts / (OUTER_TORCH * INNER_N * C),
+        "jump_accept_rate": jump_accepts / (OUTER_TORCH * C),
+        "moment_err": float(np.max(np.abs(arr.mean(axis=(0, 1))))),
+        "second_moment_err": float(np.max(np.abs((arr**2).mean(axis=(0, 1)) - 1.0))),
+    }
 
 
 def run_north_star():
@@ -316,7 +337,7 @@ def run_north_star():
         window = samples[-min(4096, n_draws):]
         parts = [effective_sample_size(window[..., i : i + 25]) for i in range(0, d, 25)]
         ess = float(jnp.mean(jnp.concatenate(parts))) * (n_draws / window.shape[0])
-        return ess / wall
+        return ess / wall, out
 
     def torch_ess_per_s(draws, wall):
         return ess_per_dim(torch.stack(draws).numpy()) / wall
@@ -330,25 +351,35 @@ def run_north_star():
 
     # ---- IMH -----------------------------------------------------------------
     s = FixedIMH((d,), target, kernel=NFMCKernel((d,), flow=fresh_flow()))
-    ours = ours_ess_per_s(s, 4000, 1365, x0)
+    ours, ours_out = ours_ess_per_s(s, 4000, 1365, x0)
 
     torch.manual_seed(0)
     flow_sample, flow_log_prob, _, _ = make_torch_flow(d)
     x = torch.randn(C, d)
     logq_x = flow_log_prob(x)
     draws = []
+    imh_accepts = 0
     t0 = time.time()
     with torch.no_grad():
         for _ in range(500):
             xp, logq_p = flow_sample(C)
             log_alpha = (-tgt_t(xp)) - (-tgt_t(x)) + logq_x - logq_p
             mask = torch.rand(C).log() < log_alpha
+            imh_accepts += int(mask.sum())
             x[mask] = xp[mask]
             logq_x[mask] = logq_p[mask]
             draws.append(x.clone())
     base = torch_ess_per_s(draws, time.time() - t0)
+    arr = torch.stack(draws).numpy()
     results["imh"] = {"ours_ess_per_s": round(ours, 1), "torch_ess_per_s": round(base, 1),
                       "speedup": round(ours / base, 1)}
+    # cross-validation observables for the IMH pair (VERDICT round 1 item 6)
+    results["imh_validation_raw"] = {
+        "ours_accept_rate": float(ours_out.statistics.acceptance_rate),
+        "torch_accept_rate": imh_accepts / (500 * C),
+        "ours_moment_err": float(np.max(np.abs(ours_out.mean))),
+        "torch_moment_err": float(np.max(np.abs(arr.mean(axis=(0, 1))))),
+    }
 
     # ---- NeuTra HMC ----------------------------------------------------------
     flow = fresh_flow()
@@ -356,7 +387,7 @@ def run_north_star():
                   inner_kernel=HMCKernel(event_size=d, step_size=HMC_STEP),
                   inner_params=HMCParameters(),
                   kernel=NeuTraKernel((d,), flow=flow))
-    ours = ours_ess_per_s(s, 1000, 341, x0, latent_flow=flow)
+    ours, _ = ours_ess_per_s(s, 1000, 341, x0, latent_flow=flow)
 
     torch.manual_seed(0)
     _, _, _, flow_inverse = make_torch_flow(d)
@@ -395,7 +426,7 @@ def run_north_star():
     # ---- TESS ----------------------------------------------------------------
     s = TESS((d,), target, negative_log_likelihood=target,
              kernel=TESSKernel((d,), flow=fresh_flow()))
-    ours = ours_ess_per_s(s, 2000, 1365, x0)
+    ours, _ = ours_ess_per_s(s, 2000, 1365, x0)
 
     torch.manual_seed(0)
     _, _, _, flow_inverse = make_torch_flow(d)
@@ -535,14 +566,107 @@ def run_scale_1024():
     return result
 
 
+def run_pallas_numerics():
+    """On-device numerics of the fused Pallas coupling kernels vs the pure-XLA
+    path (VERDICT round 1 item 9): max-abs-diff of forward / inverse outputs,
+    log-dets, and parameter VJPs through both directions, recorded in the
+    bench JSON as a hardware artifact (CI only exercises interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nfmc_tpu.flows import Flow, RealNVP
+
+    d = EVENT_DIM
+    pallas_bij = RealNVP((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN, use_pallas="auto")
+    xla_bij = RealNVP((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN, use_pallas=False)
+    if not pallas_bij._pallas_enabled():
+        return {"enabled": False}
+    params = Flow(pallas_bij, seed=0).params
+    # perturb away from the identity-initialized transform
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.05 * jax.random.normal(jax.random.key(3), p.shape), params
+    )
+    x = jax.random.normal(jax.random.key(4), (256, d))
+    z = jax.random.normal(jax.random.key(5), (256, d))
+
+    def maxdiff(a, b):
+        return float(jnp.max(jnp.abs(a - b)))
+
+    yp, ldp = jax.jit(pallas_bij.forward_fn)(params, x)
+    yx, ldx = jax.jit(xla_bij.forward_fn)(params, x)
+    ip, ildp = jax.jit(pallas_bij.inverse_fn)(params, z)
+    ix, ildx = jax.jit(xla_bij.inverse_fn)(params, z)
+
+    def grad_through(bij, direction):
+        fn = bij.forward_fn if direction == "fwd" else bij.inverse_fn
+
+        def loss(p, v):
+            y, ld = fn(p, v)
+            return jnp.mean(-0.5 * jnp.sum(y * y, axis=-1) + ld)
+
+        return jax.jit(jax.grad(loss))
+
+    gfp = grad_through(pallas_bij, "fwd")(params, x)
+    gfx = grad_through(xla_bij, "fwd")(params, x)
+    gip = grad_through(pallas_bij, "inv")(params, z)
+    gix = grad_through(xla_bij, "inv")(params, z)
+
+    def tree_maxdiff(a, b):
+        return max(
+            float(jnp.max(jnp.abs(la - lb)))
+            for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+        )
+
+    def tree_maxabs(a):
+        return max(float(jnp.max(jnp.abs(l))) for l in jax.tree_util.tree_leaves(a))
+
+    # Context for the VJP numbers: the fused-backward-vs-XLA difference
+    # (~4e-4 of the gradient scale, measured) sits well inside the noise
+    # floor set by the TPU's default f32 matmul precision itself — both
+    # paths differ from a highest-precision XLA reference by ~2.4e-2 here.
+    return {
+        "enabled": True,
+        "fwd_max_abs_diff": maxdiff(yp, yx),
+        "fwd_logdet_max_abs_diff": maxdiff(ldp, ldx),
+        "inv_max_abs_diff": maxdiff(ip, ix),
+        "inv_logdet_max_abs_diff": maxdiff(ildp, ildx),
+        "vjp_fwd_max_abs_diff": tree_maxdiff(gfp, gfx),
+        "vjp_fwd_rel_diff": tree_maxdiff(gfp, gfx) / tree_maxabs(gfx),
+        "vjp_inv_max_abs_diff": tree_maxdiff(gip, gix),
+        "vjp_inv_rel_diff": tree_maxdiff(gip, gix) / tree_maxabs(gix),
+    }
+
+
 def main():
     ours = run_ours()
     base = run_torch_baseline()
     scale = run_scale_1024()
     north = run_north_star()
+    pallas = run_pallas_numerics()
     # normalize ESS yield per outer iteration, compare rates
     ours_eff = ours["ess_per_s"]
     base_eff = base["ess_per_s"]
+
+    def band(a, b, tol):
+        return {"ours": round(a, 4), "torch": round(b, 4),
+                "abs_diff": round(abs(a - b), 4), "tolerance": tol,
+                "ok": bool(abs(a - b) <= tol)}
+
+    imh_raw = north.pop("imh_validation_raw")
+    # Statistical-compatibility bands (VERDICT round 1 item 6): matched
+    # configs, different RNG streams — acceptance rates and moment errors must
+    # agree within sampling noise of the shorter (torch) run.
+    validation = {
+        "jump_mala": {
+            "inner_accept_rate": band(ours["accept_rate"], base["accept_rate"], 0.05),
+            "jump_accept_rate": band(ours["jump_accept_rate"], base["jump_accept_rate"], 0.05),
+            "moment_err": band(ours["moment_err"], base["moment_err"], 0.1),
+        },
+        "imh": {
+            "accept_rate": band(imh_raw["ours_accept_rate"], imh_raw["torch_accept_rate"], 0.05),
+            "moment_err": band(imh_raw["ours_moment_err"], imh_raw["torch_moment_err"], 0.1),
+        },
+    }
     result = {
         "metric": "jump_mala ESS/sec (100 chains, 100-d Gaussian, RealNVP proposal)",
         "value": round(ours_eff, 2),
@@ -553,6 +677,10 @@ def main():
         "torch_cpu_baseline": {k: round(v, 4) for k, v in base.items()},
         "scale_1024_chains_jump_hmc": scale,
         "north_star_vs_torch_replica": north,
+        "validation": validation,
+        "pallas_numerics": {
+            k: (round(v, 8) if isinstance(v, float) else v) for k, v in pallas.items()
+        },
     }
     print(json.dumps(result))
 
