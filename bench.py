@@ -566,6 +566,98 @@ def run_scale_1024():
     return result
 
 
+def run_funnel():
+    """BASELINE.md's second headline target family: 100 chains x 100-d Neal
+    funnel (the Gaussian workloads cover the rest of the metric). Both sides
+    run the identical adjusted MALA (fixed step 0.1) so the ratio is pure
+    wall-clock; the funnel's v-marginal (Var v = 9) is the mixing observable."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    import nfmc_tpu
+    from nfmc_tpu.diagnostics import effective_sample_size
+    from nfmc_tpu.potentials import Funnel
+    from nfmc_tpu.samplers.mcmc import MALA, LangevinKernel, LangevinParameters
+
+    d, C = EVENT_DIM, N_CHAINS
+    STEP = 0.1
+    nfmc_tpu.set_seed(0)
+    target = Funnel(n_dim=d)
+    x0 = jnp.asarray(target.sample((C,), key=jax.random.key(1)), dtype=jnp.float32)
+
+    s = MALA((d,), target, kernel=LangevinKernel(event_size=d, step_size=STEP),
+             params=LangevinParameters(tuning=False))
+    s.params.store_samples_on_device = True
+    s.params.n_iterations = 1365  # warm every chunk size
+    s.sample(x0, show_progress=False, seed=0)
+    n_iters = 5000
+    s.params.n_iterations = n_iters
+    walls = []
+    for rep in range(3):
+        t0 = time.time()
+        out = s.sample(x0, show_progress=False, seed=0)
+        jax.block_until_ready(out.running_samples.last_sample)
+        walls.append(time.time() - t0)
+    wall = sorted(walls)[1]
+    samples = out.running_samples.as_tensor()
+    window = samples[-min(4096, samples.shape[0]):]
+    parts = [effective_sample_size(window[..., i : i + 25]) for i in range(0, d, 25)]
+    ess = float(jnp.mean(jnp.concatenate(parts))) * (samples.shape[0] / window.shape[0])
+    v_var = float(jnp.var(samples[..., 0]))
+
+    # torch replica: identical adjusted MALA on the identical funnel
+    torch.manual_seed(0)
+
+    def tgt(x):
+        v, rest = x[:, 0], x[:, 1:]
+        return (0.5 * (v / 3.0) ** 2
+                + 0.5 * (rest**2).sum(-1) * torch.exp(-v)
+                + 0.5 * (d - 1) * v)
+
+    inv_mass = torch.ones(d)
+
+    def mala_step(x):
+        x = x.detach().requires_grad_(True)
+        u_x = tgt(x)
+        (g_x,) = torch.autograd.grad(u_x.sum(), x)
+        x = x.detach()
+        noise = torch.randn_like(x)
+        xp = x - STEP / inv_mass**2 * g_x + np.sqrt(2 * STEP) / inv_mass * noise
+        xp = xp.detach().requires_grad_(True)
+        u_xp = tgt(xp)
+        (g_xp,) = torch.autograd.grad(u_xp.sum(), xp)
+        xp = xp.detach()
+        a = 1 / inv_mass**2
+
+        def qpot(p, c, g):
+            term = p - c + STEP * a * g
+            return (term * (1 / a) * term).sum(-1) / (4 * STEP)
+
+        log_ratio = (-u_xp.detach()) - (-u_x.detach()) + (-qpot(x, xp, g_xp)) - (-qpot(xp, x, g_x))
+        finite = torch.isfinite(log_ratio)
+        mask = (torch.rand(C).log() < log_ratio) & finite
+        x[mask] = xp[mask]
+        return x
+
+    xt = torch.asarray(np.asarray(x0).copy())
+    draws = []
+    n_torch = 400
+    t0 = time.time()
+    for _ in range(n_torch):
+        xt = mala_step(xt)
+        draws.append(xt.clone())
+    wall_t = time.time() - t0
+    ess_t = ess_per_dim(torch.stack(draws).numpy())
+    return {
+        "ours": {"wall_s": round(wall, 4), "iters_per_s": round(n_iters / wall, 1),
+                 "ess_per_s": round(ess / wall, 1), "v_var": round(v_var, 3)},
+        "torch": {"wall_s": round(wall_t, 4), "iters_per_s": round(n_torch / wall_t, 1),
+                  "ess_per_s": round(ess_t / wall_t, 1)},
+        "speedup": round((ess / wall) / (ess_t / wall_t), 1),
+    }
+
+
 def run_pallas_numerics():
     """On-device numerics of the fused Pallas coupling kernels vs the pure-XLA
     path (VERDICT round 1 item 9): max-abs-diff of forward / inverse outputs,
@@ -642,6 +734,7 @@ def main():
     base = run_torch_baseline()
     scale = run_scale_1024()
     north = run_north_star()
+    funnel = run_funnel()
     pallas = run_pallas_numerics()
     # normalize ESS yield per outer iteration, compare rates
     ours_eff = ours["ess_per_s"]
@@ -677,6 +770,7 @@ def main():
         "torch_cpu_baseline": {k: round(v, 4) for k, v in base.items()},
         "scale_1024_chains_jump_hmc": scale,
         "north_star_vs_torch_replica": north,
+        "funnel_mala_100d": funnel,
         "validation": validation,
         "pallas_numerics": {
             k: (round(v, 8) if isinstance(v, float) else v) for k, v in pallas.items()
