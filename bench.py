@@ -323,12 +323,15 @@ def run_north_star():
         sampler.sample(x0, show_progress=False, seed=0)
         sampler.params.n_iterations = n_iters
         walls = []
-        for rep in range(3):  # median of 3: tunnel latency drifts (see run_ours)
+        for rep in range(5):  # median of 5: tunnel latency drifts minute-to-
+            # minute and short walls swing +-0.15 s (measured: IMH 0.23-0.32 s
+            # across reps in one process; a bad minute once halved the
+            # reported ESS/s)
             t0 = time.time()
             out = sampler.sample(x0, show_progress=False, seed=0)
             jax.block_until_ready(out.running_samples.last_sample)
             walls.append(time.time() - t0)
-        wall = sorted(walls)[1]
+        wall = sorted(walls)[2]
         samples = out.running_samples.as_tensor()
         if latent_flow is not None:  # NeuTra stores latent draws
             flat = samples.reshape(-1, d)
