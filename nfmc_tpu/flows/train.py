@@ -48,6 +48,60 @@ def _pad_to_multiple(x: np.ndarray, multiple: int):
     return x, weights
 
 
+def make_scan_fit(flow, n_rows: int, n_epochs: int, lr: float = 0.005,
+                  batch_size="adaptive", shuffle: bool = True):
+    """Fixed-effort MLE fit as a pure function for use INSIDE compiled scans:
+    ``fit(params, data, key) -> params`` with ``data: (n_rows, *event)``.
+
+    Mirrors :func:`fit` without host control flow: fresh Adam per call (the
+    host path builds a new optimizer per ``fit``), ``n_epochs`` of shuffled
+    minibatch steps, and rollback-on-divergence via a finite-loss guard in
+    place of the ValueError contract. Deviation (documented): the data
+    truncates to a multiple of the batch size instead of padding the last
+    batch. Used by the fused AdaptiveIMH refit (``imh.py``); DLMC's fused
+    refit carries its own train/val split variant (``dlmc.py``)."""
+    import optax
+
+    event_shape = flow.event_shape
+    if batch_size in ("adaptive", None):
+        bs = _adaptive_batch_size(n_rows)
+    else:
+        bs = min(int(batch_size), n_rows)
+    n_eff = max(bs, (n_rows // bs) * bs)
+    n_batches = n_eff // bs
+    opt = optax.adam(lr)
+
+    def nll_loss(p, xb):
+        return -jnp.mean(flow.log_prob_fn(p, xb))
+
+    def scan_fit(params, data, key):
+        opt_state = opt.init(params)
+
+        def epoch(carry, ek):
+            p, os = carry
+            xs = jax.random.permutation(ek, data)[:n_eff] if shuffle else data[:n_eff]
+            xs = xs.reshape(n_batches, bs, *event_shape)
+
+            def bstep(c, xb):
+                p, os = c
+                loss, g = jax.value_and_grad(nll_loss)(p, xb)
+                u, os = opt.update(g, os, p)
+                return (optax.apply_updates(p, u), os), loss
+
+            (p, os), losses = jax.lax.scan(bstep, (p, os), xs)
+            return (p, os), jnp.mean(losses)
+
+        (fitted, _os), _ = jax.lax.scan(
+            epoch, (params, opt_state), jax.random.split(key, n_epochs)
+        )
+        ok = jnp.isfinite(nll_loss(fitted, data[:bs]))
+        return jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), fitted, params
+        )
+
+    return scan_fit
+
+
 def fit(
     flow,
     x_train,

@@ -287,6 +287,89 @@ class AdaptiveIMH(AbstractIMH):
     def name(self):
         return "Adaptive IMH"
 
+    def _adaptation_schedule(self, rng: np.random.Generator, start: int, chunk: int):
+        """Host-precomputed (do_fit, k_idx) for iterations [start, start+chunk):
+        the adaptation decision (prob ``dropoff**i``) and the historical batch
+        index depend only on the absolute iteration index — ``n_samples`` at
+        iteration i is exactly i+1 — so the whole schedule is known before the
+        chunk runs. Draw order matches the host loop exactly (same rng
+        stream)."""
+        do_fit = np.zeros(chunk, dtype=bool)
+        k_idx = np.zeros(chunk, dtype=np.int32)
+        for j in range(chunk):
+            i_abs = start + j
+            if rng.uniform() < self.params.adaptation_dropoff**i_abs:
+                n_samples = i_abs + 1
+                if self.params.train_distribution == "uniform":
+                    k = int(rng.integers(0, n_samples))
+                elif self.params.train_distribution == "bounded_geom_approx":
+                    k = int(rng.integers(max(0, n_samples - 100), n_samples))
+                else:
+                    k = sample_bounded_geom(rng, p=0.025, max_val=n_samples - 1)
+                do_fit[j] = True
+                k_idx[j] = k
+        return do_fit, k_idx
+
+    def _get_fused_runner(self, n_chains: int):
+        """Whole-iteration scan step: accept + history write + (conditional)
+        1-epoch refit on a historical batch, one device dispatch per chunk.
+
+        The host path issues per iteration one accept dispatch, two counter
+        syncs, a sample D2H, and (early on, with prob ~1) a refit whose
+        ``flow.fit`` fetches the training batch to host — each sync costs real
+        latency on a tunneled device. Here the draw history lives on device
+        and the refit is :func:`nfmc_tpu.flows.train.make_scan_fit` (fresh
+        Adam, 1 epoch, finite-guard rollback — same effort as the host path's
+        ``fit(n_epochs=1)``; RNG stream differs, statistics match)."""
+        flow = self.kernel.flow
+        config = (id(flow), id(flow.bijection), id(flow._base_log_prob_override),
+                  id(self.target), n_chains)
+
+        def build():
+            from ...core.driver import StatsAccum
+            from ...flows.train import make_scan_fit
+
+            accept_step = self._make_accept_step()
+            scan_fit = make_scan_fit(flow, n_chains, n_epochs=1)
+            log_prob_fn = flow.log_prob_fn
+
+            def run_chunk(params, x, flp, u, hist, i0, acc, key, do_fit, k_idx, chunk):
+                keys = jax.random.split(key, chunk + 1)
+                key_next, keys = keys[0], keys[1:]
+
+                def body(carry, xs):
+                    params, x, flp, u, hist, i, acc = carry
+                    key_i, df, ki = xs
+                    k_step, k_fit = jax.random.split(key_i)
+                    x, flp, u, mask, div = accept_step(params, x, flp, u, k_step)
+                    hist = jax.lax.dynamic_update_index_in_dim(hist, x, i, 0)
+
+                    def fit_branch(args):
+                        p, _flp = args
+                        xt = jax.lax.dynamic_index_in_dim(hist, ki, 0, keepdims=False)
+                        p2 = scan_fit(p, xt, k_fit)
+                        # cached proposal density of the current state is
+                        # stale after a refit (host path: flow.log_prob(x))
+                        return p2, log_prob_fn(p2, x)
+
+                    params, flp = jax.lax.cond(df, fit_branch, lambda a: a, (params, flp))
+                    acc = acc.add(
+                        StepInfo(n_accepted=jnp.sum(mask).astype(jnp.int32), diverged=div), x
+                    )
+                    return (params, x, flp, u, hist, i + 1, acc), None
+
+                (params, x, flp, u, hist, _i, acc), _ = jax.lax.scan(
+                    body, (params, x, flp, u, hist, i0, acc), (keys, do_fit, k_idx)
+                )
+                return params, x, flp, u, hist, acc, key_next
+
+            return jax.jit(run_chunk, donate_argnums=(1, 4, 6), static_argnums=(10,))
+
+        return self._memo(
+            "adaptive_imh_fused", config, build,
+            keepalive=(flow, flow.bijection, flow._base_log_prob_override, self.target),
+        )
+
     def sample(self, x0, show_progress: bool = True, time_limit_seconds=None,
                key=None, seed=None) -> MCMCOutput:
         key = self._key(key, seed)
@@ -294,7 +377,16 @@ class AdaptiveIMH(AbstractIMH):
             self.params.store_samples = True
         x0 = jnp.asarray(x0, dtype=jnp.float32)
         n_chains = x0.shape[0]
-        out = MCMCOutput(self.event_shape, store_samples=True)
+        n_total = self.params.n_iterations
+        event_size = int(np.prod(self.event_shape)) if self.event_shape else 1
+
+        # Fused path unless the on-device history would be large.
+        if n_total * n_chains * event_size <= self.rng_hoist_element_limit:
+            return self._sample_fused(x0, key, n_chains, n_total,
+                                      show_progress, time_limit_seconds)
+
+        out = MCMCOutput(self.event_shape, store_samples=True,
+                         on_device=getattr(self.params, 'store_samples_on_device', False))
         rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
 
         # One jitted accept step per (flow object incl. base-log-prob
@@ -353,5 +445,72 @@ class AdaptiveIMH(AbstractIMH):
                     flow.load_state_dict(flow_weights)
             out.statistics.update_elapsed_time(time.time() - t0)
 
+        out.kernel = self.kernel
+        return out
+
+    def _sample_fused(self, x0, key, n_chains, n_total, show_progress,
+                      time_limit_seconds) -> MCMCOutput:
+        from ...core.driver import StatsAccum, chunk_schedule
+
+        flow = self.kernel.flow
+        out = MCMCOutput(self.event_shape, store_samples=True,
+                         on_device=getattr(self.params, 'store_samples_on_device', False))
+        # seed/stream order matches the host path (rng seeded from `key`
+        # before the per-iteration splits)
+        rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+        runner = self._get_fused_runner(n_chains)
+
+        t0 = time.time()
+        params = flow.params
+        x = jnp.array(x0, copy=True)
+        flp = flow.log_prob_fn(params, x)
+        u = self.target(x)
+        hist = jnp.zeros((n_total, n_chains, *self.event_shape), dtype=jnp.float32)
+        acc = StatsAccum.zeros(self.event_shape)
+        out.statistics.update_elapsed_time(time.time() - t0)
+
+        pipelined = time_limit_seconds is None and not show_progress
+        iters_done = 0
+        run_t0 = time.time()
+        pbar = tqdm(total=n_total, desc=self.name, disable=not show_progress)
+        for chunk in chunk_schedule(n_total, max_chunk=1024 if pipelined else 256):
+            if (
+                time_limit_seconds is not None
+                and out.statistics.elapsed_time_seconds >= time_limit_seconds
+            ):
+                break
+            do_fit, k_idx = self._adaptation_schedule(rng, iters_done, chunk)
+            t0 = time.time()
+            params, x, flp, u, hist, acc, key = runner(
+                params, x, flp, u, hist, jnp.int32(iters_done), acc, key,
+                jnp.asarray(do_fit), jnp.asarray(k_idx), chunk,
+            )
+            if not pipelined:
+                jax.block_until_ready(x)
+                out.statistics.update_elapsed_time(time.time() - t0)
+            iters_done += chunk
+            pbar.update(chunk)
+            if show_progress:
+                pbar.set_postfix_str(f"{out.statistics}")
+        pbar.close()
+        if pipelined:
+            jax.block_until_ready(x)
+            out.statistics.update_elapsed_time(time.time() - run_t0)
+
+        acc_host = jax.device_get(acc)
+        out.statistics.update_counters(
+            n_accepted_trajectories=int(acc_host.n_accepted),
+            n_attempted_trajectories=iters_done * n_chains,
+            n_divergences=int(acc_host.n_divergences),
+            # Reference-bug parity: accept-step target evals logged as
+            # gradient calls (``imh.py:146``).
+            n_target_gradient_calls=2 * n_chains * iters_done,
+        )
+        out.statistics.update_moments_from_sums(
+            acc_host.sum_x, acc_host.sum_x2, iters_done * n_chains
+        )
+        if iters_done:
+            out.running_samples.add(hist[:iters_done])
+        flow.params = params
         out.kernel = self.kernel
         return out

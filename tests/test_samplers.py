@@ -339,3 +339,45 @@ def test_dlmc_fused_matches_host_path():
     # different RNG streams -> statistical (not bitwise) agreement
     assert float(np.max(np.abs(out_fused.mean - out_host.mean))) < 0.15
     assert float(np.max(np.abs(out_fused.variance - out_host.variance))) < 0.4
+
+
+def test_adaptive_imh_fused_matches_host_path():
+    """AdaptiveIMH's fused path (device-resident history + in-scan 1-epoch
+    refits) must match the host loop in counters and statistics, and must
+    actually adapt the flow."""
+    import jax
+
+    from nfmc_tpu.samplers.nfmc import AdaptiveIMH, IMHKernel
+
+    d, n_chains, n_iter = 5, 64, 30
+    x0 = jax.random.normal(jax.random.key(1), (n_chains, d))
+
+    def build():
+        s = AdaptiveIMH(
+            event_shape=(d,), target=standard_gaussian_potential,
+            kernel=IMHKernel((d,), flow=small_flow((d,))),
+        )
+        s.params.n_iterations = n_iter
+        return s
+
+    fused = build()
+    p_before = jax.tree_util.tree_leaves(fused.kernel.flow.params)
+    out_fused = fused.sample(x0, show_progress=False, seed=0)
+    p_after = jax.tree_util.tree_leaves(fused.kernel.flow.params)
+    assert any(
+        float(np.max(np.abs(a - b))) > 0 for a, b in zip(p_before, p_after)
+    )  # refits engaged
+
+    host = build()
+    host.rng_hoist_element_limit = 0  # force the host loop
+    out_host = host.sample(x0, show_progress=False, seed=0)
+
+    for out in (out_fused, out_host):
+        assert out.samples.shape == (n_iter, n_chains, d)
+        assert np.isfinite(out.samples).all()
+    assert (out_fused.statistics.n_target_gradient_calls
+            == out_host.statistics.n_target_gradient_calls)
+    assert (out_fused.statistics.n_attempted_trajectories
+            == out_host.statistics.n_attempted_trajectories)
+    # different fit RNG streams -> statistical agreement
+    assert float(np.max(np.abs(out_fused.mean - out_host.mean))) < 0.3
