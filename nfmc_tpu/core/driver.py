@@ -23,6 +23,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .samples import MCMCSamples
 from .statistics import MCMCStatistics
@@ -50,7 +51,15 @@ def flow_proposal_footprint_per_draw(flow, event_size: int) -> int:
     bij = getattr(flow, "bijection", None)
     hidden = getattr(bij, "hidden", None) if bij is not None else None
     if hidden is None and bij is not None:
-        hidden = getattr(bij, "hidden_size", None) or getattr(bij, "hidden_channels", None)
+        hidden = getattr(bij, "hidden_size", None)
+    if hidden is None and bij is not None:
+        # conv flows: hidden_channels is a per-pixel channel count — the
+        # activation holds channels x spatial elements, not `channels`
+        channels = getattr(bij, "hidden_channels", None)
+        if channels is not None:
+            chw = getattr(bij, "chw", None)
+            spatial = int(np.prod(chw[1:])) if chw else max(1, event_size)
+            hidden = int(channels) * spatial
     if isinstance(hidden, (list, tuple)):
         hidden = max(hidden) if hidden else 0
     hidden = int(hidden or event_size)

@@ -84,9 +84,11 @@ class Bijection:
         raise NotImplementedError
 
     def regularization(self, params, x: jax.Array) -> jax.Array:
-        """Scalar training regularizer, weighted by ``regularization_weight``
-        in ``fit``/``variational_fit`` losses (RNODE's kinetic energy; 0 by
-        default)."""
+        """Training regularizer, weighted by ``regularization_weight`` in
+        ``fit``/``variational_fit`` losses (RNODE's kinetic energy; 0 by
+        default). Implementations should return PER-SAMPLE values shaped
+        ``(batch,)`` so the MLE loss can apply its padding weights; a scalar
+        return is also accepted (applied unweighted)."""
         return jnp.asarray(0.0, dtype=jnp.float32)
 
     # ---- stateful convenience (reference-parity call sites) ---------------

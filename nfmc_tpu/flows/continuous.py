@@ -161,14 +161,15 @@ class ContinuousFlow(Bijection):
         return self._integrate(params, z, reverse=True)
 
     def regularization(self, params, x) -> jax.Array:
-        """Kinetic-energy regularizer E_t[|f|^2] (RNODE; Finlay et al. 2020)."""
+        """Per-sample kinetic-energy regularizer E_t[|f|^2] (RNODE; Finlay et
+        al. 2020); shape ``(batch,)`` so training can weight padded rows."""
         batch_shape = x.shape[: x.ndim - len(self.event_shape)]
         v = x.reshape(*batch_shape, self.event_size)
         ts = jnp.linspace(0.0, 1.0, 4)
         f = jax.vmap(
             lambda t: jax.vmap(self._f_single, in_axes=(None, 0, None))(params, v, t)
         )(ts)
-        return jnp.mean(jnp.sum(f * f, axis=-1))
+        return jnp.mean(jnp.sum(f * f, axis=-1), axis=0)
 
 
 class FFJORD(ContinuousFlow):

@@ -542,15 +542,15 @@ class _ConvContinuous(Bijection):
         return self._integrate(params, z, reverse=True)
 
     def regularization(self, params, x) -> jax.Array:
-        """Kinetic-energy regularizer E_t[|f|^2] over the conv dynamics
-        (RNODE, Finlay et al. 2020) — conv analogue of
-        ``ContinuousFlow.regularization``."""
+        """Per-sample kinetic-energy regularizer E_t[|f|^2] over the conv
+        dynamics (RNODE, Finlay et al. 2020) — conv analogue of
+        ``ContinuousFlow.regularization``; shape ``(batch,)``."""
         batch = x.shape[: x.ndim - len(self.event_shape)]
         b = int(np.prod(batch)) if batch else 1
         v = x.reshape(b, *self.chw)
         ts = jnp.linspace(0.0, 1.0, 4)
         f = jax.vmap(lambda t: self._f(params, v, t))(ts)
-        return jnp.mean(jnp.sum(f * f, axis=(2, 3, 4)))
+        return jnp.mean(jnp.sum(f * f, axis=(2, 3, 4)), axis=0).reshape(batch)
 
 
 class ConvolutionalFFJORD(_ConvContinuous):

@@ -199,8 +199,13 @@ def fit(
             loss = -jnp.sum(lp * wb) / jnp.maximum(jnp.sum(wb), 1.0)
             if reg_weight:
                 # RNODE-style training regularizer (flows/base.py
-                # Bijection.regularization); weight 0 compiles it away
-                loss = loss + reg_weight * regularization_fn(p, xb)
+                # Bijection.regularization); weight 0 compiles it away.
+                # Per-sample regularizers get the padding weights so
+                # duplicated pad rows don't bias the gradient.
+                reg = regularization_fn(p, xb)
+                if reg.ndim:
+                    reg = jnp.sum(reg * wb) / jnp.maximum(jnp.sum(wb), 1.0)
+                loss = loss + reg_weight * reg
             return loss
 
         def run_block(params, opt_state, best_params, best_loss, keys,
@@ -354,7 +359,7 @@ def variational_fit(
         x, log_det_inv = bijection.inverse_fn(p, z)
         loss = jnp.mean(-target_log_prob(x) - log_det_inv)
         if reg_weight:
-            loss = loss + reg_weight * bijection.regularization(p, x)
+            loss = loss + reg_weight * jnp.mean(bijection.regularization(p, x))
         return loss
 
     def run_block(params, opt_state, best_params, best_loss, keys):

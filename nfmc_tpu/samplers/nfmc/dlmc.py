@@ -260,7 +260,8 @@ class DLMC(Sampler):
                 log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
                 mask = (log_u < log_alpha) & finite
                 bmask = mask.reshape(mask.shape + (1,) * len(self.event_shape))
-                return jnp.where(bmask, x_tilde, x), mask
+                diverged = (~jnp.all(finite)).astype(jnp.int32)
+                return jnp.where(bmask, x_tilde, x), mask, diverged
 
             return grad_nll, drift_step, accept_step
 
@@ -343,7 +344,7 @@ class DLMC(Sampler):
             out.statistics.update_counters(n_target_calls=n_chains, n_target_gradient_calls=n_chains)
 
             # (3) IMH-style accept against fresh flow samples
-            x, mask = accept_step(flow.params, x, k_acc)
+            x, mask, diverged = accept_step(flow.params, x, k_acc)
 
             out.running_samples.add(x)
             out.statistics.expectations.update(x)
@@ -351,6 +352,7 @@ class DLMC(Sampler):
                 n_target_calls=2 * n_chains,
                 n_accepted_trajectories=int(jnp.sum(mask)),
                 n_attempted_trajectories=n_chains,
+                n_divergences=int(diverged),
             )
             out.statistics.update_elapsed_time(time.time() - t0)
             if show_progress:

@@ -276,6 +276,12 @@ class FixedIMH(AbstractIMH):
 
 
 class AdaptiveIMH(AbstractIMH):
+    # Footprint cap (f32 elements) for the fused path's on-device draw
+    # history — a DEDICATED knob: the unrelated rng_hoist_element_limit
+    # (proposal/RNG hoisting) must not silently switch the sampling
+    # algorithm path (same lesson as JumpNFMC's separate proposal limit).
+    history_element_limit: int = RNG_HOIST_ELEMENT_LIMIT
+
     def __init__(self, event_shape, target, kernel=None, params=None):
         super().__init__(event_shape, target, kernel, params)
         if not self.params.store_samples:
@@ -381,7 +387,7 @@ class AdaptiveIMH(AbstractIMH):
         event_size = int(np.prod(self.event_shape)) if self.event_shape else 1
 
         # Fused path unless the on-device history would be large.
-        if n_total * n_chains * event_size <= self.rng_hoist_element_limit:
+        if n_total * n_chains * event_size <= self.history_element_limit:
             return self._sample_fused(x0, key, n_chains, n_total,
                                       show_progress, time_limit_seconds)
 
@@ -469,7 +475,25 @@ class AdaptiveIMH(AbstractIMH):
         acc = StatsAccum.zeros(self.event_shape)
         out.statistics.update_elapsed_time(time.time() - t0)
 
+        def flush(acc_host, iters):
+            out.statistics.update_counters(
+                n_accepted_trajectories=int(acc_host.n_accepted),
+                n_attempted_trajectories=iters * n_chains,
+                n_divergences=int(acc_host.n_divergences),
+                # Reference-bug parity: accept-step target evals logged as
+                # gradient calls (``imh.py:146``).
+                n_target_gradient_calls=2 * n_chains * iters,
+            )
+            out.statistics.update_moments_from_sums(
+                acc_host.sum_x, acc_host.sum_x2, iters * n_chains
+            )
+
+        # NOTE: this chunk loop mirrors ChunkedScanDriver.run (the carry here
+        # holds flow params + the draw history); keep the pipelining /
+        # chunk-size / per-chunk-flush policy in sync with core/driver.py
+        # when changing either.
         pipelined = time_limit_seconds is None and not show_progress
+        unflushed = 0
         iters_done = 0
         run_t0 = time.time()
         pbar = tqdm(total=n_total, desc=self.name, disable=not show_progress)
@@ -489,26 +513,22 @@ class AdaptiveIMH(AbstractIMH):
                 jax.block_until_ready(x)
                 out.statistics.update_elapsed_time(time.time() - t0)
             iters_done += chunk
+            unflushed += chunk
             pbar.update(chunk)
             if show_progress:
+                # live bar needs the device accumulator flushed per chunk
+                from ...core.driver import StatsAccum as _StatsAccum
+
+                flush(jax.device_get(acc), unflushed)
+                acc = _StatsAccum.zeros(self.event_shape)
+                unflushed = 0
                 pbar.set_postfix_str(f"{out.statistics}")
         pbar.close()
         if pipelined:
             jax.block_until_ready(x)
             out.statistics.update_elapsed_time(time.time() - run_t0)
-
-        acc_host = jax.device_get(acc)
-        out.statistics.update_counters(
-            n_accepted_trajectories=int(acc_host.n_accepted),
-            n_attempted_trajectories=iters_done * n_chains,
-            n_divergences=int(acc_host.n_divergences),
-            # Reference-bug parity: accept-step target evals logged as
-            # gradient calls (``imh.py:146``).
-            n_target_gradient_calls=2 * n_chains * iters_done,
-        )
-        out.statistics.update_moments_from_sums(
-            acc_host.sum_x, acc_host.sum_x2, iters_done * n_chains
-        )
+        if unflushed:
+            flush(jax.device_get(acc), unflushed)
         if iters_done:
             out.running_samples.add(hist[:iters_done])
         flow.params = params

@@ -336,6 +336,8 @@ def test_dlmc_fused_matches_host_path():
     assert out_fused.statistics.n_target_calls == out_host.statistics.n_target_calls
     assert (out_fused.statistics.n_target_gradient_calls
             == out_host.statistics.n_target_gradient_calls)
+    # both paths must report the divergence counter (host path once dropped it)
+    assert out_fused.statistics.n_divergences == out_host.statistics.n_divergences
     # different RNG streams -> statistical (not bitwise) agreement
     assert float(np.max(np.abs(out_fused.mean - out_host.mean))) < 0.15
     assert float(np.max(np.abs(out_fused.variance - out_host.variance))) < 0.4
@@ -369,7 +371,7 @@ def test_adaptive_imh_fused_matches_host_path():
     )  # refits engaged
 
     host = build()
-    host.rng_hoist_element_limit = 0  # force the host loop
+    host.history_element_limit = 0  # force the host loop
     out_host = host.sample(x0, show_progress=False, seed=0)
 
     for out in (out_fused, out_host):
