@@ -48,38 +48,81 @@ def _pad_to_multiple(x: np.ndarray, multiple: int):
     return x, weights
 
 
+def fixed_effort_fit_config(fit_kwargs):
+    """Static config tuple when ``fit_kwargs`` describe a fixed-effort fit
+    that can run INSIDE a compiled scan (no early stopping / time limit /
+    unknown kwargs), else ``None``. Shared gate for the fused refit paths
+    (DLMC iterations, AdaptiveIMH adaptation, TESS warmup)."""
+    kw = dict(fit_kwargs or {})
+    if kw.get("early_stopping", False) or kw.get("time_limit_seconds") is not None:
+        return None
+    allowed = {
+        "n_epochs", "lr", "batch_size", "keep_best_weights", "shuffle",
+        "early_stopping", "early_stopping_threshold", "show_progress",
+        "check_for_divergences",
+    }
+    if set(kw) - allowed:
+        return None
+    return (
+        int(kw.get("n_epochs", 500)),
+        float(kw.get("lr", 5e-3)),
+        kw.get("batch_size", "adaptive"),
+        bool(kw.get("keep_best_weights", True)),
+        bool(kw.get("shuffle", True)),
+    )
+
+
 def make_scan_fit(flow, n_rows: int, n_epochs: int, lr: float = 0.005,
-                  batch_size="adaptive", shuffle: bool = True):
+                  batch_size="adaptive", shuffle: bool = True,
+                  keep_best_weights: bool = False, train_pct: float = None,
+                  max_train_size: int = 4096, max_val_size: int = 4096):
     """Fixed-effort MLE fit as a pure function for use INSIDE compiled scans:
     ``fit(params, data, key) -> params`` with ``data: (n_rows, *event)``.
 
     Mirrors :func:`fit` without host control flow: fresh Adam per call (the
     host path builds a new optimizer per ``fit``), ``n_epochs`` of shuffled
-    minibatch steps, and rollback-on-divergence via a finite-loss guard in
-    place of the ValueError contract. Deviation (documented): the data
-    truncates to a multiple of the batch size instead of padding the last
-    batch. Used by the fused AdaptiveIMH refit (``imh.py``); DLMC's fused
-    refit carries its own train/val split variant (``dlmc.py``)."""
+    minibatch steps, optional per-epoch best-weight tracking, and
+    rollback-on-divergence via a finite-loss guard in place of the ValueError
+    contract. With ``train_pct`` set, the data shuffles into a train/val
+    split (capped at the max sizes, matching ``core.tuning.train_val_split``)
+    and best weights track the val loss. Deviation (documented): the train
+    set truncates to a multiple of the batch size instead of padding the last
+    batch. Used by the fused refits in DLMC, AdaptiveIMH, and TESS warmup."""
     import optax
 
     event_shape = flow.event_shape
-    if batch_size in ("adaptive", None):
-        bs = _adaptive_batch_size(n_rows)
+    if train_pct is not None:
+        n_train = max(1, min(int(n_rows * train_pct), max_train_size))
+        n_val = min(n_rows - n_train, max_val_size)
     else:
-        bs = min(int(batch_size), n_rows)
-    n_eff = max(bs, (n_rows // bs) * bs)
+        n_train = n_rows
+        n_val = 0
+    if batch_size in ("adaptive", None):
+        bs = _adaptive_batch_size(n_train)
+    else:
+        bs = min(int(batch_size), n_train)
+    n_eff = max(bs, (n_train // bs) * bs)
     n_batches = n_eff // bs
+    keep_best = keep_best_weights and n_val > 0
     opt = optax.adam(lr)
 
     def nll_loss(p, xb):
         return -jnp.mean(flow.log_prob_fn(p, xb))
 
     def scan_fit(params, data, key):
+        k_split, k_epochs = jax.random.split(key)
+        if train_pct is not None:
+            perm = jax.random.permutation(k_split, data.shape[0])
+            xt = data[perm[:n_eff]]
+            xv = data[perm[n_train:n_train + n_val]] if n_val else data[perm[:bs]]
+        else:
+            xt = data
+            xv = data[:bs]
         opt_state = opt.init(params)
 
         def epoch(carry, ek):
-            p, os = carry
-            xs = jax.random.permutation(ek, data)[:n_eff] if shuffle else data[:n_eff]
+            p, os, bp, bl = carry
+            xs = jax.random.permutation(ek, xt)[:n_eff] if shuffle else xt[:n_eff]
             xs = xs.reshape(n_batches, bs, *event_shape)
 
             def bstep(c, xb):
@@ -89,12 +132,21 @@ def make_scan_fit(flow, n_rows: int, n_epochs: int, lr: float = 0.005,
                 return (optax.apply_updates(p, u), os), loss
 
             (p, os), losses = jax.lax.scan(bstep, (p, os), xs)
-            return (p, os), jnp.mean(losses)
+            vl = nll_loss(p, xv) if keep_best else jnp.mean(losses)
+            better = vl < bl
+            bl = jnp.where(better, vl, bl)
+            if keep_best:
+                bp = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(better, new, old), p, bp
+                )
+            return (p, os, bp, bl), None
 
-        (fitted, _os), _ = jax.lax.scan(
-            epoch, (params, opt_state), jax.random.split(key, n_epochs)
+        init = (params, opt_state, params, jnp.asarray(jnp.inf, jnp.float32))
+        (p, _os, bp, _bl), _ = jax.lax.scan(
+            epoch, init, jax.random.split(k_epochs, n_epochs)
         )
-        ok = jnp.isfinite(nll_loss(fitted, data[:bs]))
+        fitted = bp if keep_best else p
+        ok = jnp.isfinite(nll_loss(fitted, xv))
         return jax.tree_util.tree_map(
             lambda new, old: jnp.where(ok, new, old), fitted, params
         )

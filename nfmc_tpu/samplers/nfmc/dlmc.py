@@ -75,31 +75,20 @@ class DLMC(Sampler):
         """Static fixed-effort fit config for the fused in-scan refit, or
         ``None`` when ``flow_fit_kwargs`` needs host control (early stopping /
         time limits / unknown kwargs)."""
-        kw = dict(self.params.flow_fit_kwargs or {})
-        if kw.get("early_stopping", False) or kw.get("time_limit_seconds") is not None:
-            return None
-        allowed = {
-            "n_epochs", "lr", "batch_size", "keep_best_weights", "shuffle",
-            "early_stopping", "early_stopping_threshold", "show_progress",
-            "check_for_divergences",
-        }
-        if set(kw) - allowed:
-            return None
-        return (
-            int(kw.get("n_epochs", 500)),
-            float(kw.get("lr", 5e-3)),
-            kw.get("batch_size", "adaptive"),
-            bool(kw.get("keep_best_weights", True)),
-            bool(kw.get("shuffle", True)),
-        )
+        from ...flows.train import fixed_effort_fit_config
+
+        return fixed_effort_fit_config(self.params.flow_fit_kwargs)
 
     def _make_fused_step(self, n_chains: int, fit_cfg):
         """One DLMC iteration (refit + drift + accept) as a pure scan step
-        ``(x, flow_params, key) -> (x', flow_params', StepInfo)``."""
-        import optax
+        ``(x, flow_params, key) -> (x', flow_params', StepInfo)``.
 
+        The refit is the shared :func:`nfmc_tpu.flows.train.make_scan_fit`
+        (train/val split per reference ``tuning.py:44-65``, best-weight
+        tracking on val, finite-guard rollback in place of the host path's
+        ValueError contract, reference ``dlmc.py:73-79``)."""
         from ...core.driver import StepInfo
-        from ...flows.train import _adaptive_batch_size
+        from ...flows.train import make_scan_fit
 
         n_epochs, lr, batch_size, keep_best_weights, shuffle = fit_cfg
         flow = self.kernel.flow
@@ -108,65 +97,13 @@ class DLMC(Sampler):
         latent_updates = self.params.latent_updates
         event_shape = self.event_shape
 
-        # Static train/val split geometry (reference train_val_split,
-        # ``tuning.py:44-65``): shuffle, split by train_pct, cap at max sizes.
-        # Deviation (documented): the train set truncates to a multiple of the
-        # batch size instead of padding the last batch.
-        n_train = min(int(n_chains * self.params.train_pct), self.params.max_train_size)
-        n_train = max(1, n_train)
-        n_val = min(n_chains - n_train, self.params.max_val_size)
-        if batch_size in ("adaptive", None):
-            bs = _adaptive_batch_size(n_train)
-        else:
-            bs = min(int(batch_size), n_train)
-        n_train_eff = max(bs, (n_train // bs) * bs)
-        n_batches = n_train_eff // bs
-        keep_best = keep_best_weights and n_val > 0
-        opt = optax.adam(lr)
-
-        def nll_loss(p, xb):
-            return -jnp.mean(flow.log_prob_fn(p, xb))
-
-        def fit(params, x, key):
-            k_perm, k_epochs = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, n_chains)
-            xt = x[perm[:n_train_eff]]
-            xv = x[perm[n_train:n_train + n_val]] if n_val else xt[:bs]
-            opt_state = opt.init(params)
-
-            def epoch(carry, ek):
-                p, os, bp, bl = carry
-                xs = jax.random.permutation(ek, xt) if shuffle else xt
-                xs = xs.reshape(n_batches, bs, *event_shape)
-
-                def bstep(c, xb):
-                    p, os = c
-                    loss, g = jax.value_and_grad(nll_loss)(p, xb)
-                    u, os = opt.update(g, os, p)
-                    return (optax.apply_updates(p, u), os), loss
-
-                (p, os), losses = jax.lax.scan(bstep, (p, os), xs)
-                vl = nll_loss(p, xv) if keep_best else jnp.mean(losses)
-                better = vl < bl
-                bl = jnp.where(better, vl, bl)
-                if keep_best:
-                    bp = jax.tree_util.tree_map(
-                        lambda new, old: jnp.where(better, new, old), p, bp
-                    )
-                return (p, os, bp, bl), None
-
-            init = (params, opt_state, params, jnp.asarray(jnp.inf, jnp.float32))
-            (p, _os, bp, _bl), _ = jax.lax.scan(
-                epoch, init, jax.random.split(k_epochs, n_epochs)
-            )
-            fitted = bp if keep_best else p
-            # Rollback-on-divergence (the host path's ValueError contract,
-            # reference ``dlmc.py:73-79``): a non-finite post-fit density
-            # keeps the pre-fit params.
-            ok = jnp.isfinite(nll_loss(fitted, xv))
-            return jax.tree_util.tree_map(
-                lambda new, old: jnp.where(ok, new, old), fitted, params
-            )
+        fit = make_scan_fit(
+            flow, n_chains, n_epochs=n_epochs, lr=lr, batch_size=batch_size,
+            shuffle=shuffle, keep_best_weights=keep_best_weights,
+            train_pct=self.params.train_pct,
+            max_train_size=self.params.max_train_size,
+            max_val_size=self.params.max_val_size,
+        )
 
         def drift(params, x):
             if latent_updates:

@@ -165,7 +165,19 @@ class TESS(Sampler):
 
     def warmup(self, x0, show_progress: bool = True, time_limit_seconds=None,
                key=None, seed=None) -> MCMCOutput:
+        """Alternate TESS step + flow MLE fit (reference ``tess.py:116-144``).
+
+        Fixed-effort ``flow_fit_kwargs`` (no early stopping / time limit)
+        fuse the whole warmup iteration — step + train/val-split refit — into
+        the chunked scan with flow params in the carry (cf. the fused DLMC /
+        AdaptiveIMH refits); other configs run the host loop below."""
+        from ...flows.train import fixed_effort_fit_config
+
         key = self._key(key, seed)
+        fit_cfg = fixed_effort_fit_config(self.params.flow_fit_kwargs)
+        if fit_cfg is not None:
+            return self._warmup_fused(x0, key, fit_cfg, show_progress,
+                                      time_limit_seconds)
         out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples)
         flow = self.kernel.flow
         n_chains = x0.shape[0]
@@ -202,6 +214,8 @@ class TESS(Sampler):
                 n_target_calls=(max_iter + 1) * n_chains,
                 n_accepted_trajectories=int(jnp.sum(accepted)),
                 n_attempted_trajectories=n_chains,
+                # same divergence accounting as the fused path
+                n_divergences=int(not bool(jnp.all(jnp.isfinite(u)))),
             )
             x_np = np.asarray(x)
             perm = np.random.default_rng(int(jax.random.randint(k_fit, (), 0, 2**31 - 1))).permutation(n_chains)
@@ -214,6 +228,83 @@ class TESS(Sampler):
                 pass
             out.statistics.update_elapsed_time(time.time() - t0)
 
+        out.kernel = self.kernel
+        return out
+
+    def _warmup_fused(self, x0, key, fit_cfg, show_progress,
+                      time_limit_seconds) -> MCMCOutput:
+        """Warmup iteration (TESS step + refit) as one compiled scan step.
+
+        The scan position is the latent ``u`` (the reference stores latent
+        draws during warmup, ``tess.py:131-132``); flow params ride in the
+        kernel state; the refit is the shared
+        :func:`nfmc_tpu.flows.train.make_scan_fit` on the produced data-space
+        draws with the reference's train/val split."""
+        from ...flows.train import make_scan_fit
+
+        flow = self.kernel.flow
+        n_chains = x0.shape[0]
+        max_iter = self.params.max_ess_step_iterations
+        n_epochs, lr, batch_size, keep_best_weights, shuffle = fit_cfg
+        out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples,
+                         on_device=getattr(self.params, 'store_samples_on_device', False))
+
+        def build():
+            tess_init, tess_step, _draws = make_tess_step(
+                flow, self.negative_log_likelihood, self.event_shape,
+                max_iterations=max_iter, chol=self.kernel.chol(),
+            )
+            scan_fit = make_scan_fit(
+                flow, n_chains, n_epochs=n_epochs, lr=lr, batch_size=batch_size,
+                shuffle=shuffle, keep_best_weights=keep_best_weights,
+                train_pct=self.params.train_pct,
+                max_train_size=self.params.max_train_size,
+                max_val_size=self.params.max_val_size,
+            )
+
+            def make_step(tuning):
+                def step(u, params, key):
+                    k_step, k_fit = jax.random.split(key)
+                    # the flow refit each iteration, so lp/x re-derive per step
+                    lp_u, x_u = tess_init(params, u)
+                    x, u_new, _lp, accepted = tess_step(params, u, lp_u, x_u, k_step)
+                    params = scan_fit(params, x, k_fit)
+                    info = StepInfo(
+                        n_accepted=jnp.sum(accepted).astype(jnp.int32),
+                        diverged=(~jnp.all(jnp.isfinite(u_new))).astype(jnp.int32),
+                    )
+                    return u_new, params, info
+
+                return step
+
+            return ChunkedScanDriver(self.event_shape, make_step)
+
+        cov = self.kernel.cov
+        cov_token = None if cov is None else hash(np.asarray(cov).tobytes())
+        driver = self._memo(
+            "tess_fused_warmup",
+            (max_iter, id(flow.bijection), id(flow._base_log_prob_override),
+             cov_token, id(self.negative_log_likelihood), fit_cfg, n_chains,
+             self.params.train_pct, self.params.max_train_size,
+             self.params.max_val_size),
+            build,
+            keepalive=(flow.bijection, flow._base_log_prob_override,
+                       self.negative_log_likelihood),
+        )
+
+        t0 = time.time()
+        key, k0 = jax.random.split(key)
+        u0 = jax.random.normal(k0, (n_chains, *self.event_shape))
+        out.statistics.update_elapsed_time(time.time() - t0)
+        _u, params = driver.run(
+            u0, flow.params, key, self.params.n_warmup_iterations,
+            stats=out.statistics, samples=out.running_samples,
+            calls_per_iter=(max_iter + 1) * n_chains, grads_per_iter=0,
+            collect=self.params.store_samples,
+            time_limit_seconds=time_limit_seconds,
+            show_progress=show_progress, desc="[Warmup] TESS",
+        )
+        flow.params = params
         out.kernel = self.kernel
         return out
 

@@ -154,3 +154,47 @@ def test_warmup_tunes_kernel():
     sampler.warmup(jax.random.normal(jax.random.key(2), (8, N_DIM)), show_progress=False)
     assert sampler.kernel.step_size != step_before
     assert not np.allclose(sampler.kernel.inv_mass_diag, np.ones(N_DIM))
+
+
+def test_tess_warmup_fused_matches_host_path():
+    """TESS warmup with fixed-effort fit kwargs compiles step+refit into the
+    scan; it must match the host loop's contract (latent draws, counters) and
+    statistics, and must actually train the flow."""
+    from nfmc_tpu.samplers.nfmc import TESS
+    from nfmc_tpu.samplers.nfmc.tess import TESSKernel
+
+    n_iter, n_chains = 10, 32
+
+    def build():
+        s = TESS((N_DIM,), standard_gaussian_potential,
+                 negative_log_likelihood=standard_gaussian_potential,
+                 kernel=TESSKernel((N_DIM,), flow=small_flow((N_DIM,))))
+        s.params.n_warmup_iterations = n_iter
+        s.params.flow_fit_kwargs = dict(n_epochs=3, lr=5e-3)
+        return s
+
+    fused = build()
+    from nfmc_tpu.flows.train import fixed_effort_fit_config
+    assert fixed_effort_fit_config(fused.params.flow_fit_kwargs) is not None
+    p_before = jax.tree_util.tree_leaves(fused.kernel.flow.params)
+    x0 = jax.random.normal(jax.random.key(3), (n_chains, N_DIM))
+    out_fused = fused.warmup(x0, show_progress=False, seed=0)
+    p_after = jax.tree_util.tree_leaves(fused.kernel.flow.params)
+    assert any(float(np.max(np.abs(a - b))) > 0 for a, b in zip(p_before, p_after))
+
+    host = build()
+    host.params.flow_fit_kwargs = dict(n_epochs=3, lr=5e-3, early_stopping=False,
+                                       time_limit_seconds=None)  # unknown-ok but
+    # time_limit_seconds present -> host loop
+    assert fixed_effort_fit_config(host.params.flow_fit_kwargs) is None
+    out_host = host.warmup(x0, show_progress=False, seed=0)
+
+    for out in (out_fused, out_host):
+        assert out.samples.shape == (n_iter, n_chains, N_DIM)
+        assert np.isfinite(out.samples).all()
+    assert (out_fused.statistics.n_target_calls
+            == out_host.statistics.n_target_calls)
+    assert (out_fused.statistics.n_attempted_trajectories
+            == out_host.statistics.n_attempted_trajectories)
+    # different fit RNG streams -> statistical agreement of the latent draws
+    assert float(np.max(np.abs(out_fused.mean - out_host.mean))) < 0.5
