@@ -351,6 +351,125 @@ class JumpNFMC(Sampler):
         self._fused_config = config
         return self._fused
 
+    # -------------------------------------------- fused path (fit_nf=True)
+    def _get_fused_runner_fit_nf(self, inner_n: int, n_chains: int, fit_cfg):
+        """Fused outer loop WITH per-iteration flow refits: flow params ride
+        in the scan carry, each outer iteration refits on its own inner
+        trajectory draws (gated by ``i >= n_jumps_before_training``, the
+        reference's ``jump.py:193-201`` law) via the shared
+        :func:`nfmc_tpu.flows.train.make_scan_fit`, then jumps with the fresh
+        params. Proposals cannot hoist here (they depend on the refitted
+        params), so the jump runs through the in-scan ``jump_step``; the
+        inner-step RNG hoisting still applies."""
+        config = ("fit_nf", inner_n, self.params.adjusted_jumps,
+                  self.params.store_samples, fit_cfg, n_chains,
+                  self.params.train_pct, self.params.max_train_size,
+                  self.params.max_val_size,
+                  self.inner_sampler._static_config())
+        if self._fused is not None and self._fused_config == config:
+            return self._fused
+
+        from ...flows.train import make_scan_fit
+
+        inner_step = self.inner_sampler._make_step(tuning=False)
+        inner_sampler = self.inner_sampler
+        inner_step_aux = self.inner_sampler._make_step_aux(tuning=False)
+        inner_draws = self.inner_sampler.make_draws()
+        inner_hoist_limit = self.inner_sampler.rng_hoist_element_limit
+
+        def inner_refresh(state, x):
+            return inner_sampler._augment_state(
+                inner_sampler._extract_mstate(state), x
+            )
+
+        jump_step = self._make_jump_step()
+        collect = self.params.store_samples
+        resample_x0 = getattr(self.inner_sampler, "resample_x0_fn", None)
+        flow = self.kernel.flow
+        event_shape = self.event_shape
+        n_epochs, lr, batch_size, keep_best, shuffle = fit_cfg
+        scan_fit = make_scan_fit(
+            flow, inner_n * n_chains, n_epochs=n_epochs, lr=lr,
+            batch_size=batch_size, shuffle=shuffle, keep_best_weights=keep_best,
+            train_pct=self.params.train_pct,
+            max_train_size=self.params.max_train_size,
+            max_val_size=self.params.max_val_size,
+        )
+
+        def run_chunk(x, inner_kstate, flow_params, acc, jump_acc, key, fit_gate, chunk):
+            keys = jax.random.split(key, chunk + 1)
+            key_next, keys = keys[0], keys[1:]
+            n_chains = x.shape[0]
+
+            use_inner_aux = (
+                inner_step_aux is not None
+                and inner_draws is not None
+                and chunk * inner_n * x.size <= inner_hoist_limit
+            )
+            if use_inner_aux:
+                k_inners = jax.vmap(lambda k: jax.random.split(k, 3)[0])(keys)
+                inner_keys = jax.vmap(lambda k: jax.random.split(k, inner_n))(k_inners)
+                flat_keys = inner_keys.reshape(
+                    (chunk * inner_n,) + inner_keys.shape[2:]
+                )
+                idraws = jax.vmap(lambda k: inner_draws(k, n_chains))(flat_keys)
+                idraws = jax.tree_util.tree_map(
+                    lambda a: a.reshape(chunk, inner_n, *a.shape[1:]), idraws
+                )
+            else:
+                idraws = jnp.zeros((chunk, inner_n, 0))
+
+            def outer_body(carry, xs_i):
+                key, gate, idraw = xs_i
+                x, ks, params, acc, jump_acc = carry
+                k_inner, k_jump, k_reset, k_fit = jax.random.split(key, 4)
+                if resample_x0 is not None:
+                    x = resample_x0(k_reset, x)
+                    ks = inner_refresh(ks, x)
+
+                # inner trajectories ALWAYS collect here — the refit trains
+                # on them (reference ``jump.py:193-201``)
+                if use_inner_aux:
+                    def inner_body(c, d):
+                        x, ks, acc = c
+                        x2, ks2, info = inner_step_aux(x, ks, None, d)
+                        return (x2, ks2, acc.add(info, x2)), x2
+
+                    inner_xs_in = idraw
+                else:
+                    def inner_body(c, xs):
+                        x, ks, acc = c
+                        x2, ks2, info = inner_step(x, ks, xs)
+                        return (x2, ks2, acc.add(info, x2)), x2
+
+                    inner_xs_in = jax.random.split(k_inner, inner_n)
+
+                (x, ks, acc), inner_xs = jax.lax.scan(
+                    inner_body, (x, ks, acc), inner_xs_in
+                )
+                data = inner_xs.reshape(inner_n * n_chains, *event_shape)
+                params = jax.lax.cond(
+                    gate, lambda p: scan_fit(p, data, k_fit), lambda p: p, params
+                )
+                x, jmask = jump_step(params, x, k_jump)
+                ks = inner_refresh(ks, x)
+                jump_acc = jump_acc.add_jump(jmask, x)
+                if collect:
+                    emit = jnp.concatenate([inner_xs, x[None]], axis=0)
+                else:
+                    emit = None
+                return (x, ks, params, acc, jump_acc), emit
+
+            (x, inner_kstate, flow_params, acc, jump_acc), ys = jax.lax.scan(
+                outer_body, (x, inner_kstate, flow_params, acc, jump_acc),
+                (keys, fit_gate, idraws),
+            )
+            return x, inner_kstate, flow_params, acc, jump_acc, key_next, ys
+
+        self._fused = jax.jit(run_chunk, donate_argnums=(0, 3, 4), static_argnums=(7,))
+        self._fused_config = config
+        return self._fused
+
     # ------------------------------------------------------------------- sample
     def sample(self, x0, show_progress: bool = True, time_limit_seconds=None,
                key=None, seed=None) -> MCMCOutput:
@@ -363,8 +482,16 @@ class JumpNFMC(Sampler):
         out = JumpNFMCOutput(event_shape=self.event_shape, store_samples=self.params.store_samples,
                              on_device=getattr(self.params, 'store_samples_on_device', False))
 
-        if not self.params.fit_nf:
-            self._sample_fused(x0, out, key, inner_n, n_chains, time_limit_seconds, show_progress)
+        from ...flows.train import fixed_effort_fit_config
+
+        fit_nf_cfg = (
+            fixed_effort_fit_config(self.params.flow_fit_kwargs)
+            if self.params.fit_nf else None
+        )
+        if not self.params.fit_nf or fit_nf_cfg is not None:
+            self._sample_fused(x0, out, key, inner_n, n_chains,
+                               time_limit_seconds, show_progress,
+                               fit_nf_cfg=fit_nf_cfg)
         else:
             self._sample_host(x0, out, key, inner_n, n_chains, time_limit_seconds, show_progress)
         out.kernel = self.kernel
@@ -392,8 +519,12 @@ class JumpNFMC(Sampler):
             n_outer * (inner_n + 1) * n_chains,
         )
 
-    def _sample_fused(self, x0, out, key, inner_n, n_chains, time_limit_seconds, show_progress):
-        runner = self._get_fused_runner(inner_n)
+    def _sample_fused(self, x0, out, key, inner_n, n_chains, time_limit_seconds,
+                      show_progress, fit_nf_cfg=None):
+        if fit_nf_cfg is not None:
+            runner = self._get_fused_runner_fit_nf(inner_n, n_chains, fit_nf_cfg)
+        else:
+            runner = self._get_fused_runner(inner_n)
         inner_kstate = self.inner_sampler._augment_state(
             self.inner_sampler.kernel.make_state(), x0
         )
@@ -412,7 +543,8 @@ class JumpNFMC(Sampler):
         max_chunk = 1024 if pipelined else 256
         acc = StatsAccum.zeros(self.event_shape)
         jump_acc = _JumpAccum.zeros(self.event_shape)
-        outer_done = 0
+        outer_done = 0  # unflushed count (resets on progress flushes)
+        outer_abs = 0  # absolute outer-iteration index
         run_t0 = time.time()
         pbar = tqdm(total=self.params.n_iterations, desc=self.name, disable=not show_progress)
         for chunk in chunk_schedule(self.params.n_iterations, max_chunk=max_chunk):
@@ -422,12 +554,23 @@ class JumpNFMC(Sampler):
             ):
                 break
             t0 = time.time()
-            x, inner_kstate, acc, jump_acc, key, ys = runner(
-                x, inner_kstate, flow_params, acc, jump_acc, key, chunk
-            )
+            if fit_nf_cfg is not None:
+                # refit gate by absolute outer index (reference ``jump.py:193-201``)
+                gate = jnp.asarray(
+                    np.arange(outer_abs, outer_abs + chunk)
+                    >= self.params.n_jumps_before_training
+                )
+                x, inner_kstate, flow_params, acc, jump_acc, key, ys = runner(
+                    x, inner_kstate, flow_params, acc, jump_acc, key, gate, chunk
+                )
+            else:
+                x, inner_kstate, acc, jump_acc, key, ys = runner(
+                    x, inner_kstate, flow_params, acc, jump_acc, key, chunk
+                )
             if not pipelined:
                 jax.block_until_ready(x)
             outer_done += chunk
+            outer_abs += chunk
             if self.params.store_samples:
                 # (chunk, inner_n+1, C, *e) -> (chunk*(inner_n+1), C, *e)
                 out.running_samples.add(
@@ -450,6 +593,8 @@ class JumpNFMC(Sampler):
             out.statistics.update_elapsed_time(time.time() - run_t0)
         if outer_done:
             self._account_outer_iters(out, outer_done, n_chains, inner_n, acc, jump_acc)
+        if fit_nf_cfg is not None:
+            self.kernel.flow.params = flow_params
         self.inner_sampler.kernel.sync_from_state(
             self.inner_sampler._extract_mstate(inner_kstate)
         )

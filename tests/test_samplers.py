@@ -271,12 +271,16 @@ def test_divergence_detection():
         assert out.statistics.n_divergences > 0, cls.__name__
 
 
-def test_jump_fit_nf_refits_flow():
+@pytest.mark.parametrize("force_host", [False, True])
+def test_jump_fit_nf_refits_flow(force_host):
     """fit_nf=True: per-outer-iteration flow refits gated by
-    n_jumps_before_training (reference ``jump.py:23-26,193-201``); the
-    interleaving law and counters must hold on the host-loop path too."""
+    n_jumps_before_training (reference ``jump.py:23-26,193-201``).
+    Fixed-effort fit kwargs take the fused in-scan refit path; a
+    time-limited config forces the host loop — interleaving law, counters,
+    and actually-trained flow must hold on both."""
     import jax
 
+    from nfmc_tpu.flows.train import fixed_effort_fit_config
     from nfmc_tpu.samplers.mcmc.langevin import LangevinParameters
     from nfmc_tpu.samplers.nfmc import JumpMALA
     from nfmc_tpu.samplers.nfmc.jump import JumpNFMCParameters
@@ -284,7 +288,12 @@ def test_jump_fit_nf_refits_flow():
     inner_n, n_iter, n_chains = 2, 4, 8
     params = JumpNFMCParameters(fit_nf=True, n_jumps_before_training=2)
     params.n_iterations = n_iter
-    params.flow_fit_kwargs = dict(n_epochs=2)
+    if force_host:
+        params.flow_fit_kwargs = dict(n_epochs=2, time_limit_seconds=1e9)
+        assert fixed_effort_fit_config(params.flow_fit_kwargs) is None
+    else:
+        params.flow_fit_kwargs = dict(n_epochs=2)
+        assert fixed_effort_fit_config(params.flow_fit_kwargs) is not None
     s = JumpMALA(EVENT_SHAPE, standard_gaussian_potential, params=params,
                  inner_params=LangevinParameters(n_iterations=inner_n))
     before = jax.tree_util.tree_leaves(s.kernel.flow.params)[1]
@@ -294,6 +303,11 @@ def test_jump_fit_nf_refits_flow():
     assert out.samples.shape == (n_iter * (inner_n + 1), n_chains, *EVENT_SHAPE)
     assert np.isfinite(out.samples).all()
     assert out.statistics.n_attempted_jumps == n_iter * n_chains
+    # counter contract identical across paths: inner calls + 2B per jump
+    inner_calls = s.inner_sampler.calls_per_iter(n_chains)
+    assert out.statistics.n_target_calls == n_iter * (
+        inner_n * inner_calls + 2 * n_chains
+    )
     after = jax.tree_util.tree_leaves(s.kernel.flow.params)[1]
     assert not np.allclose(np.asarray(before), np.asarray(after))  # it trained
 
