@@ -441,7 +441,9 @@ def run_north_star():
             v = torch.randn(C, d)
             w = torch.rand(C)
             xc, ld = flow_inverse(u)
-            log_s = (-tgt_t(xc) - ld) + (-0.5 * (v**2).sum(-1)) + w.log()
+            # corrected pullback sign (+ld), matching nfmc_tpu's TESS (the
+            # reference's -ld targets pi/|J|^2; see samplers/nfmc/tess.py)
+            log_s = (-tgt_t(xc) + ld) + (-0.5 * (v**2).sum(-1)) + w.log()
             theta = torch.randn(C, 1) * (2 * _math.pi)
             tmin, tmax = theta - 2 * _math.pi, theta.clone()
             accepted = torch.zeros(C, dtype=torch.bool)
@@ -450,7 +452,7 @@ def run_north_star():
                 up = u * torch.cos(theta) + v * torch.sin(theta)
                 vp = v * torch.cos(theta) - u * torch.sin(theta)
                 xp, ldp = flow_inverse(up)
-                newly = ((-tgt_t(xp) - ldp - 0.5 * (vp**2).sum(-1)) > log_s) & (~accepted)
+                newly = ((-tgt_t(xp) + ldp - 0.5 * (vp**2).sum(-1)) > log_s) & (~accepted)
                 u_prop[newly] = up[newly]
                 x_prop[newly] = xp[newly]
                 neg = (theta < 0).squeeze(-1)

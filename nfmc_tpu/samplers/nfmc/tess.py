@@ -3,11 +3,13 @@
 Parity with reference ``nfmc/algorithms/sampling/nfmc/tess.py``:
 
 * state lives in latent ``u``; per step draw ellipse ``v ~ N(0, cov)``,
-  threshold ``log s = log pi^(u) + log phi(v) + log w`` where
-  ``log pi^(u) = -U(f^{-1}(u)) - log_det`` and ``log phi`` is the flow base
-  log-prob (``tess.py:26-42``); rotate ``(u, v)`` through a <=5-round bracket
-  shrink with first-accept-wins masks; return data-space ``x = f^{-1}(u)``
-  (``tess.py:53-75``);
+  threshold ``log s = log pi^(u) + log phi(v) + log w`` where ``log pi^(u)``
+  is the pullback log-density and ``log phi`` is the flow base log-prob
+  (``tess.py:26-42``); rotate ``(u, v)`` through a <=5-round bracket shrink
+  with first-accept-wins masks; return data-space ``x = f^{-1}(u)``
+  (``tess.py:53-75``). DEVIATION: the reference's ``log pi^`` subtracts the
+  inverse log-det (``tess.py:29-32``), which targets ``pi(x)/|J|^2`` in data
+  space; here the pullback sign is corrected (see ``log_pi_hat`` below);
 * warmup (default 20 iterations, ``tess.py:85-86``): alternate TESS step +
   flow MLE fit on the produced ``x``; stores *latent* draws (``tess.py:116-144``);
 * ``sample`` treats ``x0`` as latent ``u0`` (``tess.py:158-161``);
@@ -68,8 +70,16 @@ def make_tess_step(flow, potential, event_shape: Tuple[int, ...],
         return flow.base_log_prob_fn(inputs)
 
     def log_pi_hat(params, inputs):
+        # Pullback log-density of the latent state: log pi^(u) =
+        # log pi(f^{-1}(u)) + log|det d f^{-1}(u)/du| (TESS, Cabezas & Nemeth
+        # 2023). DOCUMENTED DEVIATION from reference ``tess.py:29-32``, which
+        # uses -log_det: that chain's data-space draws follow
+        # pi(x)/|J|^2 instead of pi(x) — measurably biased whenever the
+        # transport's Jacobian is non-constant (verified empirically: with a
+        # frozen nonlinear flow on N(0, I), the reference sign gives
+        # per-dim variance ~0.4-0.6; this sign gives 1.00).
         x, log_det = flow.bijection.inverse_fn(params, inputs)
-        return -potential(x) - log_det, x
+        return -potential(x) + log_det, x
 
     def tess_init(params, u):
         lp_u, x_u = log_pi_hat(params, u)
