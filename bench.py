@@ -735,12 +735,48 @@ def run_pallas_numerics():
 
 
 def main():
+    # The axon tunnel has bad phases where the first host<->device transfer
+    # takes minutes and every XLA compile RPC ~15-20 s (steady-state dispatch
+    # is unaffected). The headline sections always run; the optional sections
+    # are budget-gated so the one-line JSON ALWAYS prints before any external
+    # timeout — in a good phase every section fits comfortably.
+    import threading
+
+    t_start = time.time()
+
+    def budget(deadline_s):
+        return time.time() - t_start < deadline_s
+
     ours = run_ours()
     base = run_torch_baseline()
-    scale = run_scale_1024()
-    north = run_north_star()
-    funnel = run_funnel()
-    pallas = run_pallas_numerics()
+
+    # Watchdog: if an external timeout kills the process mid-section, the
+    # recorded output tail must still hold a parseable JSON line with the
+    # headline numbers. The complete line prints LAST and supersedes it.
+    headline = {
+        "metric": "jump_mala ESS/sec (100 chains, 100-d Gaussian, RealNVP proposal)",
+        "value": round(ours["ess_per_s"], 2),
+        "unit": "ESS/s",
+        "vs_baseline": round(ours["ess_per_s"] / base["ess_per_s"], 2),
+        "partial": "emergency print before optional sections finished (slow tunnel phase)",
+        "ours": {k: round(v, 4) if isinstance(v, float) else v for k, v in ours.items()},
+        "torch_cpu_baseline": {k: round(v, 4) for k, v in base.items()},
+    }
+    _done = threading.Event()
+
+    def _emergency_print():
+        if not _done.is_set():
+            print(json.dumps(headline), flush=True)
+
+    _timer = threading.Timer(max(5.0, 480.0 - (time.time() - t_start)), _emergency_print)
+    _timer.daemon = True
+    _timer.start()
+
+    skipped = {"skipped": "time budget (slow tunnel phase)"}
+    scale = run_scale_1024() if budget(420) else skipped
+    north = run_north_star() if budget(600) else skipped
+    funnel = run_funnel() if budget(780) else skipped
+    pallas = run_pallas_numerics() if budget(870) else skipped
     # normalize ESS yield per outer iteration, compare rates
     ours_eff = ours["ess_per_s"]
     base_eff = base["ess_per_s"]
@@ -750,7 +786,6 @@ def main():
                 "abs_diff": round(abs(a - b), 4), "tolerance": tol,
                 "ok": bool(abs(a - b) <= tol)}
 
-    imh_raw = north.pop("imh_validation_raw")
     # Statistical-compatibility bands (VERDICT round 1 item 6): matched
     # configs, different RNG streams — acceptance rates and moment errors must
     # agree within sampling noise of the shorter (torch) run.
@@ -760,11 +795,13 @@ def main():
             "jump_accept_rate": band(ours["jump_accept_rate"], base["jump_accept_rate"], 0.05),
             "moment_err": band(ours["moment_err"], base["moment_err"], 0.1),
         },
-        "imh": {
+    }
+    if "imh_validation_raw" in north:
+        imh_raw = north.pop("imh_validation_raw")
+        validation["imh"] = {
             "accept_rate": band(imh_raw["ours_accept_rate"], imh_raw["torch_accept_rate"], 0.05),
             "moment_err": band(imh_raw["ours_moment_err"], imh_raw["torch_moment_err"], 0.1),
-        },
-    }
+        }
     result = {
         "metric": "jump_mala ESS/sec (100 chains, 100-d Gaussian, RealNVP proposal)",
         "value": round(ours_eff, 2),
@@ -781,6 +818,8 @@ def main():
             k: (round(v, 8) if isinstance(v, float) else v) for k, v in pallas.items()
         },
     }
+    _done.set()
+    _timer.cancel()
     print(json.dumps(result))
 
 
