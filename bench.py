@@ -747,12 +747,31 @@ def main():
     def budget(deadline_s):
         return time.time() - t_start < deadline_s
 
+    # Watchdogs: if an external timeout kills the process, the recorded
+    # output tail must still hold a parseable JSON line. Phase 1 covers the
+    # headline sections themselves (where a bad tunnel phase hits hardest:
+    # the process's first transfer + most compiles happen inside run_ours);
+    # phase 2 carries the real headline numbers. The complete line prints
+    # LAST and supersedes both.
+    _headline_done = threading.Event()
+
+    def _pre_headline_print():
+        if not _headline_done.is_set():
+            print(json.dumps({
+                "metric": "jump_mala ESS/sec (100 chains, 100-d Gaussian, RealNVP proposal)",
+                "value": None,
+                "unit": "ESS/s",
+                "error": "headline sections unfinished (slow tunnel phase / startup stall)",
+            }), flush=True)
+
+    _pre_timer = threading.Timer(420.0, _pre_headline_print)
+    _pre_timer.daemon = True
+    _pre_timer.start()
+
     ours = run_ours()
     base = run_torch_baseline()
-
-    # Watchdog: if an external timeout kills the process mid-section, the
-    # recorded output tail must still hold a parseable JSON line with the
-    # headline numbers. The complete line prints LAST and supersedes it.
+    _headline_done.set()
+    _pre_timer.cancel()
     headline = {
         "metric": "jump_mala ESS/sec (100 chains, 100-d Gaussian, RealNVP proposal)",
         "value": round(ours["ess_per_s"], 2),

@@ -59,7 +59,7 @@ def fixed_effort_fit_config(fit_kwargs):
     allowed = {
         "n_epochs", "lr", "batch_size", "keep_best_weights", "shuffle",
         "early_stopping", "early_stopping_threshold", "show_progress",
-        "check_for_divergences",
+        "check_for_divergences", "time_limit_seconds",  # explicit None is fixed-effort
     }
     if set(kw) - allowed:
         return None

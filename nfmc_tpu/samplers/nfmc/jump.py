@@ -82,6 +82,7 @@ class JumpNFMC(Sampler):
         self.inner_sampler = inner_sampler
         self._fused = None
         self._fused_config = None
+        self._fused_keepalive = None
 
     # Footprint cap for the jump's OWN chunk-hoisted flow-proposal precompute.
     # Distinct from the inner sampler's rng_hoist_element_limit (which keeps
@@ -209,14 +210,35 @@ class JumpNFMC(Sampler):
     def _jump_calls_per_iter(self, n_chains: int) -> int:
         return 2 * n_chains if self.params.adjusted_jumps else 0
 
-    # ------------------------------------------------- fused path (fit_nf=False)
-    def _get_fused_runner(self, inner_n: int):
+    # --------------------------------------------------------------- fused path
+    def _get_fused_runner(self, inner_n: int, fit_cfg=None):
+        """Jitted chunk runner for the fused outer loop, uniform signature
+        ``run_chunk(x, inner_kstate, flow_params, acc, jump_acc, key,
+        fit_gate, chunk) -> (x, inner_kstate, flow_params, acc, jump_acc,
+        key_next, ys)``.
+
+        Without ``fit_cfg`` (``fit_nf=False``) the flow is frozen:
+        ``flow_params`` stays a plain argument (returned unchanged), flow
+        jump proposals chunk-hoist below the footprint cap, and ``fit_gate``
+        is ignored. With ``fit_cfg`` (a fixed-effort refit config) the params
+        ride in the scan carry and each outer iteration refits on its own
+        inner-trajectory draws via the shared
+        :func:`nfmc_tpu.flows.train.make_scan_fit` when its ``fit_gate``
+        element is set (``i >= n_jumps_before_training``, reference
+        ``jump.py:193-201``), then jumps with the fresh params — proposals
+        cannot hoist on that path (they depend on the refitted params)."""
+        flow = self.kernel.flow
         config = (inner_n, self.params.adjusted_jumps, self.params.store_samples,
-                  self.rng_hoist_element_limit,
+                  self.rng_hoist_element_limit, fit_cfg,
+                  self.params.train_pct, self.params.max_train_size,
+                  self.params.max_val_size,
+                  id(flow), id(flow.bijection), id(flow._base_log_prob_override),
+                  id(self.target),
                   self.inner_sampler._static_config())
         if self._fused is not None and self._fused_config == config:
             return self._fused
 
+        refit = fit_cfg is not None
         inner_step = self.inner_sampler._make_step(tuning=False)
         inner_sampler = self.inner_sampler
         # Chunk-level RNG hoisting for the inner trajectories: draw every
@@ -241,12 +263,14 @@ class JumpNFMC(Sampler):
         jump_step = self._make_jump_step()  # in-scan fallback above the cap
         collect = self.params.store_samples
         resample_x0 = getattr(self.inner_sampler, "resample_x0_fn", None)
-        flow = self.kernel.flow
         target = self.target
         adjusted = self.params.adjusted_jumps
         event_shape = self.event_shape
+        train_pct = self.params.train_pct
+        max_train_size = self.params.max_train_size
+        max_val_size = self.params.max_val_size
 
-        def run_chunk(x, inner_kstate, flow_params, acc, jump_acc, key, chunk):
+        def run_chunk(x, inner_kstate, flow_params, acc, jump_acc, key, fit_gate, chunk):
             keys = jax.random.split(key, chunk + 1)
             key_next, keys = keys[0], keys[1:]
             n_chains = x.shape[0]
@@ -256,9 +280,23 @@ class JumpNFMC(Sampler):
             # eval for the WHOLE chunk into one (chunk*C, *event) batched pass
             # (MXU-tiled), leaving only the state-dependent U(x) / logq(x) in
             # the scan body. Key derivation matches the in-scan path:
-            # k_jump = split(key, 3)[1], k_prop = split(k_jump)[0]. Above the
-            # footprint cap the jump falls back to the in-scan jump_step.
-            use_proposal_aux = chunk * n_chains * proposal_per_draw <= proposal_hoist_limit
+            # k_jump = split(key, 4)[1], k_prop = split(k_jump)[0]. Above the
+            # footprint cap (or when refitting) the jump falls back to the
+            # in-scan jump_step.
+            use_proposal_aux = (
+                not refit
+                and chunk * n_chains * proposal_per_draw <= proposal_hoist_limit
+            )
+            if refit:
+                from ...flows.train import make_scan_fit
+
+                n_epochs, lr, batch_size, keep_best, shuffle = fit_cfg
+                scan_fit = make_scan_fit(
+                    flow, inner_n * n_chains, n_epochs=n_epochs, lr=lr,
+                    batch_size=batch_size, shuffle=shuffle,
+                    keep_best_weights=keep_best, train_pct=train_pct,
+                    max_train_size=max_train_size, max_val_size=max_val_size,
+                )
             if use_proposal_aux:
                 k_jumps = jax.vmap(lambda k: jax.random.split(k, 3)[1])(keys)
                 k_props = jax.vmap(lambda k: jax.random.split(k)[0])(k_jumps)
@@ -298,40 +336,55 @@ class JumpNFMC(Sampler):
                 idraws = jnp.zeros((chunk, inner_n, 0))  # placeholder scan input
 
             def outer_body(carry, xs_i):
-                key, aux, idraw = xs_i
-                x, ks, acc, jump_acc = carry
-                k_inner, k_jump, k_reset = jax.random.split(key, 3)
+                key, aux, gate, idraw = xs_i
+                if refit:
+                    x, ks, params, acc, jump_acc = carry
+                else:
+                    x, ks, acc, jump_acc = carry
+                    params = flow_params
+                # split(key, 4)[i] == split(key, 3)[i] for i < 3, so adding
+                # k_fit leaves the k_inner/k_jump/k_reset streams (and the
+                # hoisted-precompute derivations above) bit-identical
+                k_inner, k_jump, k_reset, k_fit = jax.random.split(key, 4)
                 if resample_x0 is not None:
                     x = resample_x0(k_reset, x)
                     # chain-shaped caches (ESS's carried nll) are stale for
                     # the redrawn state
                     ks = inner_refresh(ks, x)
 
+                # inner trajectories also collect when refitting — the refit
+                # trains on them (reference ``jump.py:193-201``)
+                emit_inner = collect or refit
                 if use_inner_aux:
                     # the hoisted draws ARE the inner randomness; no in-scan
                     # key chain needed (every step_aux ignores its key arg)
                     def inner_body(c, d):
                         x, ks, acc = c
                         x2, ks2, info = inner_step_aux(x, ks, None, d)
-                        return (x2, ks2, acc.add(info, x2)), (x2 if collect else None)
+                        return (x2, ks2, acc.add(info, x2)), (x2 if emit_inner else None)
 
                     inner_xs_in = idraw
                 else:
                     def inner_body(c, xs):
                         x, ks, acc = c
                         x2, ks2, info = inner_step(x, ks, xs)
-                        return (x2, ks2, acc.add(info, x2)), (x2 if collect else None)
+                        return (x2, ks2, acc.add(info, x2)), (x2 if emit_inner else None)
 
                     inner_xs_in = jax.random.split(k_inner, inner_n)
 
                 (x, ks, acc), inner_xs = jax.lax.scan(
                     inner_body, (x, ks, acc), inner_xs_in
                 )
+                if refit:
+                    data = inner_xs.reshape(inner_n * n_chains, *event_shape)
+                    params = jax.lax.cond(
+                        gate, lambda p: scan_fit(p, data, k_fit), lambda p: p, params
+                    )
                 if use_proposal_aux:
                     k_acc = jax.random.split(k_jump)[1]
-                    x, jmask = jump_accept(flow_params, x, k_acc, aux)
+                    x, jmask = jump_accept(params, x, k_acc, aux)
                 else:
-                    x, jmask = jump_step(flow_params, x, k_jump)
+                    x, jmask = jump_step(params, x, k_jump)
                 # chain-shaped caches in the inner state (e.g. Langevin's
                 # cached U/grad) are stale for jumped chains — rebuild
                 ks = inner_refresh(ks, x)
@@ -340,134 +393,29 @@ class JumpNFMC(Sampler):
                     emit = jnp.concatenate([inner_xs, x[None]], axis=0)
                 else:
                     emit = None
+                if refit:
+                    return (x, ks, params, acc, jump_acc), emit
                 return (x, ks, acc, jump_acc), emit
 
-            (x, inner_kstate, acc, jump_acc), ys = jax.lax.scan(
-                outer_body, (x, inner_kstate, acc, jump_acc), (keys, proposals, idraws)
-            )
-            return x, inner_kstate, acc, jump_acc, key_next, ys
-
-        self._fused = jax.jit(run_chunk, donate_argnums=(0, 3, 4), static_argnums=(6,))
-        self._fused_config = config
-        return self._fused
-
-    # -------------------------------------------- fused path (fit_nf=True)
-    def _get_fused_runner_fit_nf(self, inner_n: int, n_chains: int, fit_cfg):
-        """Fused outer loop WITH per-iteration flow refits: flow params ride
-        in the scan carry, each outer iteration refits on its own inner
-        trajectory draws (gated by ``i >= n_jumps_before_training``, the
-        reference's ``jump.py:193-201`` law) via the shared
-        :func:`nfmc_tpu.flows.train.make_scan_fit`, then jumps with the fresh
-        params. Proposals cannot hoist here (they depend on the refitted
-        params), so the jump runs through the in-scan ``jump_step``; the
-        inner-step RNG hoisting still applies."""
-        config = ("fit_nf", inner_n, self.params.adjusted_jumps,
-                  self.params.store_samples, fit_cfg, n_chains,
-                  self.params.train_pct, self.params.max_train_size,
-                  self.params.max_val_size,
-                  self.inner_sampler._static_config())
-        if self._fused is not None and self._fused_config == config:
-            return self._fused
-
-        from ...flows.train import make_scan_fit
-
-        inner_step = self.inner_sampler._make_step(tuning=False)
-        inner_sampler = self.inner_sampler
-        inner_step_aux = self.inner_sampler._make_step_aux(tuning=False)
-        inner_draws = self.inner_sampler.make_draws()
-        inner_hoist_limit = self.inner_sampler.rng_hoist_element_limit
-
-        def inner_refresh(state, x):
-            return inner_sampler._augment_state(
-                inner_sampler._extract_mstate(state), x
-            )
-
-        jump_step = self._make_jump_step()
-        collect = self.params.store_samples
-        resample_x0 = getattr(self.inner_sampler, "resample_x0_fn", None)
-        flow = self.kernel.flow
-        event_shape = self.event_shape
-        n_epochs, lr, batch_size, keep_best, shuffle = fit_cfg
-        scan_fit = make_scan_fit(
-            flow, inner_n * n_chains, n_epochs=n_epochs, lr=lr,
-            batch_size=batch_size, shuffle=shuffle, keep_best_weights=keep_best,
-            train_pct=self.params.train_pct,
-            max_train_size=self.params.max_train_size,
-            max_val_size=self.params.max_val_size,
-        )
-
-        def run_chunk(x, inner_kstate, flow_params, acc, jump_acc, key, fit_gate, chunk):
-            keys = jax.random.split(key, chunk + 1)
-            key_next, keys = keys[0], keys[1:]
-            n_chains = x.shape[0]
-
-            use_inner_aux = (
-                inner_step_aux is not None
-                and inner_draws is not None
-                and chunk * inner_n * x.size <= inner_hoist_limit
-            )
-            if use_inner_aux:
-                k_inners = jax.vmap(lambda k: jax.random.split(k, 3)[0])(keys)
-                inner_keys = jax.vmap(lambda k: jax.random.split(k, inner_n))(k_inners)
-                flat_keys = inner_keys.reshape(
-                    (chunk * inner_n,) + inner_keys.shape[2:]
-                )
-                idraws = jax.vmap(lambda k: inner_draws(k, n_chains))(flat_keys)
-                idraws = jax.tree_util.tree_map(
-                    lambda a: a.reshape(chunk, inner_n, *a.shape[1:]), idraws
-                )
+            if refit:
+                carry0 = (x, inner_kstate, flow_params, acc, jump_acc)
             else:
-                idraws = jnp.zeros((chunk, inner_n, 0))
-
-            def outer_body(carry, xs_i):
-                key, gate, idraw = xs_i
-                x, ks, params, acc, jump_acc = carry
-                k_inner, k_jump, k_reset, k_fit = jax.random.split(key, 4)
-                if resample_x0 is not None:
-                    x = resample_x0(k_reset, x)
-                    ks = inner_refresh(ks, x)
-
-                # inner trajectories ALWAYS collect here — the refit trains
-                # on them (reference ``jump.py:193-201``)
-                if use_inner_aux:
-                    def inner_body(c, d):
-                        x, ks, acc = c
-                        x2, ks2, info = inner_step_aux(x, ks, None, d)
-                        return (x2, ks2, acc.add(info, x2)), x2
-
-                    inner_xs_in = idraw
-                else:
-                    def inner_body(c, xs):
-                        x, ks, acc = c
-                        x2, ks2, info = inner_step(x, ks, xs)
-                        return (x2, ks2, acc.add(info, x2)), x2
-
-                    inner_xs_in = jax.random.split(k_inner, inner_n)
-
-                (x, ks, acc), inner_xs = jax.lax.scan(
-                    inner_body, (x, ks, acc), inner_xs_in
-                )
-                data = inner_xs.reshape(inner_n * n_chains, *event_shape)
-                params = jax.lax.cond(
-                    gate, lambda p: scan_fit(p, data, k_fit), lambda p: p, params
-                )
-                x, jmask = jump_step(params, x, k_jump)
-                ks = inner_refresh(ks, x)
-                jump_acc = jump_acc.add_jump(jmask, x)
-                if collect:
-                    emit = jnp.concatenate([inner_xs, x[None]], axis=0)
-                else:
-                    emit = None
-                return (x, ks, params, acc, jump_acc), emit
-
-            (x, inner_kstate, flow_params, acc, jump_acc), ys = jax.lax.scan(
-                outer_body, (x, inner_kstate, flow_params, acc, jump_acc),
-                (keys, fit_gate, idraws),
+                carry0 = (x, inner_kstate, acc, jump_acc)
+            carry, ys = jax.lax.scan(
+                outer_body, carry0, (keys, proposals, fit_gate, idraws)
             )
+            if refit:
+                x, inner_kstate, flow_params, acc, jump_acc = carry
+            else:
+                x, inner_kstate, acc, jump_acc = carry
             return x, inner_kstate, flow_params, acc, jump_acc, key_next, ys
 
         self._fused = jax.jit(run_chunk, donate_argnums=(0, 3, 4), static_argnums=(7,))
         self._fused_config = config
+        # pin the objects behind the id() tokens in `config` so a freed
+        # flow/bijection's recycled id cannot alias a stale runner
+        self._fused_keepalive = (flow, flow.bijection,
+                                 flow._base_log_prob_override, self.target)
         return self._fused
 
     # ------------------------------------------------------------------- sample
@@ -521,10 +469,7 @@ class JumpNFMC(Sampler):
 
     def _sample_fused(self, x0, out, key, inner_n, n_chains, time_limit_seconds,
                       show_progress, fit_nf_cfg=None):
-        if fit_nf_cfg is not None:
-            runner = self._get_fused_runner_fit_nf(inner_n, n_chains, fit_nf_cfg)
-        else:
-            runner = self._get_fused_runner(inner_n)
+        runner = self._get_fused_runner(inner_n, fit_cfg=fit_nf_cfg)
         inner_kstate = self.inner_sampler._augment_state(
             self.inner_sampler.kernel.make_state(), x0
         )
@@ -554,19 +499,15 @@ class JumpNFMC(Sampler):
             ):
                 break
             t0 = time.time()
-            if fit_nf_cfg is not None:
-                # refit gate by absolute outer index (reference ``jump.py:193-201``)
-                gate = jnp.asarray(
-                    np.arange(outer_abs, outer_abs + chunk)
-                    >= self.params.n_jumps_before_training
-                )
-                x, inner_kstate, flow_params, acc, jump_acc, key, ys = runner(
-                    x, inner_kstate, flow_params, acc, jump_acc, key, gate, chunk
-                )
-            else:
-                x, inner_kstate, acc, jump_acc, key, ys = runner(
-                    x, inner_kstate, flow_params, acc, jump_acc, key, chunk
-                )
+            # refit gate by absolute outer index (reference ``jump.py:193-201``);
+            # ignored by the runner when fit_nf_cfg is None
+            gate = jnp.asarray(
+                np.arange(outer_abs, outer_abs + chunk)
+                >= self.params.n_jumps_before_training
+            )
+            x, inner_kstate, flow_params, acc, jump_acc, key, ys = runner(
+                x, inner_kstate, flow_params, acc, jump_acc, key, gate, chunk
+            )
             if not pipelined:
                 jax.block_until_ready(x)
             outer_done += chunk

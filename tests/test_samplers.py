@@ -397,3 +397,23 @@ def test_adaptive_imh_fused_matches_host_path():
             == out_host.statistics.n_attempted_trajectories)
     # different fit RNG streams -> statistical agreement
     assert float(np.max(np.abs(out_fused.mean - out_host.mean))) < 0.3
+
+
+def test_jump_flow_swap_rebuilds_fused_runner():
+    """Replacing kernel.flow between sample() calls must rebuild the cached
+    fused runner (its closures bake the bijection): different-architecture
+    swap would otherwise crash or silently use stale densities."""
+    import jax
+
+    from nfmc_tpu.samplers.nfmc import JumpMALA
+
+    s = JumpMALA(EVENT_SHAPE, standard_gaussian_potential)
+    s.params.n_iterations = 2
+    s.inner_sampler.params.n_iterations = 2
+    x0 = jax.random.normal(jax.random.key(0), (N_CHAINS, *EVENT_SHAPE))
+    out1 = s.sample(x0, show_progress=False, seed=1)
+    assert np.isfinite(out1.samples).all()
+
+    s.kernel.flow = small_flow(EVENT_SHAPE, seed=9, n_layers=4)  # new architecture
+    out2 = s.sample(x0, show_progress=False, seed=1)
+    assert np.isfinite(out2.samples).all()

@@ -276,9 +276,9 @@ def test_jump_fused_proposal_precompute_stays_partitioned():
     acc = StatsAccum.zeros((5,))
     jump_acc = _JumpAccum.zeros((5,))
     chunk = 4
-    x_out, _ks, _acc, _jacc, _key, ys = runner(
+    x_out, _ks, _params, _acc, _jacc, _key, ys = runner(
         x, inner_kstate, s.kernel.flow.params, acc, jump_acc,
-        jax.random.key(4), chunk,
+        jax.random.key(4), jnp.zeros(chunk, bool), chunk,
     )
     assert ys.shape == (chunk, 3, 16, 5)  # (chunk, inner+1, C, *event)
     assert len(x_out.sharding.device_set) == 8

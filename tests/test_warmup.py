@@ -183,9 +183,8 @@ def test_tess_warmup_fused_matches_host_path():
     assert any(float(np.max(np.abs(a - b))) > 0 for a, b in zip(p_before, p_after))
 
     host = build()
-    host.params.flow_fit_kwargs = dict(n_epochs=3, lr=5e-3, early_stopping=False,
-                                       time_limit_seconds=None)  # unknown-ok but
-    # time_limit_seconds present -> host loop
+    # a real (non-None) time limit needs host control -> host loop
+    host.params.flow_fit_kwargs = dict(n_epochs=3, lr=5e-3, time_limit_seconds=1e9)
     assert fixed_effort_fit_config(host.params.flow_fit_kwargs) is None
     out_host = host.warmup(x0, show_progress=False, seed=0)
 
