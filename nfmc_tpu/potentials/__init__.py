@@ -20,6 +20,7 @@ from .synthetic import (
 )
 from .applied import (
     BayesianLogisticRegression,
+    EightSchools,
     Phi4Lattice,
     StudentT,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "GaussianMixture",
     "DoubleWell",
     "BayesianLogisticRegression",
+    "EightSchools",
     "Phi4Lattice",
     "StudentT",
 ]

@@ -120,3 +120,45 @@ class StudentT(Potential):
         if self.df <= 2.0:
             return None
         return jnp.full(self.event_shape, self.df / (self.df - 2.0))
+
+
+class EightSchools(Potential):
+    """Non-centered Eight Schools hierarchical posterior (Rubin 1981; the
+    canonical funnel-geometry applied benchmark, e.g. the NeuTra paper).
+
+    Parameterization ``x = (mu, log_tau, z_1..z_8)`` (10-d):
+
+    ``theta_j = mu + tau * z_j``, ``tau = exp(log_tau)``;
+    ``U = -[ sum_j log N(y_j; theta_j, sigma_j) + sum_j log N(z_j; 0, 1)
+    + log N(mu; 0, s^2) + log N(log_tau; 0, s^2) ]`` with s = prior_scale
+    (constants kept so
+    log-Z comparisons are meaningful; note the LogNormal(0, s^2) tau prior
+    favors smaller tau than the HalfCauchy used in some classic analyses).
+    Default data are the classic
+    treatment-effect estimates and standard errors.
+    """
+
+    Y = np.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0], dtype=np.float32)
+    SIGMA = np.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0], dtype=np.float32)
+
+    def __init__(self, y=None, sigma=None, prior_scale: float = 10.0):
+        self.y = np.asarray(self.Y if y is None else y, dtype=np.float32)
+        self.sigma = np.asarray(self.SIGMA if sigma is None else sigma, dtype=np.float32)
+        assert self.y.shape == self.sigma.shape
+        self.prior_scale = float(prior_scale)
+        super().__init__((2 + self.y.shape[0],))
+
+    def compute(self, x: jax.Array) -> jax.Array:
+        v = x.reshape(x.shape[0], -1)
+        mu, log_tau, z = v[:, 0], v[:, 1], v[:, 2:]
+        theta = mu[:, None] + jnp.exp(log_tau)[:, None] * z
+        log_lik = -0.5 * jnp.sum(
+            ((self.y - theta) / self.sigma) ** 2 + 2.0 * jnp.log(self.sigma) + LOG_2PI,
+            axis=-1,
+        )
+        log_prior_z = -0.5 * jnp.sum(z * z + LOG_2PI, axis=-1)
+        s2 = self.prior_scale**2
+        log_prior_loc = -0.5 * (
+            mu * mu / s2 + log_tau * log_tau / s2 + 2.0 * (LOG_2PI + 2.0 * np.log(self.prior_scale))
+        )
+        return -(log_lik + log_prior_z + log_prior_loc)

@@ -139,3 +139,31 @@ def test_phi4_matrix_event_jump_hmc():
     samples = np.asarray(out.samples)
     assert samples.shape == (3 * 3, 8, 4, 4)
     assert np.isfinite(samples).all()
+
+
+def test_eight_schools():
+    """Non-centered Eight Schools: finite potential/gradients, funnel-like
+    coupling between log_tau and z, and NUTS recovers a positive tau with
+    mu in the plausible range (classic posterior: mu ~ 8, tau ~ 6)."""
+    import nfmc_tpu
+    from nfmc_tpu.potentials import EightSchools
+
+    pot = EightSchools()
+    assert pot.event_shape == (10,)
+    x = jax.random.normal(jax.random.key(0), (7, 10))
+    u = pot(x)
+    assert u.shape == (7,) and np.isfinite(np.asarray(u)).all()
+    g = jax.vmap(jax.grad(lambda v: pot(v[None])[0]))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+    nfmc_tpu.set_seed(0)
+    out = nfmc_tpu.sample(pot, strategy="nuts", n_chains=32, n_iterations=300,
+                          warmup=True, show_progress=False, seed=2)
+    s = np.asarray(out.samples)
+    assert np.isfinite(s).all()
+    mu = s[150:, :, 0].mean()
+    tau = np.exp(s[150:, :, 1]).mean()
+    assert 2.0 < mu < 14.0, mu  # pooled MLE ~7.7, shrunk by the mu prior
+    # tau is weakly identified and the LogNormal prior admits tiny values;
+    # just require a plausible positive scale, not the HalfCauchy-prior ~6
+    assert 0.05 < tau < 15.0, tau
