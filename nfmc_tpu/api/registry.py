@@ -302,7 +302,9 @@ def get_supported_mcmc_samplers() -> List[str]:
     # reference ships a broken single-chain Pyro shim it never dispatches
     # (``nfmc/algorithms/sampling/mcmc/nuts.py:38-51``); ours is native
     # multi-chain NUTS (samplers/mcmc/nuts_impl.py) and front-door reachable.
-    return ["hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts"]
+    # "pt_mala"/"pt_mh" are also supersets: parallel tempering (replica
+    # exchange), which the reference lacks entirely (samplers/mcmc/pt.py).
+    return ["hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts", "pt_mala", "pt_mh"]
 
 
 def get_supported_nfmc_samplers() -> List[str]:

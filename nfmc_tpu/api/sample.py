@@ -38,6 +38,10 @@ from ..samplers.mcmc import (
     MHParameters,
     NUTSKernel,
     NUTSParameters,
+    PTMALA,
+    PTRWMH,
+    PTKernel,
+    PTParameters,
 )
 from ..samplers.nfmc import (
     DLMC,
@@ -95,7 +99,15 @@ def create_sampler(
     event_shape = tuple(int(s) for s in event_shape)
     event_size = int(np.prod(event_shape))
 
-    if strategy in ("hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts"):
+    if strategy in ("hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts", "pt_mala", "pt_mh"):
+        if strategy in ("pt_mala", "pt_mh"):
+            # Superset of the reference registry: parallel tempering / replica
+            # exchange (the reference has no tempering; SURVEY.md section 2.5
+            # lists chain vectorization as its only parallelism).
+            cls = PTMALA if strategy == "pt_mala" else PTRWMH
+            return cls(event_shape, target,
+                       PTKernel(event_size=event_size, **kernel_kwargs),
+                       PTParameters(**param_kwargs))
         if strategy == "nuts":
             # Superset of the reference registry: the reference's NUTS is a
             # broken single-chain Pyro shim excluded from its own dispatch

@@ -4,6 +4,7 @@ from .langevin import MALA, ULA, Langevin, LangevinKernel, LangevinParameters
 from .hmc import HMC, UHMC, HMCKernel, HMCParameters
 from .ess import ESS, ESSKernel, ESSParameters
 from .nuts import NUTS, NUTSKernel, NUTSParameters
+from .pt import PTMALA, PTRWMH, ParallelTempering, PTKernel, PTParameters
 
 __all__ = [
     "MCMCSampler", "MetropolisKernel", "MetropolisParameters", "MetropolisSampler",
@@ -12,4 +13,5 @@ __all__ = [
     "HMC", "UHMC", "HMCKernel", "HMCParameters",
     "ESS", "ESSKernel", "ESSParameters",
     "NUTS", "NUTSKernel", "NUTSParameters",
+    "PTMALA", "PTRWMH", "ParallelTempering", "PTKernel", "PTParameters",
 ]

@@ -150,6 +150,15 @@ class MCMCSampler(Sampler):
         chain-shaped caches (e.g. Langevin carries U(x), grad U(x))."""
         return mstate
 
+    def _make_output(self) -> MCMCOutput:
+        """Hook: samplers with extra statistics (PT swap counters) override."""
+        return MCMCOutput(self.event_shape, store_samples=self.params.store_samples,
+                          on_device=getattr(self.params, 'store_samples_on_device', False))
+
+    def _post_run(self, out: MCMCOutput) -> None:
+        """Hook called after the driver run and kernel sync (PT pushes swap
+        counters from the synced kernel into the output statistics)."""
+
     def _extract_mstate(self, state):
         return state[0] if isinstance(state, tuple) else state
 
@@ -325,8 +334,7 @@ class MCMCSampler(Sampler):
     ) -> MCMCOutput:
         x0 = jnp.asarray(x0, dtype=jnp.float32)
         n_chains = x0.shape[0]
-        out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples,
-                         on_device=getattr(self.params, 'store_samples_on_device', False))
+        out = self._make_output()
 
         mstate = self._augment_state(self.kernel.make_state(), x0)
         driver = self._get_driver()
@@ -347,6 +355,7 @@ class MCMCSampler(Sampler):
         )
         self.kernel.sync_from_state(self._extract_mstate(mstate))
         out.kernel = self.kernel
+        self._post_run(out)
         return out
 
 
