@@ -61,3 +61,21 @@ def __getattr__(name):
 
         return importlib.import_module(".profiling", __name__)
     raise AttributeError(f"module 'nfmc_tpu' has no attribute {name}")
+
+
+def __dir__():
+    # Surface the lazily-imported front-door symbols in dir()/completion.
+    return sorted(
+        set(globals())
+        | {
+            "sample",
+            "create_sampler",
+            "get_supported_samplers",
+            "get_supported_mcmc_samplers",
+            "get_supported_nfmc_samplers",
+            "get_supported_normalizing_flows",
+            "create_flow_object",
+            "parse_flow_string",
+            "profiling",
+        }
+    )

@@ -72,7 +72,14 @@ class PTKernel(MCMCKernel):
     when given; otherwise the default ladder is geometric between 1 and
     ``beta_min``. ``step_sizes`` holds the per-rung steps (default:
     ``step_size * beta_k^{-1/2}`` — the tempered target is ``beta_k`` times
-    flatter, so natural step scale grows as the rung heats)."""
+    flatter, so natural step scale grows as the rung heats).
+
+    Ladder sizing: for a d-dimensional target the swap log-ratio between
+    adjacent rungs fluctuates like ``(dbeta/beta) * sqrt(d/2)``, so healthy
+    swap rates need ``n_temps ~ 1 + log(1/beta_min) * sqrt(d/2)`` (e.g. ~29
+    rungs for beta_min 0.02 at d = 100; the default 8 suits low-dimensional
+    multimodal targets). The warmup's ladder adaptation equalizes rates
+    across edges but cannot compensate for too few rungs."""
 
     event_size: int = 0
     n_temps: int = 8
