@@ -740,8 +740,6 @@ def main():
     # is unaffected). The headline sections always run; the optional sections
     # are budget-gated so the one-line JSON ALWAYS prints before any external
     # timeout — in a good phase every section fits comfortably.
-    import threading
-
     t_start = time.time()
 
     def budget(deadline_s):
@@ -753,25 +751,63 @@ def main():
     # the process's first transfer + most compiles happen inside run_ours);
     # phase 2 carries the real headline numbers. The complete line prints
     # LAST and supersedes both.
-    _headline_done = threading.Event()
+    #
+    # Phase 1 is a FORKED CHILD, not a thread timer: the worst observed
+    # stall is the first device touch blocking inside libtpu/tunnel C code
+    # *holding the GIL* (measured: a threading.Timer due at 420 s never
+    # fired before an external kill at 590 s), so only a separate process
+    # can be trusted to print. The child shares our stdout fd and survives
+    # a SIGKILL of the parent; it exits silently once the parent signals
+    # headline completion (one byte) and prints on timeout or on parent
+    # death without a signal (EOF).
+    import os
+    import select as _select
 
-    def _pre_headline_print():
-        if not _headline_done.is_set():
-            print(json.dumps({
-                "metric": "jump_mala ESS/sec (100 chains, 100-d Gaussian, RealNVP proposal)",
-                "value": None,
-                "unit": "ESS/s",
-                "error": "headline sections unfinished (slow tunnel phase / startup stall)",
-            }), flush=True)
+    _wd_r, _wd_w = os.pipe()
+    if os.fork() == 0:  # watchdog child — no JAX/torch imported yet (safe fork)
+        os.close(_wd_w)
 
-    _pre_timer = threading.Timer(420.0, _pre_headline_print)
-    _pre_timer.daemon = True
-    _pre_timer.start()
+        _buf = [b""]  # persists across calls: two messages may land in one read
+
+        def _read_line(deadline):
+            while b"\n" not in _buf[0]:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    return None
+                ready, _, _ = _select.select([_wd_r], [], [], remaining)
+                if not ready:
+                    return None
+                chunk = os.read(_wd_r, 4096)
+                if not chunk:  # EOF: parent died without signaling
+                    return None
+                _buf[0] += chunk
+            line, _buf[0] = _buf[0].split(b"\n", 1)
+            return line
+
+        try:
+            t0 = time.time()
+            headline_line = _read_line(t0 + 420.0)
+            if headline_line is None:
+                os.write(1, (json.dumps({
+                    "metric": "jump_mala ESS/sec (100 chains, 100-d Gaussian, RealNVP proposal)",
+                    "value": None,
+                    "unit": "ESS/s",
+                    "error": "headline sections unfinished (slow tunnel phase / startup stall)",
+                }) + "\n").encode())
+            elif _read_line(max(t0 + 480.0, time.time() + 5.0)) is None:
+                os.write(1, headline_line + b"\n")
+        finally:
+            os._exit(0)
+    os.close(_wd_r)
+
+    def _wd_send(payload: bytes):
+        try:
+            os.write(_wd_w, payload)
+        except OSError:
+            pass
 
     ours = run_ours()
     base = run_torch_baseline()
-    _headline_done.set()
-    _pre_timer.cancel()
     headline = {
         "metric": "jump_mala ESS/sec (100 chains, 100-d Gaussian, RealNVP proposal)",
         "value": round(ours["ess_per_s"], 2),
@@ -781,15 +817,7 @@ def main():
         "ours": {k: round(v, 4) if isinstance(v, float) else v for k, v in ours.items()},
         "torch_cpu_baseline": {k: round(v, 4) for k, v in base.items()},
     }
-    _done = threading.Event()
-
-    def _emergency_print():
-        if not _done.is_set():
-            print(json.dumps(headline), flush=True)
-
-    _timer = threading.Timer(max(5.0, 480.0 - (time.time() - t_start)), _emergency_print)
-    _timer.daemon = True
-    _timer.start()
+    _wd_send(json.dumps(headline).encode() + b"\n")
 
     skipped = {"skipped": "time budget (slow tunnel phase)"}
     scale = run_scale_1024() if budget(420) else skipped
@@ -837,9 +865,9 @@ def main():
             k: (round(v, 8) if isinstance(v, float) else v) for k, v in pallas.items()
         },
     }
-    _done.set()
-    _timer.cancel()
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+    _wd_send(b"done\n")
+    os.close(_wd_w)
 
 
 if __name__ == "__main__":
