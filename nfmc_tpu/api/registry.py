@@ -304,7 +304,10 @@ def get_supported_mcmc_samplers() -> List[str]:
     # multi-chain NUTS (samplers/mcmc/nuts_impl.py) and front-door reachable.
     # "pt_mala"/"pt_mh" are also supersets: parallel tempering (replica
     # exchange), which the reference lacks entirely (samplers/mcmc/pt.py).
-    return ["hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts", "pt_mala", "pt_mh"]
+    # "aies" is a superset: the affine-invariant ensemble stretch move
+    # (gradient-free, step-size-free; samplers/mcmc/ensemble.py).
+    return ["hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts", "pt_mala", "pt_mh",
+            "aies"]
 
 
 def get_supported_nfmc_samplers() -> List[str]:
@@ -312,6 +315,7 @@ def get_supported_nfmc_samplers() -> List[str]:
         "imh", "fixed_imh", "adaptive_imh",
         "jump_mala", "jump_ula", "jump_hmc", "jump_uhmc", "jump_ess", "jump_mh",
         "jump_nuts",  # superset, see get_supported_mcmc_samplers
+        "jump_aies",  # superset: flow jumps + gradient-free ensemble moves
         "neutra_mh", "neutra_hmc", "tess", "dlmc",
     ]
 

@@ -21,6 +21,9 @@ from ..core.sampler import NFMCKernel, Sampler
 from ..flows import Flow
 from ..potentials import Potential
 from ..samplers.mcmc import (
+    AIES,
+    AIESKernel,
+    AIESParameters,
     ESS,
     HMC,
     MALA,
@@ -52,6 +55,7 @@ from ..samplers.nfmc import (
     FixedIMH,
     IMHKernel,
     IMHParameters,
+    JumpAIES,
     JumpESS,
     JumpHMC,
     JumpMALA,
@@ -99,7 +103,14 @@ def create_sampler(
     event_shape = tuple(int(s) for s in event_shape)
     event_size = int(np.prod(event_shape))
 
-    if strategy in ("hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts", "pt_mala", "pt_mh"):
+    if strategy in ("hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts", "pt_mala",
+                    "pt_mh", "aies"):
+        if strategy == "aies":
+            # Superset of the reference registry: affine-invariant ensemble
+            # stretch move (gradient-free; samplers/mcmc/ensemble.py).
+            return AIES(event_shape, target,
+                        AIESKernel(event_size=event_size, **kernel_kwargs),
+                        AIESParameters(**param_kwargs))
         if strategy in ("pt_mala", "pt_mh"):
             # Superset of the reference registry: parallel tempering / replica
             # exchange (the reference has no tempering; SURVEY.md section 2.5
@@ -142,6 +153,7 @@ def create_sampler(
         "imh", "fixed_imh", "adaptive_imh",
         "jump_mala", "jump_ula", "jump_hmc", "jump_uhmc", "jump_ess", "jump_mh",
         "jump_nuts",  # superset: reference's NUTS delegation is broken
+        "jump_aies",  # superset: gradient-free ensemble inner moves
         "neutra_hmc", "neutra_mh", "tess", "dlmc",
     )
     if strategy not in nfmc_strategies:
@@ -193,6 +205,12 @@ def create_sampler(
                            kernel=kernel, params=params,
                            inner_kernel=ESSKernel(event_shape=event_shape, **inner_kernel_kwargs),
                            inner_params=ESSParameters(**inner_param_kwargs))
+        if inner == "aies":
+            # Superset (see "aies" above): flow jumps + gradient-free
+            # ensemble inner moves.
+            return JumpAIES(event_shape, target, kernel=kernel, params=params,
+                            inner_kernel=AIESKernel(event_size=event_size, **inner_kernel_kwargs),
+                            inner_params=AIESParameters(**inner_param_kwargs))
         if inner == "nuts":
             # Superset (see "nuts" above); inner defaults mirror jump_hmc's
             # 5-iteration inner run (reference ``sample.py:161-162``).

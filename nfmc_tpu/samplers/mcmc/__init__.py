@@ -5,6 +5,7 @@ from .hmc import HMC, UHMC, HMCKernel, HMCParameters
 from .ess import ESS, ESSKernel, ESSParameters
 from .nuts import NUTS, NUTSKernel, NUTSParameters
 from .pt import PTMALA, PTRWMH, ParallelTempering, PTKernel, PTParameters
+from .ensemble import AIES, AIESKernel, AIESParameters
 
 __all__ = [
     "MCMCSampler", "MetropolisKernel", "MetropolisParameters", "MetropolisSampler",
@@ -14,4 +15,5 @@ __all__ = [
     "ESS", "ESSKernel", "ESSParameters",
     "NUTS", "NUTSKernel", "NUTSParameters",
     "PTMALA", "PTRWMH", "ParallelTempering", "PTKernel", "PTParameters",
+    "AIES", "AIESKernel", "AIESParameters",
 ]

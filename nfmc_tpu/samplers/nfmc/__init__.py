@@ -1,5 +1,6 @@
 from .imh import AbstractIMH, AdaptiveIMH, FixedIMH, IMHKernel, IMHParameters
 from .jump import (
+    JumpAIES,
     JumpESS,
     JumpHMC,
     JumpMALA,
@@ -17,7 +18,7 @@ from .dlmc import DLMC, DLMCKernel, DLMCParameters
 __all__ = [
     "AbstractIMH", "AdaptiveIMH", "FixedIMH", "IMHKernel", "IMHParameters",
     "JumpNFMC", "JumpNFMCParameters", "JumpHMC", "JumpUHMC", "JumpMALA",
-    "JumpULA", "JumpMH", "JumpESS", "JumpNUTS",
+    "JumpULA", "JumpMH", "JumpESS", "JumpNUTS", "JumpAIES",
     "NeuTra", "NeuTraHMC", "NeuTraMH", "NeuTraKernel", "NeuTraParameters",
     "TESS", "TESSKernel", "TESSParameters",
     "DLMC", "DLMCKernel", "DLMCParameters",

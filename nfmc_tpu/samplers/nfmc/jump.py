@@ -39,6 +39,7 @@ from ...core.output import JumpNFMCOutput, MCMCOutput
 from ...core.sampler import MCMCKernel, MCMCParameters, NFMCKernel, NFMCParameters, Sampler
 from ...core.tuning import train_val_split
 from ...utils import metropolis_acceptance_log_ratio
+from ..mcmc.ensemble import AIES
 from ..mcmc.ess import ESS
 from ..mcmc.hmc import HMC, UHMC
 from ..mcmc.langevin import MALA, ULA
@@ -674,4 +675,16 @@ class JumpNUTS(JumpNFMC):
     def __init__(self, event_shape, target, kernel=None, params=None,
                  inner_kernel=None, inner_params=None):
         super().__init__(event_shape, target, NUTS(event_shape, target, inner_kernel, inner_params),
+                         kernel, params)
+
+
+class JumpAIES(JumpNFMC):
+    """Flow jumps interleaved with gradient-free affine-invariant ensemble
+    moves (superset: the reference has neither an ensemble inner sampler nor
+    this combination). Useful when the target's gradient is unavailable but
+    its modes call for flow jumps."""
+
+    def __init__(self, event_shape, target, kernel=None, params=None,
+                 inner_kernel=None, inner_params=None):
+        super().__init__(event_shape, target, AIES(event_shape, target, inner_kernel, inner_params),
                          kernel, params)
