@@ -307,7 +307,7 @@ def get_supported_mcmc_samplers() -> List[str]:
     # "aies" is a superset: the affine-invariant ensemble stretch move
     # (gradient-free, step-size-free; samplers/mcmc/ensemble.py).
     return ["hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts", "pt_mala", "pt_mh",
-            "aies"]
+            "pt_hmc", "aies"]
 
 
 def get_supported_nfmc_samplers() -> List[str]:

@@ -41,6 +41,7 @@ from ..samplers.mcmc import (
     MHParameters,
     NUTSKernel,
     NUTSParameters,
+    PTHMC,
     PTMALA,
     PTRWMH,
     PTKernel,
@@ -104,18 +105,18 @@ def create_sampler(
     event_size = int(np.prod(event_shape))
 
     if strategy in ("hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts", "pt_mala",
-                    "pt_mh", "aies"):
+                    "pt_mh", "pt_hmc", "aies"):
         if strategy == "aies":
             # Superset of the reference registry: affine-invariant ensemble
             # stretch move (gradient-free; samplers/mcmc/ensemble.py).
             return AIES(event_shape, target,
                         AIESKernel(event_size=event_size, **kernel_kwargs),
                         AIESParameters(**param_kwargs))
-        if strategy in ("pt_mala", "pt_mh"):
+        if strategy in ("pt_mala", "pt_mh", "pt_hmc"):
             # Superset of the reference registry: parallel tempering / replica
             # exchange (the reference has no tempering; SURVEY.md section 2.5
             # lists chain vectorization as its only parallelism).
-            cls = PTMALA if strategy == "pt_mala" else PTRWMH
+            cls = {"pt_mala": PTMALA, "pt_mh": PTRWMH, "pt_hmc": PTHMC}[strategy]
             return cls(event_shape, target,
                        PTKernel(event_size=event_size, **kernel_kwargs),
                        PTParameters(**param_kwargs))

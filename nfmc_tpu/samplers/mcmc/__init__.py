@@ -4,7 +4,7 @@ from .langevin import MALA, ULA, Langevin, LangevinKernel, LangevinParameters
 from .hmc import HMC, UHMC, HMCKernel, HMCParameters
 from .ess import ESS, ESSKernel, ESSParameters
 from .nuts import NUTS, NUTSKernel, NUTSParameters
-from .pt import PTMALA, PTRWMH, ParallelTempering, PTKernel, PTParameters
+from .pt import PTHMC, PTMALA, PTRWMH, ParallelTempering, PTKernel, PTParameters
 from .ensemble import AIES, AIESKernel, AIESParameters
 
 __all__ = [
@@ -14,6 +14,6 @@ __all__ = [
     "HMC", "UHMC", "HMCKernel", "HMCParameters",
     "ESS", "ESSKernel", "ESSParameters",
     "NUTS", "NUTSKernel", "NUTSParameters",
-    "PTMALA", "PTRWMH", "ParallelTempering", "PTKernel", "PTParameters",
+    "PTHMC", "PTMALA", "PTRWMH", "ParallelTempering", "PTKernel", "PTParameters",
     "AIES", "AIESKernel", "AIESParameters",
 ]

@@ -85,6 +85,7 @@ class PTKernel(MCMCKernel):
     n_temps: int = 8
     beta_min: float = 0.02
     betas: Optional[np.ndarray] = None
+    n_leapfrog_steps: int = 10  # HMC moves (PTHMC) only
     step_size: Optional[float] = None
     step_sizes: Optional[np.ndarray] = None
     inv_mass_diag: Optional[np.ndarray] = None
@@ -182,7 +183,12 @@ def _partner_perm(n_temps: int, offset: int) -> np.ndarray:
 class ParallelTempering(MCMCSampler):
     """Shared machinery; concrete classes pick the within-rung move."""
 
-    use_grad: bool = True  # MALA move (PTMALA) vs random-walk MH (PTRWMH)
+    move: str = "mala"  # "mala" (PTMALA), "rwmh" (PTRWMH), "hmc" (PTHMC)
+
+    @property
+    def use_grad(self) -> bool:
+        """Whether the within-rung move carries a gradient cache."""
+        return self.move in ("mala", "hmc")
 
     def __init__(self, event_shape, target, kernel: Optional[PTKernel] = None,
                  params: Optional[PTParameters] = None):
@@ -200,13 +206,14 @@ class ParallelTempering(MCMCSampler):
 
     @property
     def name(self):
-        return f"PT-{'MALA' if self.use_grad else 'RWMH'}"
+        return f"PT-{self.move.upper()}"
 
     def _static_config(self):
         p, k = self.params, self.kernel
         return (
             k.n_temps,
-            self.use_grad,
+            self.move,
+            k.n_leapfrog_steps,
             p.tune_step_size,
             p.tune_inv_mass_diag,
             p.tune_ladder,
@@ -273,7 +280,9 @@ class ParallelTempering(MCMCSampler):
         d = self.event_size
         T = self.kernel.n_temps
         p = self.params
+        move = self.move
         use_grad = self.use_grad
+        n_leapfrog = self.kernel.n_leapfrog_steps
         da_params = self.kernel.da_params
         u_and_grad = value_and_batched_grad(target)
         partner_even = jnp.asarray(_partner_perm(T, 0))
@@ -298,7 +307,39 @@ class ParallelTempering(MCMCSampler):
             nf = noise.reshape(T, C, d)
             t_b = tau[:, None, None]
             b_b = beta[:, None, None]
-            if use_grad:
+            if move == "hmc":
+                # HMC on the tempered potential beta_k * U: leapfrog with
+                # per-rung step sizes over the whole (T*C) batch; the carried
+                # raw-gradient cache supplies the first kick (the L+1 gradient
+                # scheme of ``hmc.py``'s module docstring, per rung), kicks
+                # temper the gradient by beta_k, and the accept is on the
+                # tempered Hamiltonian beta_k U + 0.5 p^T M^{-1} p
+                # (reference contract ``hmc.py:26-37,51-77,103-113``).
+                gf = g_all.reshape(T, C, d)
+                p0 = nf / jnp.sqrt(m)[None, None]  # Var(p) = M = 1/m per dim
+
+                def lf_body(_, carry):
+                    xq, pq, gq, _uq = carry
+                    pq = pq - 0.5 * t_b * (b_b * gq)
+                    xq = xq + t_b * (m[None, None] * pq)
+                    uq, gq = u_and_grad(xq.reshape(T * C, *event_shape))
+                    uq = uq.reshape(T, C)
+                    gq = gq.reshape(T, C, d)
+                    pq = pq - 0.5 * t_b * (b_b * gq)
+                    return xq, pq, gq, uq
+
+                xpf, p_end, gpf, u_p = jax.lax.fori_loop(
+                    0, n_leapfrog, lf_body, (Xf, p0, gf, u_all)
+                )
+                Xp = xpf.reshape(X.shape)
+                g_p = gpf.reshape(X.shape)
+                finite_prop = jnp.all(jnp.isfinite(xpf), axis=-1)  # (T, C)
+                ke0 = 0.5 * jnp.sum(m[None, None] * p0 * p0, axis=-1)
+                ke1 = 0.5 * jnp.sum(m[None, None] * p_end * p_end, axis=-1)
+                log_ratio = (
+                    beta[:, None] * (u_all - u_p) + ke0 - ke1
+                )
+            elif use_grad:
                 # MALA on the tempered potential beta_k * U: drift uses the
                 # tempered gradient beta_k * grad U (raw U/grad are carried and
                 # updated through accept masks — one fused (T*C)-batch target
@@ -310,12 +351,8 @@ class ParallelTempering(MCMCSampler):
                     - t_b / (m[None, None] ** 2) * (b_b * gf)
                     + jnp.sqrt(2.0 * t_b) / m[None, None] * nf
                 )
-            else:
-                xpf = Xf + t_b * m[None, None] * nf
-            Xp = xpf.reshape(X.shape)
-            finite_prop = jnp.all(jnp.isfinite(xpf), axis=-1)  # (T, C)
-
-            if use_grad:
+                Xp = xpf.reshape(X.shape)
+                finite_prop = jnp.all(jnp.isfinite(xpf), axis=-1)  # (T, C)
                 u_p, g_p = u_and_grad(Xp.reshape(T * C, *event_shape))
                 u_p = u_p.reshape(T, C)
                 g_p = g_p.reshape(X.shape)
@@ -335,6 +372,9 @@ class ParallelTempering(MCMCSampler):
                     + qpot(xpf, Xf, gf)  # - log q(x' | x)
                 )
             else:
+                xpf = Xf + t_b * m[None, None] * nf
+                Xp = xpf.reshape(X.shape)
+                finite_prop = jnp.all(jnp.isfinite(xpf), axis=-1)  # (T, C)
                 u_p = target(Xp.reshape(T * C, *event_shape)).reshape(T, C)
                 g_p = None
                 log_ratio = beta[:, None] * (u_all - u_p)
@@ -426,19 +466,27 @@ class ParallelTempering(MCMCSampler):
 
     # Counter contract (SURVEY.md section 2.8 style, per rung): an eager
     # implementation evaluates U at current + proposal for every rung
-    # (2*T*C calls); MALA also needs both gradients (2*T*C grads). Swaps
+    # (2*T*C calls); MALA also needs both gradients (2*T*C grads); HMC
+    # follows the reference trajectory contract (2L*T*C calls and grads,
+    # +2*T*C calls for the adjusted accept, ``hmc.py:122-125``). Swaps
     # reuse cached potentials on both sides.
     def calls_per_iter(self, n_chains: int) -> int:
-        return 2 * self.kernel.n_temps * n_chains
+        TC = self.kernel.n_temps * n_chains
+        if self.move == "hmc":
+            return (2 * self.kernel.n_leapfrog_steps + 2) * TC
+        return 2 * TC
 
     def grads_per_iter(self, n_chains: int) -> int:
-        return 2 * self.kernel.n_temps * n_chains if self.use_grad else 0
+        TC = self.kernel.n_temps * n_chains
+        if self.move == "hmc":
+            return 2 * self.kernel.n_leapfrog_steps * TC
+        return 2 * TC if self.use_grad else 0
 
 
 class PTMALA(ParallelTempering):
     """Parallel tempering with MALA within-rung moves."""
 
-    use_grad = True
+    move = "mala"
 
 
 class PTRWMH(ParallelTempering):
@@ -446,4 +494,13 @@ class PTRWMH(ParallelTempering):
     (gradient-free; proposal scale ``step_k * inv_mass_diag``, the MH-kernel
     idiom at reference ``mh.py:51-54``)."""
 
-    use_grad = False
+    move = "rwmh"
+
+
+class PTHMC(ParallelTempering):
+    """Parallel tempering with HMC within-rung moves: ``n_leapfrog_steps``
+    tempered leapfrogs per rung per iteration, every leapfrog one fused
+    ``(T*C)``-batch gradient. The strongest mover per iteration of the
+    family — pair with fewer outer iterations or hot-started ladders."""
+
+    move = "hmc"

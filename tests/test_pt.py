@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 import nfmc_tpu
-from nfmc_tpu.samplers.mcmc import MALA, PTMALA, PTRWMH, PTKernel, PTParameters
+from nfmc_tpu.samplers.mcmc import MALA, PTHMC, PTMALA, PTRWMH, PTKernel, PTParameters
 
 EVENT_SHAPE = (2,)
 SEP = 4.0
@@ -31,7 +31,7 @@ def gaussian_potential(x):
     return 0.5 * jnp.sum(x.reshape(x.shape[0], -1) ** 2, axis=-1)
 
 
-@pytest.mark.parametrize("strategy", ["pt_mala", "pt_mh"])
+@pytest.mark.parametrize("strategy", ["pt_mala", "pt_mh", "pt_hmc"])
 def test_front_door_shapes(strategy):
     out = nfmc_tpu.sample(
         gaussian_potential, event_shape=(5,), strategy=strategy,
@@ -43,7 +43,7 @@ def test_front_door_shapes(strategy):
     assert 0.0 <= out.statistics.acceptance_rate <= 1.0
 
 
-@pytest.mark.parametrize("cls", [PTMALA, PTRWMH])
+@pytest.mark.parametrize("cls", [PTMALA, PTRWMH, PTHMC])
 def test_swap_counter_contract(cls):
     """Even sweeps activate ceil((T-1)/2) edges, odd sweeps floor((T-1)/2);
     attempted swaps count C chains per active edge per iteration."""
@@ -124,6 +124,46 @@ def test_bimodal_mode_traversal(cls):
     m_out = m.sample(x0, show_progress=False, seed=7)
     m_frac_neg = float(np.mean(np.asarray(m_out.samples)[..., 0] < 0))
     assert m_frac_neg < 0.02
+
+
+def test_pt_hmc_counter_contract_and_moments():
+    """PTHMC reports the reference HMC trajectory contract per rung
+    ((2L+2)*T*C calls, 2L*T*C grads per iteration, ``hmc.py:122-125``) and
+    recovers cold-chain moments."""
+    T, C, L, n_iters = 4, 32, 5, 400
+    sigmas = jnp.asarray([1.0, 2.0])
+
+    def target(x):
+        return 0.5 * jnp.sum((x / sigmas) ** 2, axis=-1)
+
+    s = PTHMC((2,), target,
+              kernel=PTKernel(event_size=2, n_temps=T, n_leapfrog_steps=L,
+                              step_size=0.25))
+    s.params.n_warmup_iterations = 200
+    s.params.n_iterations = n_iters
+    x0 = jax.random.normal(jax.random.key(8), (C, 2)) * sigmas
+    s.warmup(x0, show_progress=False, seed=8)
+    out = s.sample(x0, show_progress=False, seed=9)
+    assert out.statistics.n_target_calls == n_iters * (2 * L + 2) * T * C
+    assert out.statistics.n_target_gradient_calls == n_iters * 2 * L * T * C
+    assert np.max(np.abs(out.mean)) < 0.3
+    assert np.allclose(np.asarray(out.variance), np.asarray(sigmas) ** 2, rtol=0.35)
+
+
+def test_pt_hmc_bimodal_mode_traversal():
+    """HMC rungs traverse the 32-nat barrier like the other moves (fewer
+    outer iterations needed: each iteration is an L-leapfrog trajectory)."""
+    C = 16
+    x0 = jnp.zeros((C, *EVENT_SHAPE)).at[:, 0].set(SEP)
+    s = PTHMC(EVENT_SHAPE, bimodal_potential,
+              kernel=PTKernel(event_size=2, n_temps=8, beta_min=0.01,
+                              n_leapfrog_steps=5, step_size=0.1))
+    s.params.n_warmup_iterations = 200
+    s.params.n_iterations = 400
+    s.warmup(x0, show_progress=False, seed=10)
+    out = s.sample(x0, show_progress=False, seed=11)
+    frac_neg = float(np.mean(np.asarray(out.samples)[..., 0] < 0))
+    assert 0.2 < frac_neg < 0.8, f"cold chain failed to traverse: {frac_neg}"
 
 
 def test_determinism():
