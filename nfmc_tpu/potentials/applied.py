@@ -44,7 +44,11 @@ class BayesianLogisticRegression(Potential):
     def compute(self, beta: jax.Array) -> jax.Array:
         w = beta[..., :-1]  # (B, d)
         b = beta[..., -1]  # (B,)
-        logits = w @ self.X.T + b[..., None]  # (B, n)
+        # highest precision: default TPU matmul runs bf16 multiplies, whose
+        # per-logit truncation error accumulates over n data terms into a
+        # systematic log-posterior bias (see docs/design.md, user-potential
+        # numerics); the (B,d)x(d,n) dot is tiny, 6-pass f32 costs nothing.
+        logits = jnp.matmul(w, self.X.T, precision="highest") + b[..., None]  # (B, n)
         # log(1 + exp(-y * logit)), stable
         nll = jnp.sum(jax.nn.softplus(-self.y * logits), axis=-1)
         prior = 0.5 * jnp.sum(beta * beta, axis=-1) / (self.prior_scale**2)

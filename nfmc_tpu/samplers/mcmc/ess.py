@@ -120,7 +120,8 @@ def elliptical_slice_sampling_step(
     if chol is None:
         nu = z.reshape(f.shape)
     else:
-        nu = (z @ chol.T).reshape(f.shape)
+        # highest precision: the slice threshold assumes nu ~ exact N(0, cov)
+        nu = jnp.matmul(z, chol.T, precision="highest").reshape(f.shape)
 
     # 2. Log-likelihood threshold
     if nll_f is None:
@@ -300,7 +301,14 @@ class ESS(MCMCSampler):
             if prec0 is None:
                 lp_old = -0.5 * jnp.sum(xf * xf, axis=-1)
             else:
-                lp_old = -0.5 * jnp.einsum("bi,ij,bj->b", xf, prec0, xf) - 0.5 * logdet0
+                # highest precision: a dense quadratic form under TPU-default
+                # bf16 multiplies loses the correction signal to cancellation
+                # on ill-conditioned ellipses (docs/design.md numerics note).
+                lp_old = (
+                    -0.5
+                    * jnp.einsum("bi,ij,bj->b", xf, prec0, xf, precision="highest")
+                    - 0.5 * logdet0
+                )
             return base_nll(x) + (lp_new - lp_old)
 
         self.negative_log_likelihood = corrected_nll
@@ -344,7 +352,9 @@ class ESS(MCMCSampler):
             return jax.random.normal(key, (n_chains, *self.event_shape))
         d = state.chol.shape[0]
         z = jax.random.normal(key, (n_chains, d))
-        return (z @ state.chol.T).reshape(n_chains, *self.event_shape)
+        return jnp.matmul(z, state.chol.T, precision="highest").reshape(
+            n_chains, *self.event_shape
+        )
 
     def sample(self, x0, show_progress: bool = True, time_limit_seconds=None, key=None, seed=None):
         """Quirk parity (reference ``ess.py:121-127``): redraw x0 from the prior."""
@@ -357,7 +367,9 @@ class ESS(MCMCSampler):
         else:
             d = state.chol.shape[0]
             z = jax.random.normal(k0, (n_chains, d))
-            x0 = (z @ state.chol.T).reshape(n_chains, *self.event_shape)
+            x0 = jnp.matmul(z, state.chol.T, precision="highest").reshape(
+                n_chains, *self.event_shape
+            )
         return super().sample(
             x0, show_progress=show_progress,
             time_limit_seconds=time_limit_seconds, key=krun,

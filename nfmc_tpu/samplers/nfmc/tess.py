@@ -111,7 +111,8 @@ def make_tess_step(flow, potential, event_shape: Tuple[int, ...],
         if chol is None:
             v = z.reshape(u.shape)
         else:
-            v = (z @ chol.T).reshape(u.shape)
+            # highest precision: the threshold uses the exact N(0, cov) density
+            v = jnp.matmul(z, chol.T, precision="highest").reshape(u.shape)
 
         log_s = lp_u + log_phi(params, v) + jnp.log(w)
 

@@ -141,7 +141,10 @@ def multivariate_normal_sample(key, batch_shape: Shape, event_shape: Shape, cov=
     if chol is None:
         chol = jnp.linalg.cholesky(jnp.asarray(cov))
     z = jax.random.normal(key, (*batch_shape, d))
-    samples = z @ chol.T
+    # highest precision: the MH ratio assumes proposals follow the exact MVN
+    # density; TPU-default bf16 multiplies would skew the sampled covariance
+    # relative to the density used in the ratio (docs/design.md numerics note).
+    samples = jnp.matmul(z, chol.T, precision="highest")
     return samples.reshape(*batch_shape, *event_shape)
 
 
