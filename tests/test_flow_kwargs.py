@@ -63,4 +63,6 @@ def test_registry_names():
     ]
     for name in reference_names:
         assert name in samplers
-    assert set(samplers) - set(reference_names) == {"nuts", "jump_nuts", "pt_mala", "pt_mh"}
+    assert set(samplers) - set(reference_names) == {
+        "nuts", "jump_nuts", "pt_mala", "pt_mh", "pt_hmc", "aies", "jump_aies",
+    }
