@@ -68,6 +68,13 @@ class ESSParameters(MCMCParameters):
     # distribution is unchanged (see ``ESS.warmup``).
     tune_ellipse: bool = True
     min_ellipse_variance: float = 1e-6
+    # Dense-covariance adaptation (superset of the diagonal default): match
+    # the full warmup-draw covariance, shrunk toward its diagonal for
+    # conditioning. Diagonal stays the default — on near-independent
+    # posteriors the dense estimate only adds noise.
+    dense_ellipse: bool = False
+    # Shrinkage weight toward diag(cov); None = auto ``clip(d/n_eff, 0.05, 1)``
+    ellipse_shrinkage: Optional[float] = None
 
 
 def ess_step_draws(key, f_shape: Tuple[int, ...], event_shape: Tuple[int, ...],
@@ -270,51 +277,83 @@ class ESS(MCMCSampler):
 
         return update
 
-    def _apply_ellipse_adaptation(self, var: np.ndarray) -> None:
-        """Replace the ellipse prior N(0, cov) with N(0, diag(var)) while
-        keeping the sampled posterior IDENTICAL.
+    def _apply_ellipse_adaptation(self, cov: np.ndarray) -> None:
+        """Replace the ellipse prior N(0, cov_base) with N(0, S) while keeping
+        the sampled posterior IDENTICAL; ``cov`` is 1-D (diagonal variances)
+        or 2-D (dense covariance).
 
         ESS targets ``N(x; 0, cov) * exp(-nll(x))``. Swapping the prior for
         ``N(0, S)`` requires ``nll_eff(x) = nll_base(x) + log N(x;0,S)
         - log N(x;0,cov_base)`` so the product is invariant. The adapted
         ellipse matches the posterior geometry, which lengthens the accepted
         arcs (better mixing) without changing the stationary distribution.
+
+        Numerics: both Gaussian terms are evaluated in whitened coordinates
+        (host-f64 inverse Cholesky factors, highest-precision MXU matmul) —
+        a dense quadratic form under TPU-default bf16 multiplies loses the
+        correction signal to cancellation on ill-conditioned ellipses
+        (docs/design.md numerics note).
         """
-        var = np.maximum(
-            np.asarray(var, dtype=np.float64).reshape(-1),
-            self.params.min_ellipse_variance,
-        )
-        d = var.size
+        cov = np.asarray(cov, dtype=np.float64)
+        if cov.ndim == 1:
+            var = np.maximum(cov.reshape(-1), self.params.min_ellipse_variance)
+            S = np.diag(var)
+            chol_new64 = np.diag(np.sqrt(var))
+            logdet_new = float(np.sum(np.log(var)))
+        else:
+            d = cov.shape[0]
+            S = 0.5 * (cov + cov.T)
+            S[np.diag_indices(d)] = np.maximum(
+                np.diag(S), self.params.min_ellipse_variance
+            )
+            chol_new64 = np.linalg.cholesky(S)
+            logdet_new = 2.0 * float(np.sum(np.log(np.diag(chol_new64))))
         base_nll = self._base_nll
-        sigma2_new = jnp.asarray(var, dtype=jnp.float32)
+        white_new = jnp.asarray(np.linalg.inv(chol_new64).T, dtype=jnp.float32)
         if self._base_cov is None:
-            prec0 = None
+            white_old = None
             logdet0 = 0.0
         else:
-            prec0 = jnp.asarray(np.linalg.inv(self._base_cov), dtype=jnp.float32)
-            logdet0 = float(np.linalg.slogdet(self._base_cov)[1])
-        logdet_new = float(np.sum(np.log(var)))
+            chol0 = np.linalg.cholesky(self._base_cov)
+            white_old = jnp.asarray(np.linalg.inv(chol0).T, dtype=jnp.float32)
+            logdet0 = 2.0 * float(np.sum(np.log(np.diag(chol0))))
 
         def corrected_nll(x):
             xf = x.reshape(x.shape[0], -1)
-            lp_new = -0.5 * jnp.sum(xf * xf / sigma2_new, axis=-1) - 0.5 * logdet_new
-            if prec0 is None:
+            y = jnp.matmul(xf, white_new, precision="highest")
+            lp_new = -0.5 * jnp.sum(y * y, axis=-1) - 0.5 * logdet_new
+            if white_old is None:
                 lp_old = -0.5 * jnp.sum(xf * xf, axis=-1)
             else:
-                # highest precision: a dense quadratic form under TPU-default
-                # bf16 multiplies loses the correction signal to cancellation
-                # on ill-conditioned ellipses (docs/design.md numerics note).
-                lp_old = (
-                    -0.5
-                    * jnp.einsum("bi,ij,bj->b", xf, prec0, xf, precision="highest")
-                    - 0.5 * logdet0
-                )
+                y0 = jnp.matmul(xf, white_old, precision="highest")
+                lp_old = -0.5 * jnp.sum(y0 * y0, axis=-1) - 0.5 * logdet0
             return base_nll(x) + (lp_new - lp_old)
 
         self.negative_log_likelihood = corrected_nll
-        # Diagonal covariance; the cov-token in _static_config changes, so the
-        # cached driver (which baked the old nll closure) rebuilds on next run.
-        self.kernel.cov = np.diag(var.astype(np.float32))
+        # The cov-token in _static_config changes, so the cached driver
+        # (which baked the old nll closure) rebuilds on next run.
+        self.kernel.cov = S.astype(np.float32)
+
+    def _warmup_ellipse_covariance(self, out: MCMCOutput) -> Optional[np.ndarray]:
+        """Covariance estimate for the adaptation: dense (shrunk toward its
+        diagonal) from the stored warmup draws when ``params.dense_ellipse``,
+        else the streaming per-dimension variance."""
+        if getattr(self.params, "dense_ellipse", False) and out.samples is not None:
+            draws = np.asarray(out.samples, dtype=np.float64)  # (K, C, *event)
+            flat = draws.reshape(-1, int(np.prod(draws.shape[2:])))
+            # discard the first half as burn-in (iterations axis is leading)
+            flat = flat[flat.shape[0] // 2:]
+            n, d = flat.shape
+            if n >= 8 and np.all(np.isfinite(flat)):
+                C = np.cov(flat.T).reshape(d, d)
+                lam = self.params.ellipse_shrinkage
+                if lam is None:
+                    lam = float(np.clip(d / max(n, 1), 0.05, 1.0))
+                return (1.0 - lam) * C + lam * np.diag(np.diag(C))
+        var = np.asarray(out.statistics.running_variance, dtype=np.float64).reshape(-1)
+        if var.size and np.all(np.isfinite(var)) and np.any(var > 0):
+            return var
+        return None
 
     def warmup(self, x0, show_progress: bool = True, time_limit_seconds=None,
                key=None, seed=None) -> MCMCOutput:
@@ -325,16 +364,18 @@ class ESS(MCMCSampler):
         to add what the reference lacks. Contract: returns the warmup draws
         ``(n_warmup, C, *event)`` like every other MCMC warmup, then (when
         ``params.tune_ellipse``) re-centers the ellipse prior on the warmup
-        draws' per-dimension variance via :meth:`_apply_ellipse_adaptation`.
+        draws' covariance via :meth:`_apply_ellipse_adaptation` — dense
+        (diagonal-shrunk) when ``params.dense_ellipse``, per-dimension
+        variance otherwise.
         """
         out = super().warmup(
             x0, show_progress=show_progress,
             time_limit_seconds=time_limit_seconds, key=key, seed=seed,
         )
         if getattr(self.params, "tune_ellipse", True):
-            var = np.asarray(out.statistics.running_variance).reshape(-1)
-            if var.size and np.all(np.isfinite(var)) and np.any(var > 0):
-                self._apply_ellipse_adaptation(var)
+            cov = self._warmup_ellipse_covariance(out)
+            if cov is not None:
+                self._apply_ellipse_adaptation(cov)
         return out
 
     def calls_per_iter(self, n_chains: int) -> int:

@@ -146,6 +146,65 @@ def test_ess_warmup_preserves_target():
     np.testing.assert_allclose(var, target_var, rtol=0.2)
 
 
+def test_ess_dense_ellipse_correction_exact():
+    """Dense adaptation: corrected nll must equal
+    nll_base + log N(x;0,S) - log N(x;0,I) pointwise."""
+    import jax.numpy as jnp
+    from nfmc_tpu.samplers.mcmc import ESS
+
+    d = 5
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(d, d)) / np.sqrt(d)
+    S = A @ A.T + 0.3 * np.eye(d)
+
+    def nll(x):
+        return 0.5 * jnp.sum(x.reshape(x.shape[0], -1) ** 2, axis=-1) * 3.0
+
+    sampler = ESS(event_shape=(d,), target=nll, negative_log_likelihood=nll)
+    sampler._apply_ellipse_adaptation(S)
+    assert sampler.kernel.cov.shape == (d, d)
+    np.testing.assert_allclose(sampler.kernel.cov, S.astype(np.float32), rtol=1e-5)
+
+    x = rng.normal(size=(32, d)).astype(np.float32) * 2
+    got = np.asarray(sampler.negative_log_likelihood(jnp.asarray(x)))
+    P = np.linalg.inv(S)
+    x64 = x.astype(np.float64)
+    lp_new = -0.5 * np.einsum("bi,ij,bj->b", x64, P, x64) - 0.5 * np.linalg.slogdet(S)[1]
+    lp_old = -0.5 * np.sum(x64 * x64, axis=-1)
+    want = np.asarray(nll(jnp.asarray(x))) + (lp_new - lp_old)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_ess_dense_ellipse_preserves_target():
+    """Dense-ellipse warmup on a correlated likelihood: the posterior
+    covariance must stay the analytic N(0, (I + Lambda)^-1), and the adapted
+    ellipse must pick up off-diagonal structure."""
+    import jax.numpy as jnp
+    from nfmc_tpu.samplers.mcmc import ESS
+
+    rho = 0.8
+    Lam = np.linalg.inv((1 - rho) * np.eye(3) + rho * np.ones((3, 3))).astype(np.float32)
+    post_cov = np.linalg.inv(np.eye(3) + Lam)
+
+    def nll(x):
+        xf = x.reshape(x.shape[0], -1)
+        y = jnp.matmul(xf, jnp.asarray(np.linalg.cholesky(Lam)), precision="highest")
+        return 0.5 * jnp.sum(y * y, axis=-1)
+
+    sampler = ESS(event_shape=(3,), target=nll, negative_log_likelihood=nll)
+    sampler.params.dense_ellipse = True
+    sampler.params.n_warmup_iterations = 150
+    sampler.params.n_iterations = 500
+    x0 = jax.random.normal(jax.random.key(7), (128, 3))
+    sampler.warmup(x0, show_progress=False)
+    off = sampler.kernel.cov[np.triu_indices(3, 1)]
+    assert np.any(np.abs(off) > 0.02), off
+    out = sampler.sample(x0, show_progress=False)
+    draws = np.asarray(out.samples)[100:].reshape(-1, 3)
+    emp = draws.T @ draws / draws.shape[0]
+    np.testing.assert_allclose(emp, post_cov, atol=0.06)
+
+
 def test_warmup_tunes_kernel():
     """Beyond the reference: warmup must actually adapt the kernel state."""
     sampler = HMC(event_shape=(N_DIM,), target=standard_gaussian_potential)
