@@ -15,9 +15,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache (verified effective through the axon
+# tunnel: repeat-process compile of one program 1.44 s -> 0.12 s). In bad
+# tunnel phases every compile RPC costs 15-20 s and the bench compiles dozens
+# of distinct programs; a warm on-disk cache removes that cost entirely for
+# repeated runs on the same host, which is what keeps the budget-gated
+# optional sections alive in a slow phase.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nfmc_tpu_jax_cache")
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 EVENT_DIM = 100  # BASELINE.md: 100 chains x 100-d Gaussian
 N_CHAINS = 100
@@ -97,14 +110,17 @@ def run_ours():
 
     s.params.n_iterations = OUTER_OURS
     # tunnel sync latency drifts minute-to-minute (~25-30 ms RTT, +-0.15 s on
-    # short walls) — time 3 runs, keep the median
+    # short walls) — time 5 runs, keep the median, export the spread so a
+    # slow phase is visible in the recorded JSON
     walls = []
-    for rep in range(3):
+    for rep in range(5):
         t0 = time.time()
         out = s.sample(x0, show_progress=False, seed=0)
         jax.block_until_ready(out.running_samples.last_sample)
         walls.append(time.time() - t0)
-    wall = sorted(walls)[1]  # sampling only; ESS estimation is analysis
+    walls.sort()
+    wall = walls[len(walls) // 2]  # sampling only; ESS estimation is analysis
+    wall_spread = [round(walls[0], 3), round(wall, 3), round(walls[-1], 3)]
 
     samples_dev = out.running_samples.as_tensor()  # stays on device
     # ESS on a trailing window, extrapolated by draw count: XLA's TPU FFT
@@ -126,6 +142,7 @@ def run_ours():
     second_err = float(np.max(np.abs(out.second_moment - 1.0)))  # truth: ones
     return {
         "wall_s": wall,
+        "wall_spread_s": wall_spread,
         "iters_per_s": OUTER_OURS / wall,
         "ess": ess,
         # un-extrapolated trailing-window estimate + the linear-in-n factor
@@ -314,7 +331,7 @@ def run_north_star():
     def fresh_flow():
         return Flow(RealNVP((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN), seed=0)
 
-    def ours_ess_per_s(sampler, n_iters, warm_iters, x0, latent_flow=None):
+    def ours_ess_per_s(sampler, n_iters, warm_iters, x0, latent_flow=None, reps=5):
         sampler.params.store_samples_on_device = True
         inner = getattr(sampler, "inner_sampler", None)
         if inner is not None:
@@ -323,15 +340,20 @@ def run_north_star():
         sampler.sample(x0, show_progress=False, seed=0)
         sampler.params.n_iterations = n_iters
         walls = []
-        for rep in range(5):  # median of 5: tunnel latency drifts minute-to-
+        for rep in range(reps):  # median: tunnel latency drifts minute-to-
             # minute and short walls swing +-0.15 s (measured: IMH 0.23-0.32 s
             # across reps in one process; a bad minute once halved the
-            # reported ESS/s)
+            # reported ESS/s). The per-run wall spread is exported so a slow
+            # phase is visible in the recorded JSON rather than silently
+            # deflating the speedup.
             t0 = time.time()
             out = sampler.sample(x0, show_progress=False, seed=0)
             jax.block_until_ready(out.running_samples.last_sample)
             walls.append(time.time() - t0)
-        wall = sorted(walls)[2]
+        walls.sort()
+        wall = walls[len(walls) // 2]
+        ours_ess_per_s.last_wall_spread = [round(walls[0], 3), round(wall, 3),
+                                           round(walls[-1], 3)]
         samples = out.running_samples.as_tensor()
         if latent_flow is not None:  # NeuTra stores latent draws
             flat = samples.reshape(-1, d)
@@ -354,7 +376,10 @@ def run_north_star():
 
     # ---- IMH -----------------------------------------------------------------
     s = FixedIMH((d,), target, kernel=NFMCKernel((d,), flow=fresh_flow()))
-    ours, ours_out = ours_ess_per_s(s, 4000, 1365, x0)
+    # 8000 iters / 7 reps: IMH is the shortest-wall section (~0.3 s at 4000
+    # iters), where per-chunk tunnel syncs dominate and phase drift swung the
+    # recorded speedup 4x between otherwise identical runs
+    ours, ours_out = ours_ess_per_s(s, 8000, 1365, x0, reps=7)
 
     torch.manual_seed(0)
     flow_sample, flow_log_prob, _, _ = make_torch_flow(d)
@@ -375,7 +400,8 @@ def run_north_star():
     base = torch_ess_per_s(draws, time.time() - t0)
     arr = torch.stack(draws).numpy()
     results["imh"] = {"ours_ess_per_s": round(ours, 1), "torch_ess_per_s": round(base, 1),
-                      "speedup": round(ours / base, 1)}
+                      "speedup": round(ours / base, 1),
+                      "ours_wall_spread_s": ours_ess_per_s.last_wall_spread}
     # cross-validation observables for the IMH pair (VERDICT round 1 item 6)
     results["imh_validation_raw"] = {
         "ours_accept_rate": float(ours_out.statistics.acceptance_rate),

@@ -306,7 +306,13 @@ class ESS(MCMCSampler):
             S[np.diag_indices(d)] = np.maximum(
                 np.diag(S), self.params.min_ellipse_variance
             )
-            chol_new64 = np.linalg.cholesky(S)
+            try:
+                chol_new64 = np.linalg.cholesky(S)
+            except np.linalg.LinAlgError:
+                # degenerate warmup draws (e.g. frozen dimensions): fall back
+                # to the always-PD diagonal of the estimate
+                S = np.diag(np.maximum(np.diag(S), self.params.min_ellipse_variance))
+                chol_new64 = np.sqrt(S)
             logdet_new = 2.0 * float(np.sum(np.log(np.diag(chol_new64))))
         base_nll = self._base_nll
         white_new = jnp.asarray(np.linalg.inv(chol_new64).T, dtype=jnp.float32)

@@ -12,9 +12,15 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nfmc_tpu_jax_cache_cpu")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite compiles hundreds of distinct CPU
+# programs; re-runs load them from disk instead of recompiling.
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import jax.numpy as jnp
 import pytest
