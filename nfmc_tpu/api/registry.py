@@ -306,8 +306,10 @@ def get_supported_mcmc_samplers() -> List[str]:
     # exchange), which the reference lacks entirely (samplers/mcmc/pt.py).
     # "aies" is a superset: the affine-invariant ensemble stretch move
     # (gradient-free, step-size-free; samplers/mcmc/ensemble.py).
+    # "chees_hmc" is a superset: cross-chain adaptive trajectory length
+    # (Hoffman et al. 2021; samplers/mcmc/chees.py).
     return ["hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts", "pt_mala", "pt_mh",
-            "pt_hmc", "aies"]
+            "pt_hmc", "aies", "chees_hmc"]
 
 
 def get_supported_nfmc_samplers() -> List[str]:

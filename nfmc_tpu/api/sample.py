@@ -22,6 +22,9 @@ from ..flows import Flow
 from ..potentials import Potential
 from ..samplers.mcmc import (
     AIES,
+    CheesHMC,
+    CheesHMCKernel,
+    CheesHMCParameters,
     AIESKernel,
     AIESParameters,
     ESS,
@@ -105,7 +108,13 @@ def create_sampler(
     event_size = int(np.prod(event_shape))
 
     if strategy in ("hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts", "pt_mala",
-                    "pt_mh", "pt_hmc", "aies"):
+                    "pt_mh", "pt_hmc", "aies", "chees_hmc"):
+        if strategy == "chees_hmc":
+            # Superset of the reference registry: jittered HMC with ChEES
+            # cross-chain trajectory-length adaptation (samplers/mcmc/chees.py).
+            return CheesHMC(event_shape, target,
+                            CheesHMCKernel(event_size=event_size, **kernel_kwargs),
+                            CheesHMCParameters(**param_kwargs))
         if strategy == "aies":
             # Superset of the reference registry: affine-invariant ensemble
             # stretch move (gradient-free; samplers/mcmc/ensemble.py).

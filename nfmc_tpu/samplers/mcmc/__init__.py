@@ -6,6 +6,7 @@ from .ess import ESS, ESSKernel, ESSParameters
 from .nuts import NUTS, NUTSKernel, NUTSParameters
 from .pt import PTHMC, PTMALA, PTRWMH, ParallelTempering, PTKernel, PTParameters
 from .ensemble import AIES, AIESKernel, AIESParameters
+from .chees import CheesHMC, CheesHMCKernel, CheesHMCParameters
 
 __all__ = [
     "MCMCSampler", "MetropolisKernel", "MetropolisParameters", "MetropolisSampler",
@@ -16,4 +17,5 @@ __all__ = [
     "NUTS", "NUTSKernel", "NUTSParameters",
     "PTHMC", "PTMALA", "PTRWMH", "ParallelTempering", "PTKernel", "PTParameters",
     "AIES", "AIESKernel", "AIESParameters",
+    "CheesHMC", "CheesHMCKernel", "CheesHMCParameters",
 ]

@@ -332,3 +332,29 @@ def test_sharded_aies_matches_unsharded():
         out_plain.statistics.n_accepted_trajectories
         == out_sharded.statistics.n_accepted_trajectories
     )
+
+
+def test_sharded_chees_matches_unsharded():
+    """ChEES-HMC's trajectory adaptation is built from CROSS-CHAIN means
+    (ensemble centers, accept-probability weights) — under GSPMD those are
+    collectives over the sharded chain axis; and the leapfrog count is a
+    traced while_loop bound shared by all shards. Parity must be exact
+    draw-for-draw in tuning mode (where the adaptation path is live)."""
+    from nfmc_tpu.samplers.mcmc import CheesHMC
+
+    def build():
+        s = CheesHMC(event_shape=(5,), target=standard_gaussian_potential)
+        s.params.n_iterations = 6
+        s.params.tuning = True
+        return s
+
+    x0 = jax.random.normal(jax.random.key(3), (16, 5))
+    out_plain = build().sample(x0, show_progress=False, seed=13)
+    out_sharded = sharded_sample(build(), x0, show_progress=False, seed=13)
+
+    assert np.allclose(out_plain.samples, out_sharded.samples, atol=1e-5)
+    assert np.allclose(
+        out_plain.kernel.trajectory_length,
+        out_sharded.kernel.trajectory_length,
+        rtol=1e-5,
+    )
