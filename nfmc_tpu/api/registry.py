@@ -318,6 +318,7 @@ def get_supported_nfmc_samplers() -> List[str]:
         "jump_mala", "jump_ula", "jump_hmc", "jump_uhmc", "jump_ess", "jump_mh",
         "jump_nuts",  # superset, see get_supported_mcmc_samplers
         "jump_aies",  # superset: flow jumps + gradient-free ensemble moves
+        "jump_chees",  # superset: flow jumps + ChEES-adapted HMC inner moves
         "neutra_mh", "neutra_hmc", "tess", "dlmc",
     ]
 

@@ -51,6 +51,7 @@ from ..samplers.mcmc import (
     PTParameters,
 )
 from ..samplers.nfmc import (
+    JumpChEES,
     DLMC,
     TESS,
     AdaptiveIMH,
@@ -164,6 +165,7 @@ def create_sampler(
         "jump_mala", "jump_ula", "jump_hmc", "jump_uhmc", "jump_ess", "jump_mh",
         "jump_nuts",  # superset: reference's NUTS delegation is broken
         "jump_aies",  # superset: gradient-free ensemble inner moves
+        "jump_chees",  # superset: ChEES-adapted HMC inner moves
         "neutra_hmc", "neutra_mh", "tess", "dlmc",
     )
     if strategy not in nfmc_strategies:
@@ -221,6 +223,15 @@ def create_sampler(
             return JumpAIES(event_shape, target, kernel=kernel, params=params,
                             inner_kernel=AIESKernel(event_size=event_size, **inner_kernel_kwargs),
                             inner_params=AIESParameters(**inner_param_kwargs))
+        if inner == "chees":
+            # Superset (see "chees_hmc" above): flow jumps + ChEES-adapted
+            # HMC inner moves; inner defaults mirror jump_hmc's 5-iteration
+            # inner run (reference ``sample.py:161-162``).
+            if "n_iterations" not in inner_param_kwargs:
+                inner_param_kwargs["n_iterations"] = 5
+            return JumpChEES(event_shape, target, kernel=kernel, params=params,
+                             inner_kernel=CheesHMCKernel(event_size=event_size, **inner_kernel_kwargs),
+                             inner_params=CheesHMCParameters(**inner_param_kwargs))
         if inner == "nuts":
             # Superset (see "nuts" above); inner defaults mirror jump_hmc's
             # 5-iteration inner run (reference ``sample.py:161-162``).

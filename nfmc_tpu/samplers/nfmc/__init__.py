@@ -1,6 +1,7 @@
 from .imh import AbstractIMH, AdaptiveIMH, FixedIMH, IMHKernel, IMHParameters
 from .jump import (
     JumpAIES,
+    JumpChEES,
     JumpESS,
     JumpHMC,
     JumpMALA,
@@ -18,7 +19,7 @@ from .dlmc import DLMC, DLMCKernel, DLMCParameters
 __all__ = [
     "AbstractIMH", "AdaptiveIMH", "FixedIMH", "IMHKernel", "IMHParameters",
     "JumpNFMC", "JumpNFMCParameters", "JumpHMC", "JumpUHMC", "JumpMALA",
-    "JumpULA", "JumpMH", "JumpESS", "JumpNUTS", "JumpAIES",
+    "JumpULA", "JumpMH", "JumpESS", "JumpNUTS", "JumpAIES", "JumpChEES",
     "NeuTra", "NeuTraHMC", "NeuTraMH", "NeuTraKernel", "NeuTraParameters",
     "TESS", "TESSKernel", "TESSParameters",
     "DLMC", "DLMCKernel", "DLMCParameters",

@@ -39,6 +39,7 @@ from ...core.output import JumpNFMCOutput, MCMCOutput
 from ...core.sampler import MCMCKernel, MCMCParameters, NFMCKernel, NFMCParameters, Sampler
 from ...core.tuning import train_val_split
 from ...utils import metropolis_acceptance_log_ratio
+from ..mcmc.chees import CheesHMC
 from ..mcmc.ensemble import AIES
 from ..mcmc.ess import ESS
 from ..mcmc.hmc import HMC, UHMC
@@ -687,4 +688,18 @@ class JumpAIES(JumpNFMC):
     def __init__(self, event_shape, target, kernel=None, params=None,
                  inner_kernel=None, inner_params=None):
         super().__init__(event_shape, target, AIES(event_shape, target, inner_kernel, inner_params),
+                         kernel, params)
+
+class JumpChEES(JumpNFMC):
+    """Flow jumps interleaved with ChEES-HMC inner moves (superset: the
+    reference has neither trajectory-length adaptation nor this combination).
+    The inner trajectory length/step size adapt during the jump warmup's
+    inner-tuning phase and stay frozen (jittered) inside the fused outer
+    scan; the inner sampler's dynamic leapfrog counters ride the fused
+    runner's StatsAccum like JumpNUTS'."""
+
+    def __init__(self, event_shape, target, kernel=None, params=None,
+                 inner_kernel=None, inner_params=None):
+        super().__init__(event_shape, target,
+                         CheesHMC(event_shape, target, inner_kernel, inner_params),
                          kernel, params)

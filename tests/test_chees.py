@@ -80,3 +80,27 @@ def test_hoisted_matches_inscan():
 
 def test_registry_lists_chees():
     assert "chees_hmc" in nfmc_tpu.get_supported_samplers()
+
+
+def test_jump_chees_interleaving_law():
+    from nfmc_tpu.samplers.nfmc import JumpChEES
+
+    s = JumpChEES((5,), standard_gaussian_potential)
+    s.params.n_iterations = 4
+    s.inner_sampler.params.n_iterations = 3
+    out = s.sample(X0[:8], show_progress=False, seed=6)
+    samples = np.asarray(out.samples)
+    assert samples.shape == (4 * (3 + 1), 8, 5)
+    assert np.isfinite(samples).all()
+    assert out.statistics.n_attempted_jumps == 4 * 8
+
+
+def test_jump_chees_front_door():
+    nfmc_tpu.set_seed(4)
+    out = nfmc_tpu.sample(standard_gaussian_potential, event_shape=(5,),
+                          strategy="jump_chees", n_chains=8, n_iterations=3,
+                          flow_kwargs={"n_layers": 2, "hidden_size": 16},
+                          show_progress=False)
+    samples = np.asarray(out.samples)
+    assert samples.shape == (3 * (5 + 1), 8, 5)  # jump_hmc-style inner-5 default
+    assert np.isfinite(samples).all()
