@@ -256,7 +256,10 @@ class CheesHMC(MCMCSampler):
                     # grad_c = dsq_c * <x'_c - mean x', v'_c> * u * T
                     xf = flatten_event(x, event_shape)
                     xpf = flatten_event(x_prime, event_shape)
-                    xpf = jnp.where(finite[:, None], xpf, 0.0)
+                    # diverged proposals: fall back to the current state so
+                    # the ensemble center isn't contaminated (their ChEES
+                    # contribution is already zero via the alpha weights)
+                    xpf = jnp.where(finite[:, None], xpf, xf)
                     ctr = xpf - jnp.mean(xpf, axis=0, keepdims=True)
                     ctr0 = xf - jnp.mean(xf, axis=0, keepdims=True)
                     dsq = jnp.sum(ctr * ctr, axis=-1) - jnp.sum(ctr0 * ctr0, axis=-1)
