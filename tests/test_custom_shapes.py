@@ -12,7 +12,7 @@ EVENT = (8, 8)
 
 @pytest.mark.parametrize(
     "strategy",
-    ["mh", "mala", "hmc", "imh", "adaptive_imh", "jump_mala", "neutra_hmc", "tess", "nuts"],
+    ["mh", "mala", "hmc", "chees_hmc", "imh", "adaptive_imh", "jump_mala", "neutra_hmc", "tess", "nuts"],
 )
 def test_matrix_event(strategy):
     kwargs = dict(
