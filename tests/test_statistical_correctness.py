@@ -33,7 +33,7 @@ def _run(strategy, n_iterations=400, n_chains=64, warmup=True, rtol=0.15, **kwar
     assert np.all(np.abs(mean) <= rtol * SIGMA), f"mean {mean} exceeds {rtol}*sigma"
 
 
-@pytest.mark.parametrize("strategy", ["mala", "hmc", "mh", "nuts"])
+@pytest.mark.parametrize("strategy", ["mala", "hmc", "mh", "nuts", "chees_hmc", "aies"])
 def test_mcmc_recovers_sigma(strategy):
     _run(strategy)
 
@@ -53,7 +53,7 @@ def test_imh_recovers_sigma():
     _run("imh", rtol=0.2)
 
 
-@pytest.mark.parametrize("strategy", ["jump_mala", "jump_hmc"])
+@pytest.mark.parametrize("strategy", ["jump_mala", "jump_hmc", "jump_chees"])
 def test_jump_recovers_sigma(strategy):
     _run(strategy, n_iterations=200, rtol=0.2)
 
