@@ -57,6 +57,22 @@ def da_step(state: DualAveragingState, acceptance_rate_error: jax.Array, params:
     )
 
 
+def da_update_step_size(da: DualAveragingState, acceptance_rate: jax.Array,
+                        params: DualAveragingParams):
+    """One dual-averaging update from an observed acceptance rate; returns
+    (new_da, new_step_size). Shared by the Metropolis family and ChEES."""
+    da = da_step(da, params.target_acceptance_rate - acceptance_rate, params)
+    return da, jnp.exp(da.log_step_averaged)
+
+
+def ema_inv_mass_diag(inv_mass_diag: jax.Array, x_flat: jax.Array,
+                      adjustment: float) -> jax.Array:
+    """EMA of per-dimension chain variance into the inverse mass diagonal
+    (reference ``mcmc/base.py:150-155``). ``x_flat``: (chains, event_size)."""
+    var = jnp.var(x_flat, axis=0)
+    return adjustment * var + (1.0 - adjustment) * inv_mass_diag
+
+
 def da_value(state: DualAveragingState) -> jax.Array:
     return jnp.exp(state.log_step_averaged)
 

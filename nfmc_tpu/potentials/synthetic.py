@@ -92,10 +92,12 @@ class FullRankGaussian(Potential):
         mu = np.asarray(mu, dtype=np.float32)
         super().__init__(mu.shape)
         self.mu = mu
-        self.chol = np.asarray(chol, dtype=np.float32)
-        self.chol_inv_t = np.linalg.inv(np.asarray(chol, dtype=np.float64)).T.astype(
-            np.float32
-        )
+        # only the lower triangle defines the factor (solve_triangular
+        # semantics): ignore any garbage the caller left above the diagonal,
+        # e.g. scipy.linalg.cho_factor output
+        chol64 = np.tril(np.asarray(chol, dtype=np.float64))
+        self.chol = chol64.astype(np.float32)
+        self.chol_inv_t = np.linalg.inv(chol64).T.astype(np.float32)
 
     def compute(self, x: jax.Array) -> jax.Array:
         diff = x - self.mu

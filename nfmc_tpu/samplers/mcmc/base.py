@@ -31,6 +31,8 @@ from ...core.tuning import (
     DualAveragingState,
     da_init,
     da_step,
+    da_update_step_size,
+    ema_inv_mass_diag,
 )
 from ...utils import as_numpy, event_size_of
 
@@ -189,17 +191,14 @@ class MCMCSampler(Sampler):
             n_chains = x.shape[0]
             inv_mass_diag = mstate.inv_mass_diag
             if tune_imd and n_chains > 1:
-                var = jnp.var(x.reshape(n_chains, -1), axis=0)
-                inv_mass_diag = (
-                    imd_adjustment * var + (1.0 - imd_adjustment) * inv_mass_diag
+                inv_mass_diag = ema_inv_mass_diag(
+                    inv_mass_diag, x.reshape(n_chains, -1), imd_adjustment
                 )
             da = mstate.da
             step_size = mstate.step_size
             if tune_step:
                 acc_rate = jnp.mean(mask.astype(jnp.float32))
-                error = da_params.target_acceptance_rate - acc_rate
-                da = da_step(da, error, da_params)
-                step_size = jnp.exp(da.log_step_averaged)
+                da, step_size = da_update_step_size(da, acc_rate, da_params)
             return MetropolisState(step_size=step_size, inv_mass_diag=inv_mass_diag, da=da)
 
         return update

@@ -43,7 +43,13 @@ import numpy as np
 
 from ...core.driver import StepInfo
 from ...core.sampler import MCMCKernel, MCMCParameters
-from ...core.tuning import DualAveragingParams, DualAveragingState, da_init, da_step
+from ...core.tuning import (
+    DualAveragingParams,
+    DualAveragingState,
+    da_init,
+    da_update_step_size,
+    ema_inv_mass_diag,
+)
 from ...utils import as_numpy, batched_grad, flatten_event, sum_except_batch
 from .base import MCMCSampler
 
@@ -113,11 +119,13 @@ class CheesHMCKernel(MCMCKernel):
 
 @dataclass
 class CheesHMCParameters(MCMCParameters):
+    # No `adjustment` flag: ChEES is inherently Metropolis-adjusted — both
+    # adaptations consume per-chain acceptance probabilities (use `uhmc` for
+    # an unadjusted trajectory sampler).
     tune_step_size: bool = True
     tune_trajectory: bool = True
     tune_inv_mass_diag: bool = True
     imd_adjustment: float = 1e-3
-    adjustment: bool = True  # always Metropolis-adjusted (for counter parity)
 
 
 class CheesHMC(MCMCSampler):
@@ -245,9 +253,7 @@ class CheesHMC(MCMCSampler):
                 da = cs.da
                 step_size = cs.step_size
                 if tune_step:
-                    error = da_params.target_acceptance_rate - jnp.mean(alpha)
-                    da = da_step(da, error, da_params)
-                    step_size = jnp.exp(da.log_step_averaged)
+                    da, step_size = da_update_step_size(da, jnp.mean(alpha), da_params)
                 log_t, m, v, t_adam = cs.log_t, cs.adam_m, cs.adam_v, cs.adam_t
                 if tune_traj:
                     # d ChEES / d log T, estimated across chains (means over
@@ -284,9 +290,9 @@ class CheesHMC(MCMCSampler):
                     )
                 inv_mass_new = cs.inv_mass_diag
                 if tune_imd and n_chains > 1:
-                    var = jnp.var(flatten_event(x_new, event_shape), axis=0)
-                    inv_mass_new = (
-                        imd_adjustment * var + (1.0 - imd_adjustment) * cs.inv_mass_diag
+                    inv_mass_new = ema_inv_mass_diag(
+                        cs.inv_mass_diag, flatten_event(x_new, event_shape),
+                        imd_adjustment,
                     )
                 cs = CheesState(
                     step_size=step_size, inv_mass_diag=inv_mass_new, da=da,

@@ -344,18 +344,27 @@ class ESS(MCMCSampler):
         """Covariance estimate for the adaptation: dense (shrunk toward its
         diagonal) from the stored warmup draws when ``params.dense_ellipse``,
         else the streaming per-dimension variance."""
-        if getattr(self.params, "dense_ellipse", False) and out.samples is not None:
-            draws = np.asarray(out.samples, dtype=np.float64)  # (K, C, *event)
-            flat = draws.reshape(-1, int(np.prod(draws.shape[2:])))
-            # discard the first half as burn-in (iterations axis is leading)
-            flat = flat[flat.shape[0] // 2:]
-            n, d = flat.shape
-            if n >= 8 and np.all(np.isfinite(flat)):
+        if getattr(self.params, "dense_ellipse", False):
+            ok = out.samples is not None
+            if ok:
+                draws = np.asarray(out.samples, dtype=np.float64)  # (K, C, *event)
+                flat = draws.reshape(-1, int(np.prod(draws.shape[2:])))
+                # discard the first half as burn-in (iterations axis is leading)
+                flat = flat[flat.shape[0] // 2:]
+                n, d = flat.shape
+                ok = n >= 8 and bool(np.all(np.isfinite(flat)))
+            if ok:
                 C = np.cov(flat.T).reshape(d, d)
                 lam = self.params.ellipse_shrinkage
                 if lam is None:
                     lam = float(np.clip(d / max(n, 1), 0.05, 1.0))
                 return (1.0 - lam) * C + lam * np.diag(np.diag(C))
+            # surface the degradation instead of silently honoring only half
+            # the request (convention: bare prints, cf. reference imh.py:93-95)
+            print(
+                "Warning: dense_ellipse=True but warmup draws are unavailable/"
+                "too few/non-finite; falling back to diagonal variance adaptation"
+            )
         var = np.asarray(out.statistics.running_variance, dtype=np.float64).reshape(-1)
         if var.size and np.all(np.isfinite(var)) and np.any(var > 0):
             return var

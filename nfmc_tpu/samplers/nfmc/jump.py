@@ -458,8 +458,15 @@ class JumpNFMC(Sampler):
             n_accepted_trajectories=int(acc.n_accepted),
             n_attempted_trajectories=n_outer * inner_n * n_chains,
             n_divergences=int(acc.n_divergences),
-            n_target_calls=n_outer * (inner_n * inner_calls + self._jump_calls_per_iter(n_chains)),
-            n_target_gradient_calls=n_outer * inner_n * inner_grads,
+            # static per-iter contract + the dynamic channel trajectory-
+            # dependent inners (NUTS, ChEES) report through StepInfo
+            n_target_calls=(
+                n_outer * (inner_n * inner_calls + self._jump_calls_per_iter(n_chains))
+                + int(acc.n_calls_dyn)
+            ),
+            n_target_gradient_calls=(
+                n_outer * inner_n * inner_grads + int(acc.n_grads_dyn)
+            ),
             n_accepted_jumps=int(jump_acc.n_accepted),
             n_attempted_jumps=n_outer * n_chains,
         )

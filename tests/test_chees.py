@@ -93,6 +93,11 @@ def test_jump_chees_interleaving_law():
     assert samples.shape == (4 * (3 + 1), 8, 5)
     assert np.isfinite(samples).all()
     assert out.statistics.n_attempted_jumps == 4 * 8
+    # dynamic inner counters must survive the fused runner: ChEES reports
+    # 2LB grads per inner iteration (L >= 1) through StepInfo
+    assert out.statistics.n_target_gradient_calls >= 2 * 8 * 4 * 3
+    # and calls = grads + 2B per inner iteration + jump accounting
+    assert out.statistics.n_target_calls > out.statistics.n_target_gradient_calls
 
 
 def test_jump_chees_front_door():
