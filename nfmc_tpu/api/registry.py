@@ -319,7 +319,9 @@ def get_supported_nfmc_samplers() -> List[str]:
         "jump_nuts",  # superset, see get_supported_mcmc_samplers
         "jump_aies",  # superset: flow jumps + gradient-free ensemble moves
         "jump_chees",  # superset: flow jumps + ChEES-adapted HMC inner moves
-        "neutra_mh", "neutra_hmc", "tess", "dlmc",
+        "neutra_mh", "neutra_hmc",
+        "neutra_chees",  # superset: ChEES inner in the reparameterized space
+        "tess", "dlmc",
     ]
 
 

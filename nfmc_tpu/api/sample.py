@@ -52,6 +52,7 @@ from ..samplers.mcmc import (
 )
 from ..samplers.nfmc import (
     JumpChEES,
+    NeuTraChEES,
     DLMC,
     TESS,
     AdaptiveIMH,
@@ -166,7 +167,9 @@ def create_sampler(
         "jump_nuts",  # superset: reference's NUTS delegation is broken
         "jump_aies",  # superset: gradient-free ensemble inner moves
         "jump_chees",  # superset: ChEES-adapted HMC inner moves
-        "neutra_hmc", "neutra_mh", "tess", "dlmc",
+        "neutra_hmc", "neutra_mh",
+        "neutra_chees",  # superset: adaptive-trajectory latent-space HMC
+        "tess", "dlmc",
     )
     if strategy not in nfmc_strategies:
         raise ValueError(f"Unsupported sampling strategy: {strategy}")
@@ -263,6 +266,14 @@ def create_sampler(
                         inner_params=MHParameters(**inner_param_kwargs),
                         kernel=NeuTraKernel(event_shape, flow=flow_object),
                         params=NeuTraParameters(**param_kwargs))
+    if strategy == "neutra_chees":
+        # Superset (see "chees_hmc"): adaptive-trajectory HMC in the
+        # reparameterized latent space, gradients through the flow inverse.
+        return NeuTraChEES(event_shape, target,
+                           inner_kernel=CheesHMCKernel(event_size=event_size, **inner_kernel_kwargs),
+                           inner_params=CheesHMCParameters(**inner_param_kwargs),
+                           kernel=NeuTraKernel(event_shape, flow=flow_object),
+                           params=NeuTraParameters(**param_kwargs))
     raise ValueError(f"Unsupported sampling strategy: {strategy}")
 
 

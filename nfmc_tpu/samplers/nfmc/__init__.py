@@ -12,7 +12,7 @@ from .jump import (
     JumpUHMC,
     JumpULA,
 )
-from .neutra import NeuTra, NeuTraHMC, NeuTraKernel, NeuTraMH, NeuTraParameters
+from .neutra import NeuTra, NeuTraChEES, NeuTraHMC, NeuTraKernel, NeuTraMH, NeuTraParameters
 from .tess import TESS, TESSKernel, TESSParameters
 from .dlmc import DLMC, DLMCKernel, DLMCParameters
 
@@ -20,7 +20,7 @@ __all__ = [
     "AbstractIMH", "AdaptiveIMH", "FixedIMH", "IMHKernel", "IMHParameters",
     "JumpNFMC", "JumpNFMCParameters", "JumpHMC", "JumpUHMC", "JumpMALA",
     "JumpULA", "JumpMH", "JumpESS", "JumpNUTS", "JumpAIES", "JumpChEES",
-    "NeuTra", "NeuTraHMC", "NeuTraMH", "NeuTraKernel", "NeuTraParameters",
+    "NeuTra", "NeuTraHMC", "NeuTraMH", "NeuTraChEES", "NeuTraKernel", "NeuTraParameters",
     "TESS", "TESSKernel", "TESSParameters",
     "DLMC", "DLMCKernel", "DLMCParameters",
 ]

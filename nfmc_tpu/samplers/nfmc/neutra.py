@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ...core.output import MCMCOutput
 from ...core.sampler import NFMCKernel, NFMCParameters, Sampler
 from ..mcmc.base import MetropolisKernel, MetropolisParameters, MetropolisSampler
+from ..mcmc.chees import CheesHMC, CheesHMCKernel, CheesHMCParameters
 from ..mcmc.hmc import HMC, HMCKernel, HMCParameters
 from ..mcmc.mh import MH, MHKernel, MHParameters
 
@@ -190,3 +191,25 @@ class NeuTraMH(NeuTra):
     @property
     def name(self):
         return "NeuTra-MH"
+
+
+class NeuTraChEES(NeuTra):
+    """NeuTra with a ChEES-HMC inner sampler (superset: the reference has
+    neither trajectory adaptation nor this combination). The adaptive
+    trajectory runs in the REPARAMETERIZED latent space — exactly where the
+    NeuTra construction makes long trajectories pay off — with every leapfrog
+    gradient flowing through the flow inverse."""
+
+    def __init__(self, event_shape, target, inner_kernel: Optional[CheesHMCKernel] = None,
+                 inner_params: Optional[CheesHMCParameters] = None,
+                 kernel=None, params=None):
+        if inner_kernel is None:
+            inner_kernel = CheesHMCKernel(event_size=int(jnp.prod(jnp.asarray(event_shape))))
+        if inner_params is None:
+            inner_params = CheesHMCParameters()
+        super().__init__(event_shape, target, CheesHMC, inner_kernel, inner_params,
+                         kernel, params)
+
+    @property
+    def name(self):
+        return "NeuTra-ChEES"

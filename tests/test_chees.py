@@ -109,3 +109,16 @@ def test_jump_chees_front_door():
     samples = np.asarray(out.samples)
     assert samples.shape == (3 * (5 + 1), 8, 5)  # jump_hmc-style inner-5 default
     assert np.isfinite(samples).all()
+
+
+def test_neutra_chees_front_door():
+    nfmc_tpu.set_seed(7)
+    out = nfmc_tpu.sample(standard_gaussian_potential, event_shape=(5,),
+                          strategy="neutra_chees", n_chains=8, n_iterations=5,
+                          flow_kwargs={"n_layers": 2, "hidden_size": 16},
+                          param_kwargs={"warmup_fit_kwargs": {"n_epochs": 10, "lr": 0.005, "n_samples": 32}},
+                          show_progress=False)
+    samples = np.asarray(out.samples)
+    assert samples.shape == (5, 8, 5)  # data-space draws via data_transform
+    assert np.isfinite(samples).all()
+    assert out.statistics.n_target_gradient_calls > 0  # dynamic channel

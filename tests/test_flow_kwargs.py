@@ -65,5 +65,5 @@ def test_registry_names():
         assert name in samplers
     assert set(samplers) - set(reference_names) == {
         "nuts", "jump_nuts", "pt_mala", "pt_mh", "pt_hmc", "aies", "jump_aies",
-        "chees_hmc", "jump_chees",
+        "chees_hmc", "jump_chees", "neutra_chees",
     }
