@@ -54,6 +54,13 @@ from ...utils import as_numpy, batched_grad, flatten_event, sum_except_batch
 from .base import MCMCSampler
 
 
+def _van_der_corput(n: jax.Array, bits: int = 24) -> jax.Array:
+    """Base-2 radical inverse of the i32 counter ``n``: u in (0, 1)."""
+    ks = jnp.arange(bits)
+    rev = jnp.sum(((n >> ks) & 1) << (bits - 1 - ks))
+    return (rev.astype(jnp.float32) + 0.5) / jnp.float32(1 << bits)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class CheesState:
@@ -66,6 +73,7 @@ class CheesState:
     adam_m: jax.Array  # Adam first moment for log_t
     adam_v: jax.Array  # Adam second moment for log_t
     adam_t: jax.Array  # Adam step counter (f32)
+    iter_idx: jax.Array  # i32 iteration counter (drives the Halton jitter)
 
 
 @dataclass
@@ -80,7 +88,12 @@ class CheesHMCKernel(MCMCKernel):
     trajectory_length: Optional[float] = None
     max_leapfrog_steps: int = 256
     adam_lr: float = 0.025
+    # trajectory jitter u: "halton" (default; the paper's quasi-random van der
+    # Corput sequence over the carried iteration counter — lower-variance
+    # coverage of (0, 1)) or "uniform" (plain RNG draw)
+    jitter: str = "halton"
     da_params: Optional[DualAveragingParams] = None
+
 
     def __post_init__(self):
         super().__post_init__()
@@ -92,6 +105,8 @@ class CheesHMCKernel(MCMCKernel):
             self.trajectory_length = float(self.step_size)
         if self.da_params is None:
             self.da_params = DualAveragingParams()
+        if self.jitter not in ("halton", "uniform"):
+            raise ValueError(f"jitter must be 'halton' or 'uniform', got {self.jitter!r}")
 
     def make_state(self) -> CheesState:
         return CheesState(
@@ -102,6 +117,7 @@ class CheesHMCKernel(MCMCKernel):
             adam_m=jnp.asarray(0.0, dtype=jnp.float32),
             adam_v=jnp.asarray(0.0, dtype=jnp.float32),
             adam_t=jnp.asarray(0.0, dtype=jnp.float32),
+            iter_idx=jnp.asarray(0, dtype=jnp.int32),
         )
 
     def sync_from_state(self, state: CheesState) -> None:
@@ -156,6 +172,7 @@ class CheesHMC(MCMCSampler):
             self.params.imd_adjustment,
             self.kernel.max_leapfrog_steps,
             self.kernel.adam_lr,
+            self.kernel.jitter,
             self.rng_hoist_element_limit,
         )
 
@@ -196,10 +213,15 @@ class CheesHMC(MCMCSampler):
         tune_traj = tuning and p.tune_trajectory
         tune_imd = tuning and p.tune_inv_mass_diag
         imd_adjustment = p.imd_adjustment
+        halton = kern.jitter == "halton"
 
         def step(x, state, key, aux):
             cs: CheesState = state
             p_raw, log_u, u_jit = aux
+            if halton:
+                # quasi-random jitter over the carried counter; the hoisted
+                # RNG u_jit is unused in this mode (stream unchanged)
+                u_jit = _van_der_corput(cs.iter_idx)
             n_chains = x.shape[0]
             inv_mass = cs.inv_mass_diag
             eps = cs.step_size
@@ -297,7 +319,10 @@ class CheesHMC(MCMCSampler):
                 cs = CheesState(
                     step_size=step_size, inv_mass_diag=inv_mass_new, da=da,
                     log_t=log_t, adam_m=m, adam_v=v, adam_t=t_adam,
+                    iter_idx=cs.iter_idx,
                 )
+
+            cs = dataclasses.replace(cs, iter_idx=cs.iter_idx + 1)
 
             # reference-style counter contract (2LB grads, +2B calls for the
             # adjustment), with the dynamic L reported through the same
