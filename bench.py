@@ -689,6 +689,54 @@ def run_funnel():
     }
 
 
+def run_chees():
+    """Superset measurement: ChEES-HMC (cross-chain adaptive trajectory,
+    samplers/mcmc/chees.py) at 1024 chains x 100-d anisotropic Gaussian.
+    Reported: warmup-adapted trajectory/step, sampling throughput, the
+    average leapfrog count per iteration (from the dynamic counters), and
+    moment error — evidence the traced-while_loop trajectory and the
+    cross-chain adaptation hold up at scale on the real device."""
+    import jax
+    import jax.numpy as jnp
+
+    import nfmc_tpu
+    from nfmc_tpu.api.sample import create_sampler
+    from nfmc_tpu.potentials import DiagonalGaussian1
+
+    d, C = EVENT_DIM, 1024
+    target = DiagonalGaussian1(n_dim=d)
+    nfmc_tpu.set_seed(0)
+    sampler = create_sampler(
+        target, event_shape=(d,), strategy="chees_hmc",
+        param_kwargs={"store_samples": False, "n_iterations": 1000,
+                      "n_warmup_iterations": 341},
+    )
+    x0 = jax.random.normal(jax.random.key(0), (C, d))
+    sampler.warmup(x0, show_progress=False, seed=0)
+    sampler.sample(x0, show_progress=False, seed=0)  # compile warm
+
+    walls = []
+    for rep in range(3):
+        t0 = time.time()
+        out = sampler.sample(x0, show_progress=False, seed=0)
+        _ = float(out.statistics.acceptance_rate)
+        walls.append(time.time() - t0)
+    wall = sorted(walls)[1]
+    grads = int(out.statistics.n_target_gradient_calls)
+    sigma = np.tile(np.arange(1, 11), d // 10)[:d].astype(np.float32)
+    moment_err = float(np.max(np.abs(np.asarray(out.mean)) / sigma))
+    return {
+        "iters_per_s": round(1000 / wall, 1),
+        "wall_spread_s": [round(w, 3) for w in sorted(walls)],
+        "tuned_trajectory": round(float(sampler.kernel.trajectory_length), 3),
+        "tuned_step_size": round(float(sampler.kernel.step_size), 4),
+        "avg_leapfrogs_per_iter": round(grads / (2 * 1000 * C), 2),
+        "grads_per_s": round(grads / wall, 0),
+        "accept_rate": round(float(out.statistics.acceptance_rate), 3),
+        "moment_err": moment_err,
+    }
+
+
 def run_pallas_numerics():
     """On-device numerics of the fused Pallas coupling kernels vs the pure-XLA
     path (VERDICT round 1 item 9): max-abs-diff of forward / inverse outputs,
@@ -849,6 +897,7 @@ def main():
     scale = run_scale_1024() if budget(420) else skipped
     north = run_north_star() if budget(600) else skipped
     funnel = run_funnel() if budget(780) else skipped
+    chees = run_chees() if budget(840) else skipped
     pallas = run_pallas_numerics() if budget(870) else skipped
     # normalize ESS yield per outer iteration, compare rates
     ours_eff = ours["ess_per_s"]
@@ -886,6 +935,7 @@ def main():
         "scale_1024_chains_jump_hmc": scale,
         "north_star_vs_torch_replica": north,
         "funnel_mala_100d": funnel,
+        "chees_hmc_1024": chees,
         "validation": validation,
         "pallas_numerics": {
             k: (round(v, 8) if isinstance(v, float) else v) for k, v in pallas.items()
