@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import math
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Optional, Tuple, Union
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,11 +30,10 @@ from ...core.tuning import (
     DualAveragingParams,
     DualAveragingState,
     da_init,
-    da_step,
     da_update_step_size,
     ema_inv_mass_diag,
 )
-from ...utils import as_numpy, event_size_of
+from ...utils import as_numpy
 
 
 @jax.tree_util.register_dataclass
