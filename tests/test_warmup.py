@@ -256,3 +256,34 @@ def test_tess_warmup_fused_matches_host_path():
             == out_host.statistics.n_attempted_trajectories)
     # different fit RNG streams -> statistical agreement of the latent draws
     assert float(np.max(np.abs(out_fused.mean - out_host.mean))) < 0.5
+
+
+def test_ess_dense_ellipse_repeated_warmups_stay_exact():
+    """Warming up twice re-derives the prior correction relative to the BASE
+    decomposition (not the previous correction) — the sampled posterior must
+    be unchanged after two adaptations."""
+    import jax.numpy as jnp
+    from nfmc_tpu.samplers.mcmc import ESS
+
+    rho = 0.8
+    Lam = np.linalg.inv((1 - rho) * np.eye(3) + rho * np.ones((3, 3))).astype(np.float32)
+    post_cov = np.linalg.inv(np.eye(3) + Lam)
+
+    def nll(x):
+        xf = x.reshape(x.shape[0], -1)
+        y = jnp.matmul(xf, jnp.asarray(np.linalg.cholesky(Lam)), precision="highest")
+        return 0.5 * jnp.sum(y * y, axis=-1)
+
+    sampler = ESS(event_shape=(3,), target=nll, negative_log_likelihood=nll)
+    sampler.params.dense_ellipse = True
+    sampler.params.n_warmup_iterations = 120
+    sampler.params.n_iterations = 500
+    x0 = jax.random.normal(jax.random.key(11), (128, 3))
+    sampler.warmup(x0, show_progress=False, seed=11)
+    cov_once = np.array(sampler.kernel.cov)
+    sampler.warmup(x0, show_progress=False, seed=12)
+    assert not np.allclose(cov_once, sampler.kernel.cov)  # it re-adapted
+    out = sampler.sample(x0, show_progress=False, seed=13)
+    draws = np.asarray(out.samples)[100:].reshape(-1, 3)
+    emp = draws.T @ draws / draws.shape[0]
+    np.testing.assert_allclose(emp, post_cov, atol=0.06)
