@@ -41,6 +41,14 @@ class NeuTraKernel(NFMCKernel):
 class NeuTraParameters(NFMCParameters):
     batch_inverse_size: int = 128  # parity field (unused; reference ``neutra.py:21``)
     warmup_fit_kwargs: Optional[dict] = None
+    # Superset option addressing the reference's z0 = x0 quirk
+    # (``neutra.py:121-127``): when True, the data-space start transports to
+    # latent space through the fitted flow's FORWARD map, z0 = f(x0) — the
+    # principled initialization (a data-space start reused as a latent point
+    # lands in an arbitrary region of the pullback). Note it cannot rescue a
+    # poorly fitted flow: NeuTra's mixing is dominated by reverse-KL fit
+    # quality (e.g. extreme funnels). Default False for reference parity.
+    transport_x0: bool = False
 
     def __post_init__(self):
         super().__post_init__()
@@ -81,6 +89,14 @@ class NeuTra(Sampler):
         x, log_det_inverse = flow.bijection.inverse_fn(flow.params, z)
         log_prob = -self.target(x)
         return -(log_prob + log_det_inverse)
+
+    def _initial_latent(self, x0):
+        """z0 for the inner latent-space run: reference parity reuses the
+        data-space x0 verbatim; ``params.transport_x0`` forward-maps it."""
+        if not getattr(self.params, "transport_x0", False):
+            return x0
+        flow = self.kernel.flow
+        return flow.bijection.forward_fn(flow.params, jnp.asarray(x0, jnp.float32))[0]
 
     def _latent_to_data(self, z):
         flow = self.kernel.flow
@@ -142,7 +158,7 @@ class NeuTra(Sampler):
         self.inner_sampler.params.store_samples = self.params.store_samples
         self.inner_sampler.params.n_warmup_iterations = self.params.n_warmup_iterations
         return self.inner_sampler.warmup(
-            x0, show_progress=show_progress,
+            self._initial_latent(x0), show_progress=show_progress,
             time_limit_seconds=inner_limit, key=k_inner,
         )
 
@@ -153,8 +169,9 @@ class NeuTra(Sampler):
         self.inner_sampler.params.sampling_mode()
         self.inner_sampler.params.store_samples = self.params.store_samples
         self._refresh_inner_if_stale()
+        z0 = self._initial_latent(x0)
         out = self.inner_sampler.sample(
-            x0,  # z0 = x0, reference ``neutra.py:121-127``
+            z0,  # z0 = x0 by default, reference ``neutra.py:121-127``
             show_progress=show_progress,
             time_limit_seconds=time_limit_seconds,
             key=key,

@@ -287,3 +287,30 @@ def test_ess_dense_ellipse_repeated_warmups_stay_exact():
     draws = np.asarray(out.samples)[100:].reshape(-1, 3)
     emp = draws.T @ draws / draws.shape[0]
     np.testing.assert_allclose(emp, post_cov, atol=0.06)
+
+
+def test_neutra_transport_x0():
+    """transport_x0=True forward-maps the data-space start into latent space
+    (superset of the reference's z0 = x0 quirk) and must keep posterior
+    recovery intact."""
+    import jax.numpy as jnp
+
+    sigma = np.array([1.0, 2.0, 3.0], dtype=np.float32)
+
+    def target(x):
+        return 0.5 * jnp.sum((x.reshape(x.shape[0], -1) / sigma) ** 2, axis=-1)
+
+    s = NeuTraHMC(event_shape=(3,), target=target)
+    s.kernel.flow = small_flow((3,), seed=2)
+    s.params.transport_x0 = True
+    x0 = jax.random.normal(jax.random.key(9), (64, 3)) * sigma
+    s.params.warmup_fit_kwargs = {"n_epochs": 150, "n_samples": 256, "lr": 0.005}
+    s.params.n_warmup_iterations = 100
+    s.params.n_iterations = 300
+    s.warmup(x0, show_progress=False, seed=1)
+    # post-fit the flow is non-identity: the latent start must differ from x0
+    z0 = s._initial_latent(x0)
+    assert not np.allclose(np.asarray(z0), np.asarray(x0))
+    out = s.sample(x0, show_progress=False, seed=2)
+    sig = np.sqrt(np.asarray(out.statistics.running_variance))
+    np.testing.assert_allclose(sig, sigma, rtol=0.2)
