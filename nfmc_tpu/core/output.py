@@ -101,6 +101,43 @@ class MCMCOutput:
 
         return potential_scale_reduction(self._stored_chains())
 
+    def summary(self, max_dims: int = 10) -> str:
+        """Stan/ArviZ-style posterior summary table (superset; the reference
+        exposes only raw counters): per-dimension mean, sd, central 90%
+        interval, ESS and split-R-hat of the stored draws, plus the run's
+        throughput counters. Returns the formatted string (print it)."""
+        import numpy as np
+
+        chains = np.asarray(self._stored_chains())  # (K, C, d)
+        d = chains.shape[-1]
+        flat = chains.reshape(-1, d)
+        mean = flat.mean(axis=0)
+        sd = flat.std(axis=0)
+        q5, q95 = np.percentile(flat, [5.0, 95.0], axis=0)
+        ess = np.asarray(self.effective_sample_size())
+        rhat = np.asarray(self.potential_scale_reduction())
+
+        shown = min(d, max_dims)
+        lines = [
+            f"{'dim':>4}  {'mean':>9}  {'sd':>9}  {'5%':>9}  {'95%':>9}"
+            f"  {'ess':>9}  {'r_hat':>6}"
+        ]
+        for i in range(shown):
+            lines.append(
+                f"{i:>4}  {mean[i]:>9.3f}  {sd[i]:>9.3f}  {q5[i]:>9.3f}"
+                f"  {q95[i]:>9.3f}  {ess[i]:>9.0f}  {rhat[i]:>6.3f}"
+            )
+        if d > shown:
+            lines.append(f"... ({d - shown} more dimensions)")
+        st = self.statistics
+        lines.append(
+            f"draws: {chains.shape[0]} x {chains.shape[1]} chains | "
+            f"accept {float(st.acceptance_rate):.3f} | "
+            f"divergences {int(st.n_divergences)} | "
+            f"max r_hat {rhat.max():.3f} | min ess {ess.min():.0f}"
+        )
+        return "\n".join(lines)
+
     @property
     def mean(self):
         return self.statistics.running_first_moment

@@ -195,3 +195,18 @@ def test_dlmc_counter_contract():
     st = out.statistics
     assert st.n_target_calls == N_CHAINS + N_ITER * 3 * N_CHAINS
     assert st.n_target_gradient_calls == N_CHAINS + N_ITER * N_CHAINS
+
+
+def test_output_summary():
+    """summary() renders a per-dimension table with ESS/R-hat and counters."""
+    import nfmc_tpu
+    from tests.conftest import standard_gaussian_potential
+
+    nfmc_tpu.set_seed(0)
+    out = nfmc_tpu.sample(standard_gaussian_potential, event_shape=(4,),
+                          strategy="mala", n_chains=16, n_iterations=50,
+                          show_progress=False)
+    text = out.summary(max_dims=3)
+    assert "r_hat" in text and "ess" in text
+    assert "... (1 more dimensions)" in text
+    assert "accept" in text and "divergences" in text
