@@ -30,3 +30,5 @@ print("samples:", out.samples.shape)  # (n_iter * (inner+1), chains, 25)
 print("posterior std (should approach 1..5):")
 print(np.round(np.sqrt(np.asarray(out.variance)), 2))
 print(out.statistics)
+print()
+print(out.summary(max_dims=5))  # Stan-style table: mean/sd/90% interval/ESS/R-hat
