@@ -291,9 +291,18 @@ def sample(
     sampling_time_limit_seconds: Optional[float] = None,
     warmup_time_limit_seconds: Optional[float] = None,
     seed: Optional[int] = None,
+    mesh=None,
     **kwargs,
 ) -> MCMCOutput:
-    """One-call sampling entry; parity with reference ``sample.py:243-314``."""
+    """One-call sampling entry; parity with reference ``sample.py:243-314``.
+
+    ``mesh`` (superset of the reference API, which is single-device only —
+    SURVEY.md section 2.5): an optional ``jax.sharding.Mesh`` whose first axis
+    the chain dimension is sharded over. Warmup and sampling then run SPMD
+    across the mesh devices with GSPMD inserting the statistic all-reduces;
+    ``n_chains`` must divide the mesh size. Equivalent to wrapping the sampler
+    in ``nfmc_tpu.parallel.sharded_sample``.
+    """
     if flow == "None":
         flow = None
     if flow is not None and not isinstance(flow, str):
@@ -329,6 +338,16 @@ def sample(
         x0 = jax.random.normal(k_x0, (n_chains, *sampler.event_shape))
     x0 = jnp.asarray(x0, dtype=jnp.float32)
 
+    if mesh is not None:
+        from ..parallel import shard_chains
+
+        if x0.shape[0] % mesh.devices.size != 0:
+            raise ValueError(
+                f"n_chains={x0.shape[0]} must be divisible by mesh size "
+                f"{mesh.devices.size}"
+            )
+        x0 = shard_chains(x0, mesh, axis_name=mesh.axis_names[0])
+
     if warmup:
         warmup_output = sampler.warmup(
             x0=x0, show_progress=show_progress,
@@ -343,6 +362,11 @@ def sample(
             x0 = jnp.asarray(warmup_output.running_samples.last_sample)
         # else: warmup produced nothing (zero iterations / immediate time
         # limit) — keep the original x0
+        if mesh is not None:
+            from ..parallel import shard_chains
+
+            # the reshuffle rebuilt x0 from host arrays — re-pin the sharding
+            x0 = shard_chains(x0, mesh, axis_name=mesh.axis_names[0])
     return sampler.sample(
         x0=x0, show_progress=show_progress,
         time_limit_seconds=sampling_time_limit_seconds, key=k_samp,

@@ -358,3 +358,32 @@ def test_sharded_chees_matches_unsharded():
         out_sharded.kernel.trajectory_length,
         rtol=1e-5,
     )
+
+
+def test_front_door_mesh_matches_unsharded():
+    """sample(..., mesh=...) shards the chain axis end-to-end: warmup, the
+    reshuffled-x0 re-pin, and sampling all run SPMD and reproduce the
+    single-device draws (superset of the reference API — SURVEY.md 2.5)."""
+    import nfmc_tpu
+
+    kwargs = dict(
+        event_shape=(5,), strategy="mala", n_chains=16, n_iterations=4,
+        n_warmup_iterations=4, warmup=True, show_progress=False, seed=11,
+    )
+    out_plain = nfmc_tpu.sample(standard_gaussian_potential, **kwargs)
+    out_sharded = nfmc_tpu.sample(standard_gaussian_potential, mesh=chain_mesh(), **kwargs)
+    assert np.allclose(out_plain.samples, out_sharded.samples, atol=1e-5)
+    assert (
+        out_plain.statistics.n_accepted_trajectories
+        == out_sharded.statistics.n_accepted_trajectories
+    )
+
+
+def test_front_door_mesh_uneven_chains_rejected():
+    import nfmc_tpu
+
+    with pytest.raises(ValueError):
+        nfmc_tpu.sample(
+            standard_gaussian_potential, event_shape=(5,), strategy="mala",
+            n_chains=10, n_iterations=2, show_progress=False, mesh=chain_mesh(),
+        )
