@@ -150,3 +150,105 @@ def test_fused_pallas_bwd_multiblock_accumulation(interpret_pallas):
     assert float(jnp.max(jnp.abs(jnp.take(gx_b, unpack, axis=-1) - gx_x))) < 1e-4
     diffs = jax.tree_util.tree_map(lambda a, b: float(jnp.max(jnp.abs(a - b))), gparams_b, gp_x)
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Fused RQS spline coupling kernel (ops/spline_pallas.py)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def interpret_spline(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    import nfmc_tpu.ops.spline_pallas as sp
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sp.pl, "pallas_call", interp_call)
+    return sp
+
+
+def _spline_flow(d=10, L=3, n_bins=8):
+    from nfmc_tpu.flows import CouplingRQNSF, Flow
+
+    f = Flow(CouplingRQNSF((d,), n_layers=L, n_bins=n_bins, hidden_size=16), seed=0)
+    f.params = jax.tree_util.tree_map(
+        lambda p: p + 0.3 * jax.random.normal(jax.random.key(7), p.shape), f.params
+    )
+    return f
+
+
+def test_spline_fused_forward_matches_xla(interpret_spline):
+    sp = interpret_spline
+    f = _spline_flow()
+    # cover interior bins and the identity tails
+    x = 4.0 * jax.random.normal(jax.random.key(1), (37, 10))
+    z_xla, ld_xla = f.bijection.forward(x)
+    z_pal, ld_pal = sp.fused_rqs_forward(f.params, x, 10, 3, 8, 5.0)
+    assert float(jnp.max(jnp.abs(z_pal - z_xla))) < 1e-4
+    assert float(jnp.max(jnp.abs(ld_pal - ld_xla))) < 1e-4
+
+
+def test_spline_fused_inverse_matches_xla(interpret_spline):
+    sp = interpret_spline
+    f = _spline_flow()
+    z = 4.0 * jax.random.normal(jax.random.key(2), (19, 10))
+    x_xla, ld_xla = f.bijection.inverse(z)
+    x_pal, ld_pal = sp.fused_rqs_inverse(f.params, z, 10, 3, 8, 5.0)
+    assert float(jnp.max(jnp.abs(x_pal - x_xla))) < 1e-4
+    assert float(jnp.max(jnp.abs(ld_pal - ld_xla))) < 1e-4
+
+
+def test_spline_fused_roundtrip_identity(interpret_spline):
+    sp = interpret_spline
+    f = _spline_flow(d=7, L=2)
+    x = 2.0 * jax.random.normal(jax.random.key(3), (11, 7))
+    z, ld_f = sp.fused_rqs_forward(f.params, x, 7, 2, 8, 5.0)
+    x2, ld_i = sp.fused_rqs_inverse(f.params, z, 7, 2, 8, 5.0)
+    assert float(jnp.max(jnp.abs(x2 - x))) < 1e-4
+    assert float(jnp.max(jnp.abs(ld_f + ld_i))) < 1e-4
+
+
+def test_spline_fused_custom_vjp_gradients(interpret_spline):
+    """The XLA-replay VJP must give the same grads as differentiating the
+    XLA path directly (params AND inputs)."""
+    sp = interpret_spline
+    f = _spline_flow()
+    x = 2.0 * jax.random.normal(jax.random.key(4), (8, 10))
+
+    def xla_fn(params, xf):
+        return type(f.bijection).__mro__[1].forward_fn(f.bijection, params, xf)
+
+    def loss_pallas(params, x):
+        z, ld = sp.fused_rqs_forward(params, x, 10, 3, 8, 5.0, xla_forward=xla_fn)
+        return jnp.sum(jnp.sin(z)) + jnp.sum(ld * ld)
+
+    def loss_xla(params, x):
+        z, ld = xla_fn(params, x)
+        return jnp.sum(jnp.sin(z)) + jnp.sum(ld * ld)
+
+    gp_p, gx_p = jax.grad(loss_pallas, argnums=(0, 1))(f.params, x)
+    gp_x, gx_x = jax.grad(loss_xla, argnums=(0, 1))(f.params, x)
+    # relative tolerance: the fused forward's rounding perturbs the (large,
+    # ld*ld-driven) cotangents, so bit-level agreement is not expected
+    rel = lambda a, b: float(jnp.max(jnp.abs(a - b) / (1.0 + jnp.abs(b))))
+    assert rel(gx_p, gx_x) < 5e-3
+    diffs = jax.tree_util.tree_map(rel, gp_p, gp_x)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-3
+
+
+def test_spline_fused_multiblock_padding(interpret_spline):
+    """Batch not divisible by block_b: padded rows must not leak."""
+    sp = interpret_spline
+    f = _spline_flow(d=6, L=2)
+    x = 3.0 * jax.random.normal(jax.random.key(5), (20, 6))
+    z_xla, ld_xla = f.bijection.forward(x)
+    flat = sp._flatten_weights(f.params, 3 * 8 - 1)
+    pack, unpack = sp._perm(6)
+    y, ld = sp._fused_call(jnp.take(x, pack, axis=-1), flat, 2, 8, 5.0, False, block_b=8)
+    assert float(jnp.max(jnp.abs(jnp.take(y, unpack, axis=-1) - z_xla))) < 1e-4
+    assert float(jnp.max(jnp.abs(ld - ld_xla))) < 1e-4
