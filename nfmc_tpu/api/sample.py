@@ -300,8 +300,8 @@ def sample(
     SURVEY.md section 2.5): an optional ``jax.sharding.Mesh`` whose first axis
     the chain dimension is sharded over. Warmup and sampling then run SPMD
     across the mesh devices with GSPMD inserting the statistic all-reduces;
-    ``n_chains`` must divide the mesh size. Equivalent to wrapping the sampler
-    in ``nfmc_tpu.parallel.sharded_sample``.
+    the first mesh axis's size must divide ``n_chains``. Equivalent to
+    wrapping the sampler in ``nfmc_tpu.parallel.sharded_sample``.
     """
     if flow == "None":
         flow = None
@@ -341,10 +341,13 @@ def sample(
     if mesh is not None:
         from ..parallel import shard_chains
 
-        if x0.shape[0] % mesh.devices.size != 0:
+        # Chains shard over the FIRST mesh axis only (multi-axis meshes keep
+        # their remaining axes free for e.g. flow-training data parallelism).
+        n_shards = mesh.shape[mesh.axis_names[0]]
+        if x0.shape[0] % n_shards != 0:
             raise ValueError(
-                f"n_chains={x0.shape[0]} must be divisible by mesh size "
-                f"{mesh.devices.size}"
+                f"n_chains={x0.shape[0]} must be divisible by mesh axis "
+                f"{mesh.axis_names[0]!r} size {n_shards}"
             )
         x0 = shard_chains(x0, mesh, axis_name=mesh.axis_names[0])
 

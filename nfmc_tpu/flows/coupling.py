@@ -85,22 +85,34 @@ class Coupling(Bijection):
         v_new = jnp.take(jnp.concatenate([va, vb_new], axis=-1), inv_perm, axis=-1)
         return v_new, jnp.sum(ld_elem, axis=-1)
 
-    def forward_fn(self, params, x):
-        batch_shape = x.shape[: x.ndim - len(self.event_shape)]
-        v = x.reshape(*batch_shape, self.event_size)
-        log_det = jnp.zeros(batch_shape)
+    def _forward_flat(self, params, v):
+        """Forward on an already-flattened ``(*batch, event_size)`` array.
+
+        The Pallas wrappers hand their XLA-replay callbacks flattened inputs;
+        routing those through :meth:`forward_fn` would re-slice the batch
+        shape with ``len(event_shape)`` and break multi-dimensional events.
+        """
+        log_det = jnp.zeros(v.shape[:-1])
         for p, idx in zip(params, self.layer_idx):
             v, ld = self._layer(p, idx, v, inverse=False)
             log_det = log_det + ld
+        return v, log_det
+
+    def _inverse_flat(self, params, v):
+        log_det = jnp.zeros(v.shape[:-1])
+        for p, idx in zip(reversed(params), reversed(self.layer_idx)):
+            v, ld = self._layer(p, idx, v, inverse=True)
+            log_det = log_det + ld
+        return v, log_det
+
+    def forward_fn(self, params, x):
+        batch_shape = x.shape[: x.ndim - len(self.event_shape)]
+        v, log_det = self._forward_flat(params, x.reshape(*batch_shape, self.event_size))
         return v.reshape(x.shape), log_det
 
     def inverse_fn(self, params, z):
         batch_shape = z.shape[: z.ndim - len(self.event_shape)]
-        v = z.reshape(*batch_shape, self.event_size)
-        log_det = jnp.zeros(batch_shape)
-        for p, idx in zip(reversed(params), reversed(self.layer_idx)):
-            v, ld = self._layer(p, idx, v, inverse=True)
-            log_det = log_det + ld
+        v, log_det = self._inverse_flat(params, z.reshape(*batch_shape, self.event_size))
         return v.reshape(z.shape), log_det
 
 
@@ -135,12 +147,11 @@ class RealNVP(Coupling):
         if self._pallas_enabled():
             from ..ops.coupling_pallas import fused_realnvp_forward
 
-            base = super().forward_fn
             batch = x.shape[: x.ndim - len(self.event_shape)]
             xf = x.reshape(*batch, self.event_size)
             y, ld = fused_realnvp_forward(
                 params, xf, self.event_size, self.n_layers, self.clamp,
-                xla_forward=lambda p, v: base(p, v),
+                xla_forward=self._forward_flat,
             )
             return y.reshape(x.shape), ld
         return super().forward_fn(params, x)
@@ -149,12 +160,11 @@ class RealNVP(Coupling):
         if self._pallas_enabled():
             from ..ops.coupling_pallas import fused_realnvp_inverse
 
-            base = super().inverse_fn
             batch = z.shape[: z.ndim - len(self.event_shape)]
             zf = z.reshape(*batch, self.event_size)
             y, ld = fused_realnvp_inverse(
                 params, zf, self.event_size, self.n_layers, self.clamp,
-                xla_inverse=lambda p, v: base(p, v),
+                xla_inverse=self._inverse_flat,
             )
             return y.reshape(z.shape), ld
         return super().inverse_fn(params, z)
@@ -194,24 +204,32 @@ class CouplingRQNSF(Coupling):
             else:
                 from ..ops.coupling_pallas import pallas_available
 
-                # VMEM guard: the conditioner-output block
-                # (block_b, db * (3K - 1)) plus the ~2x temporaries of the
-                # select-accumulate must stay inside scoped VMEM.
+                # VMEM guard: the kernel holds BOTH the conditioner-output
+                # activation block (block_b, db * (3K - 1)) with the ~2x
+                # temporaries of the select-accumulate AND the full weight
+                # stack (spline_pallas.py uses unblocked BlockSpecs for the
+                # weights) inside scoped VMEM. Count both; wide stacks
+                # (e.g. 8 layers x 512 hidden at d=100 -> ~28 MB of weights)
+                # fall back to the XLA path instead of failing Mosaic compile.
                 db = (self.event_size + 1) // 2
-                footprint = 256 * db * (3 * self.n_bins - 1) * 4 * 3
-                self._pallas_state = bool(pallas_available()) and footprint < 8 * 2**20
+                h = self.hidden[0]
+                out = db * (3 * self.n_bins - 1)
+                act = 256 * out * 4 * 3
+                weights = self.n_layers * (db * h + h * h + h * out + out + 2 * h) * 4
+                self._pallas_state = (
+                    bool(pallas_available()) and act + weights < 8 * 2**20
+                )
         return self._pallas_state
 
     def forward_fn(self, params, x):
         if self._pallas_enabled():
             from ..ops.spline_pallas import fused_rqs_forward
 
-            base = super().forward_fn
             batch = x.shape[: x.ndim - len(self.event_shape)]
             xf = x.reshape(*batch, self.event_size)
             y, ld = fused_rqs_forward(
                 params, xf, self.event_size, self.n_layers, self.n_bins,
-                self.tail_bound, xla_forward=lambda p, v: base(p, v),
+                self.tail_bound, xla_forward=self._forward_flat,
             )
             return y.reshape(x.shape), ld
         return super().forward_fn(params, x)
@@ -220,12 +238,11 @@ class CouplingRQNSF(Coupling):
         if self._pallas_enabled():
             from ..ops.spline_pallas import fused_rqs_inverse
 
-            base = super().inverse_fn
             batch = z.shape[: z.ndim - len(self.event_shape)]
             zf = z.reshape(*batch, self.event_size)
             y, ld = fused_rqs_inverse(
                 params, zf, self.event_size, self.n_layers, self.n_bins,
-                self.tail_bound, xla_inverse=lambda p, v: base(p, v),
+                self.tail_bound, xla_inverse=self._inverse_flat,
             )
             return y.reshape(z.shape), ld
         return super().inverse_fn(params, z)

@@ -220,8 +220,11 @@ class CheesHMC(MCMCSampler):
             p_raw, log_u, u_jit = aux
             if halton:
                 # quasi-random jitter over the carried counter; the hoisted
-                # RNG u_jit is unused in this mode (stream unchanged)
-                u_jit = _van_der_corput(cs.iter_idx)
+                # RNG u_jit is unused in this mode (stream unchanged).
+                # 1-based (paper convention): vdc(0) ~ 3e-8 would make the
+                # first iteration a degenerate near-zero-length trajectory,
+                # violating the u in (0, 1] contract; vdc(1) = 0.5.
+                u_jit = _van_der_corput(cs.iter_idx + 1)
             n_chains = x.shape[0]
             inv_mass = cs.inv_mass_diag
             eps = cs.step_size

@@ -119,6 +119,7 @@ def test_neutra_chees_front_door():
                           param_kwargs={"warmup_fit_kwargs": {"n_epochs": 10, "lr": 0.005, "n_samples": 32}},
                           show_progress=False)
     samples = np.asarray(out.samples)
-    assert samples.shape == (5, 8, 5)  # data-space draws via data_transform
+    assert samples.shape == (5, 8, 5)  # stored draws are latent (NeuTra docs);
+    # data_transform feeds only the moment accumulators
     assert np.isfinite(samples).all()
     assert out.statistics.n_target_gradient_calls > 0  # dynamic channel

@@ -241,6 +241,64 @@ def test_spline_fused_custom_vjp_gradients(interpret_spline):
     assert max(jax.tree_util.tree_leaves(diffs)) < 5e-3
 
 
+def test_wrapper_multidim_event(interpret_pallas, interpret_spline):
+    """RealNVP / CouplingRQNSF fused-path wrappers with multi-dimensional
+    event shapes. Regression: the XLA-replay VJP callbacks receive already-
+    flattened inputs and must route through ``_forward_flat``/``_inverse_flat``
+    — passing them to ``forward_fn`` re-slices the batch shape with
+    ``len(event_shape)`` and crashes at trace time."""
+    from nfmc_tpu.flows import CouplingRQNSF, Flow, RealNVP
+
+    for cls, kw in (
+        (RealNVP, {"n_layers": 2, "hidden_size": 16}),
+        (CouplingRQNSF, {"n_layers": 2, "hidden_size": 16, "n_bins": 4}),
+    ):
+        bij = cls((4, 4), **kw)
+        bij._pallas_state = True  # force the fused path (interpret mode)
+        ref = cls((4, 4), use_pallas=False, **kw)
+        f = Flow(bij, seed=0)
+        x = jax.random.normal(jax.random.key(11), (6, 4, 4))
+
+        z, ld = bij.forward_fn(f.params, x)
+        z_ref, ld_ref = ref.forward_fn(f.params, x)
+        assert z.shape == x.shape and ld.shape == (6,)
+        assert float(jnp.max(jnp.abs(z - z_ref))) < 1e-4
+        assert float(jnp.max(jnp.abs(ld - ld_ref))) < 1e-4
+        x2, _ = bij.inverse_fn(f.params, z)
+        assert float(jnp.max(jnp.abs(x2 - x))) < 1e-4
+
+        def loss(params):
+            z, ld = bij.forward_fn(params, x)
+            return jnp.sum(z * z) + jnp.sum(ld)
+
+        g_pal = jax.grad(loss)(f.params)
+
+        def loss_ref(params):
+            z, ld = ref.forward_fn(params, x)
+            return jnp.sum(z * z) + jnp.sum(ld)
+
+        g_ref = jax.grad(loss_ref)(f.params)
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), g_pal, g_ref
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-3
+
+
+def test_spline_vmem_guard_counts_weights():
+    """Wide spline stacks whose weights exceed scoped VMEM must fall back to
+    the XLA path instead of failing Mosaic compilation (8 layers x 512 hidden
+    at d=100 is ~28 MB of resident weights)."""
+    from unittest import mock
+
+    from nfmc_tpu.flows import CouplingRQNSF
+
+    with mock.patch("nfmc_tpu.ops.coupling_pallas.pallas_available", return_value=True):
+        wide = CouplingRQNSF((100,), n_layers=8, hidden_size=512)
+        assert wide._pallas_enabled() is False
+        default = CouplingRQNSF((100,), n_layers=4, hidden_size=128)
+        assert default._pallas_enabled() is True
+
+
 def test_spline_fused_multiblock_padding(interpret_spline):
     """Batch not divisible by block_b: padded rows must not leak."""
     sp = interpret_spline
