@@ -862,6 +862,24 @@ def _spline_pallas_numerics():
         tx += timeit(fwd_x, params, x)
         tp += timeit(fwd_p, params, x)
 
+    # training backward: fused layer-wise-vjp kernel vs XLA autodiff
+    def loss(bij):
+        def f(p):
+            z, ld = bij.forward_fn(p, x)
+            return jnp.sum(z * z) / x.shape[0] - jnp.mean(ld)
+        return jax.jit(jax.grad(f))
+
+    g_p, g_x = loss(pallas_bij), loss(xla_bij)
+    gp, gx = g_p(params), g_x(params)
+    rel = lambda a, b: float(jnp.max(jnp.abs(a - b) / (1.0 + jnp.abs(b))))
+    grad_rel = max(
+        jax.tree_util.tree_leaves(jax.tree_util.tree_map(rel, gp, gx))
+    )
+    tgx = tgp = 0.0
+    for _ in range(3):
+        tgx += timeit(g_x, params)
+        tgp += timeit(g_p, params)
+
     md = lambda a, b: float(jnp.max(jnp.abs(a - b)))
     return {
         "spline_enabled": True,
@@ -873,6 +891,10 @@ def _spline_pallas_numerics():
         "spline_fwd_ms_xla": tx / 3,
         "spline_fwd_ms_pallas": tp / 3,
         "spline_fwd_speedup": tx / tp,
+        "spline_grad_max_rel_diff": grad_rel,
+        "spline_grad_ms_xla": tgx / 3,
+        "spline_grad_ms_pallas": tgp / 3,
+        "spline_grad_speedup": tgx / tgp,
     }
 
 

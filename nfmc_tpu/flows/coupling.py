@@ -183,7 +183,9 @@ class CouplingRQNSF(Coupling):
     On TPU, ``use_pallas='auto'`` routes forward/inverse through the fused
     multi-layer spline kernel (:mod:`nfmc_tpu.ops.spline_pallas`): one kernel
     for the whole stack, bin lookup as static select-accumulation instead of
-    gather. Gradients replay the XLA path via custom VJP.
+    gather. Gradients run a second fused kernel (layer-wise in-kernel vjp of
+    the select-accumulate forward — also gather-free); see the module
+    docstring for measured speedups.
     """
 
     def __init__(self, event_shape, n_layers: int = 2, n_bins: int = 8,

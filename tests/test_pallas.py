@@ -172,12 +172,17 @@ def interpret_spline(monkeypatch):
     return sp
 
 
-def _spline_flow(d=10, L=3, n_bins=8):
+def _spline_flow(d=10, L=3, n_bins=8, pert=0.3):
+    """``pert`` sets how far from init the stack sits. 0.3 makes the splines
+    steep (good for covering bins/tails in value tests); gradient-comparison
+    tests use 0.1 — at 0.3 the Jacobian explodes (|grad| ~ 1e4) and the two
+    mathematically-identical paths diverge by chaos-amplified rounding
+    (measured: max rel 3e-5 at 0.05, 2e-4 at 0.1, 1e-1 at 0.3)."""
     from nfmc_tpu.flows import CouplingRQNSF, Flow
 
     f = Flow(CouplingRQNSF((d,), n_layers=L, n_bins=n_bins, hidden_size=16), seed=0)
     f.params = jax.tree_util.tree_map(
-        lambda p: p + 0.3 * jax.random.normal(jax.random.key(7), p.shape), f.params
+        lambda p: p + pert * jax.random.normal(jax.random.key(7), p.shape), f.params
     )
     return f
 
@@ -213,10 +218,11 @@ def test_spline_fused_roundtrip_identity(interpret_spline):
     assert float(jnp.max(jnp.abs(ld_f + ld_i))) < 1e-4
 
 
-def test_spline_fused_custom_vjp_gradients(interpret_spline):
-    """The XLA-replay VJP must give the same grads as differentiating the
-    XLA path directly (params AND inputs)."""
+def test_spline_fused_custom_vjp_gradients(interpret_spline, monkeypatch):
+    """The XLA-replay VJP fallback must give the same grads as
+    differentiating the XLA path directly (params AND inputs)."""
     sp = interpret_spline
+    monkeypatch.setattr(sp, "_PALLAS_BWD", False)
     f = _spline_flow()
     x = 2.0 * jax.random.normal(jax.random.key(4), (8, 10))
 
@@ -239,6 +245,89 @@ def test_spline_fused_custom_vjp_gradients(interpret_spline):
     assert rel(gx_p, gx_x) < 5e-3
     diffs = jax.tree_util.tree_map(rel, gp_p, gp_x)
     assert max(jax.tree_util.tree_leaves(diffs)) < 5e-3
+
+
+def _spline_xla_fn(f):
+    from nfmc_tpu.flows.coupling import Coupling
+
+    return lambda params, xf: Coupling.forward_fn(f.bijection, params, xf)
+
+
+def test_spline_fused_pallas_bwd_forward_dir(interpret_spline):
+    """Fused spline backward kernel (in-kernel vjp of the select-accumulate
+    forward) vs XLA autodiff: grads wrt params AND input."""
+    sp = interpret_spline
+    f = _spline_flow(pert=0.1)
+    x = 2.0 * jax.random.normal(jax.random.key(12), (9, 10))
+    xla_fn = _spline_xla_fn(f)
+
+    def loss_pallas(params, x):
+        z, ld = sp.fused_rqs_forward(params, x, 10, 3, 8, 5.0)
+        return jnp.sum(jnp.sin(z)) + jnp.sum(ld * ld)
+
+    def loss_xla(params, x):
+        z, ld = xla_fn(params, x)
+        return jnp.sum(jnp.sin(z)) + jnp.sum(ld * ld)
+
+    gp_p, gx_p = jax.grad(loss_pallas, argnums=(0, 1))(f.params, x)
+    gp_x, gx_x = jax.grad(loss_xla, argnums=(0, 1))(f.params, x)
+    rel = lambda a, b: float(jnp.max(jnp.abs(a - b) / (1.0 + jnp.abs(b))))
+    assert rel(gx_p, gx_x) < 2e-3
+    diffs = jax.tree_util.tree_map(rel, gp_p, gp_x)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 2e-3
+
+
+def test_spline_fused_pallas_bwd_inverse_dir(interpret_spline):
+    """Inverse direction (NeuTra-style: d/dz of U(f^{-1}(z)) - ld)."""
+    from nfmc_tpu.flows.coupling import Coupling
+
+    sp = interpret_spline
+    f = _spline_flow(pert=0.1)
+    z = 2.0 * jax.random.normal(jax.random.key(13), (11, 10))
+
+    def adj_pallas(z):
+        x, ld = sp.fused_rqs_inverse(f.params, z, 10, 3, 8, 5.0)
+        return jnp.sum(0.5 * x * x) - jnp.sum(ld)
+
+    def adj_xla(z):
+        x, ld = Coupling.inverse_fn(f.bijection, f.params, z)
+        return jnp.sum(0.5 * x * x) - jnp.sum(ld)
+
+    gz_p = jax.grad(adj_pallas)(z)
+    gz_x = jax.grad(adj_xla)(z)
+    rel = lambda a, b: float(jnp.max(jnp.abs(a - b) / (1.0 + jnp.abs(b))))
+    assert rel(gz_p, gz_x) < 5e-3
+
+
+def test_spline_fused_bwd_multiblock_accumulation(interpret_spline):
+    """Weight-grad accumulation across batch grid blocks (block_b < B) and
+    zero-padding of the tail block."""
+    sp = interpret_spline
+    f = _spline_flow(d=6, L=2, pert=0.1)
+    x = 3.0 * jax.random.normal(jax.random.key(14), (20, 6))
+    gy = jax.random.normal(jax.random.key(15), (20, 6))
+    gld = jax.random.normal(jax.random.key(16), (20,))
+
+    pack, unpack = sp._perm(6)
+    flat = sp._flatten_weights(f.params, 3 * 8 - 1)
+    gx_b, gflat_b = sp._fused_bwd_call(
+        jnp.take(x, pack, axis=-1), jnp.take(gy, pack, axis=-1), gld,
+        flat, 2, 8, 5.0, False, block_b=8,
+    )
+    gparams_b = sp._unflatten_weight_grads(gflat_b, f.params, 3 * 8 - 1)
+
+    xla_fn = _spline_xla_fn(f)
+
+    def xla_loss(params, x):
+        z, ld = xla_fn(params, x)
+        return jnp.sum(z * gy) + jnp.sum(ld * gld)
+
+    gp_x, gx_x = jax.grad(xla_loss, argnums=(0, 1))(f.params, x)
+    assert float(jnp.max(jnp.abs(jnp.take(gx_b, unpack, axis=-1) - gx_x))) < 1e-3
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), gparams_b, gp_x
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-3
 
 
 def test_wrapper_multidim_event(interpret_pallas, interpret_spline):
