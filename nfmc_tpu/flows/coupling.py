@@ -177,7 +177,71 @@ class NICE(Coupling):
         super().__init__(event_shape, ShiftTransform(), n_layers=n_layers, **kwargs)
 
 
-class CouplingRQNSF(Coupling):
+class _FusedSplineMixin:
+    """Shared Pallas wiring for the coupling spline flows (RQS and LRS).
+
+    Subclasses set ``_spline_kind`` ('rqs' | 'lrs'); the per-dim parameter
+    count is ``3K - 1`` for RQS and ``4K - 1`` for LRS."""
+
+    _spline_kind = "rqs"
+
+    def _n_spline_params(self) -> int:
+        return (3 if self._spline_kind == "rqs" else 4) * self.n_bins - 1
+
+    def _pallas_enabled(self) -> bool:
+        if self._pallas_state is None:
+            if self.use_pallas is False or len(self.hidden) != 2:
+                self._pallas_state = False
+            else:
+                from ..ops.coupling_pallas import pallas_available
+
+                # VMEM guard: the kernel holds BOTH the conditioner-output
+                # activation block (block_b, db * n_params) with the ~2x
+                # temporaries of the select-accumulate AND the full weight
+                # stack (spline_pallas.py uses unblocked BlockSpecs for the
+                # weights) inside scoped VMEM. Count both; wide stacks
+                # (e.g. 8 layers x 512 hidden at d=100 -> ~28 MB of weights)
+                # fall back to the XLA path instead of failing Mosaic compile.
+                db = (self.event_size + 1) // 2
+                h = self.hidden[0]
+                out = db * self._n_spline_params()
+                act = 256 * out * 4 * 3
+                weights = self.n_layers * (db * h + h * h + h * out + out + 2 * h) * 4
+                self._pallas_state = (
+                    bool(pallas_available()) and act + weights < 8 * 2**20
+                )
+        return self._pallas_state
+
+    def forward_fn(self, params, x):
+        if self._pallas_enabled():
+            from ..ops.spline_pallas import fused_lrs_forward, fused_rqs_forward
+
+            fused = fused_rqs_forward if self._spline_kind == "rqs" else fused_lrs_forward
+            batch = x.shape[: x.ndim - len(self.event_shape)]
+            xf = x.reshape(*batch, self.event_size)
+            y, ld = fused(
+                params, xf, self.event_size, self.n_layers, self.n_bins,
+                self.tail_bound, xla_forward=self._forward_flat,
+            )
+            return y.reshape(x.shape), ld
+        return super().forward_fn(params, x)
+
+    def inverse_fn(self, params, z):
+        if self._pallas_enabled():
+            from ..ops.spline_pallas import fused_lrs_inverse, fused_rqs_inverse
+
+            fused = fused_rqs_inverse if self._spline_kind == "rqs" else fused_lrs_inverse
+            batch = z.shape[: z.ndim - len(self.event_shape)]
+            zf = z.reshape(*batch, self.event_size)
+            y, ld = fused(
+                params, zf, self.event_size, self.n_layers, self.n_bins,
+                self.tail_bound, xla_inverse=self._inverse_flat,
+            )
+            return y.reshape(z.shape), ld
+        return super().inverse_fn(params, z)
+
+
+class CouplingRQNSF(_FusedSplineMixin, Coupling):
     """Coupling rational-quadratic neural spline flow (c-rqnsf).
 
     On TPU, ``use_pallas='auto'`` routes forward/inverse through the fused
@@ -187,6 +251,8 @@ class CouplingRQNSF(Coupling):
     the select-accumulate forward — also gather-free); see the module
     docstring for measured speedups.
     """
+
+    _spline_kind = "rqs"
 
     def __init__(self, event_shape, n_layers: int = 2, n_bins: int = 8,
                  tail_bound: float = 5.0, use_pallas="auto", **kwargs):
@@ -199,63 +265,23 @@ class CouplingRQNSF(Coupling):
         self.use_pallas = use_pallas
         self._pallas_state = None  # resolved lazily
 
-    def _pallas_enabled(self) -> bool:
-        if self._pallas_state is None:
-            if self.use_pallas is False or len(self.hidden) != 2:
-                self._pallas_state = False
-            else:
-                from ..ops.coupling_pallas import pallas_available
 
-                # VMEM guard: the kernel holds BOTH the conditioner-output
-                # activation block (block_b, db * (3K - 1)) with the ~2x
-                # temporaries of the select-accumulate AND the full weight
-                # stack (spline_pallas.py uses unblocked BlockSpecs for the
-                # weights) inside scoped VMEM. Count both; wide stacks
-                # (e.g. 8 layers x 512 hidden at d=100 -> ~28 MB of weights)
-                # fall back to the XLA path instead of failing Mosaic compile.
-                db = (self.event_size + 1) // 2
-                h = self.hidden[0]
-                out = db * (3 * self.n_bins - 1)
-                act = 256 * out * 4 * 3
-                weights = self.n_layers * (db * h + h * h + h * out + out + 2 * h) * 4
-                self._pallas_state = (
-                    bool(pallas_available()) and act + weights < 8 * 2**20
-                )
-        return self._pallas_state
+class CouplingLRS(_FusedSplineMixin, Coupling):
+    """Coupling linear-rational spline flow (c-lrsnsf).
 
-    def forward_fn(self, params, x):
-        if self._pallas_enabled():
-            from ..ops.spline_pallas import fused_rqs_forward
+    On TPU, ``use_pallas='auto'`` routes through the fused spline kernel
+    (:mod:`nfmc_tpu.ops.spline_pallas`, ``kind='lrs'``), same design as
+    :class:`CouplingRQNSF`."""
 
-            batch = x.shape[: x.ndim - len(self.event_shape)]
-            xf = x.reshape(*batch, self.event_size)
-            y, ld = fused_rqs_forward(
-                params, xf, self.event_size, self.n_layers, self.n_bins,
-                self.tail_bound, xla_forward=self._forward_flat,
-            )
-            return y.reshape(x.shape), ld
-        return super().forward_fn(params, x)
-
-    def inverse_fn(self, params, z):
-        if self._pallas_enabled():
-            from ..ops.spline_pallas import fused_rqs_inverse
-
-            batch = z.shape[: z.ndim - len(self.event_shape)]
-            zf = z.reshape(*batch, self.event_size)
-            y, ld = fused_rqs_inverse(
-                params, zf, self.event_size, self.n_layers, self.n_bins,
-                self.tail_bound, xla_inverse=self._inverse_flat,
-            )
-            return y.reshape(z.shape), ld
-        return super().inverse_fn(params, z)
-
-
-class CouplingLRS(Coupling):
-    """Coupling linear-rational spline flow (c-lrsnsf)."""
+    _spline_kind = "lrs"
 
     def __init__(self, event_shape, n_layers: int = 2, n_bins: int = 8,
-                 tail_bound: float = 5.0, **kwargs):
+                 tail_bound: float = 5.0, use_pallas="auto", **kwargs):
         super().__init__(
             event_shape, LRSplineTransform(n_bins=n_bins, tail_bound=tail_bound),
             n_layers=n_layers, **kwargs,
         )
+        self.n_bins = int(n_bins)
+        self.tail_bound = float(tail_bound)
+        self.use_pallas = use_pallas
+        self._pallas_state = None  # resolved lazily

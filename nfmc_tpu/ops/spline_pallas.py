@@ -114,6 +114,100 @@ def _spline_blocks(raw, db: int, n_bins: int, tail_bound: float):
     return cw, ch, dv
 
 
+def _lrs_blocks(raw, db: int, n_bins: int, tail_bound: float):
+    """LRS knot arrays from the param-major conditioner output.
+
+    The first ``3K - 1`` param blocks share the RQS layout (widths, heights,
+    interior derivatives -> ``_spline_blocks``); blocks ``3K-1 .. 4K-2`` are
+    the per-bin interior-point lambdas (``flows/spline.py:138``)."""
+    cw, ch, dv = _spline_blocks(raw, db, n_bins, tail_bound)
+    K = n_bins
+
+    def block(p):
+        return raw[:, p * db : (p + 1) * db]
+
+    lam = [0.025 + 0.95 * jax.nn.sigmoid(block(3 * K - 1 + k)) for k in range(K)]
+    return cw, ch, dv, lam
+
+
+def _bin_select(x, cum_in, n_bins: int):
+    """Select-accumulate bin masks: sels[k] = 1.0 where x lands in bin k
+    (matches ``flows/spline.py _searchsorted`` incl. the last-bin clip)."""
+    K = n_bins
+    sels = []
+    for k in range(K):
+        lo = x >= cum_in[k]
+        hi = x < cum_in[k + 1] if k < K - 1 else jnp.ones_like(x, dtype=bool)
+        sels.append(jnp.logical_and(lo, hi).astype(x.dtype))
+    return sels
+
+
+def _pick(sels, vals, shift=0):
+    acc = sels[0] * vals[shift]
+    for k in range(1, len(sels)):
+        acc = acc + sels[k] * vals[k + shift]
+    return acc
+
+
+def _lrs_transform(vb, cw, ch, dv, lam_all, n_bins: int, tail_bound: float,
+                   inverse: bool):
+    """Elementwise LRS on (Bt, db); mirrors ``flows/spline.py
+    linear_rational_spline`` term for term (Dolatabadi et al. 2020)."""
+    T = tail_bound
+    inside = jnp.abs(vb) <= T
+    x = jnp.clip(vb, -T, T)
+
+    sels = _bin_select(x, ch if inverse else cw, n_bins)
+    x0 = _pick(sels, cw)
+    w = _pick(sels, cw, 1) - x0
+    y0 = _pick(sels, ch)
+    h = _pick(sels, ch, 1) - y0
+    d0 = _pick(sels, dv)
+    d1 = _pick(sels, dv, 1)
+    lam = _pick(sels, lam_all)
+    s = h / w
+
+    wa = jnp.ones_like(s)
+    wb = jnp.sqrt(d0 / d1) * wa
+    wc = (lam * wa * d0 + (1.0 - lam) * wb * d1) / s
+    ya = y0
+    yb = y0 + h
+    yc = ((1.0 - lam) * wa * ya + lam * wb * yb) / ((1.0 - lam) * wa + lam * wb)
+
+    if not inverse:
+        phi = (x - x0) / w
+        seg1 = phi <= lam
+        D1 = wa * (lam - phi) + wc * phi
+        y1 = (wa * ya * (lam - phi) + wc * yc * phi) / D1
+        dydx1 = lam * wa * wc * (yc - ya) / (D1 * D1 * w)
+        D2 = wc * (1.0 - phi) + wb * (phi - lam)
+        y2 = (wc * yc * (1.0 - phi) + wb * yb * (phi - lam)) / D2
+        dydx2 = (1.0 - lam) * wb * wc * (yb - yc) / (D2 * D2 * w)
+        y = jnp.where(seg1, y1, y2)
+        dydx = jnp.where(seg1, dydx1, dydx2)
+        out = jnp.where(inside, y, vb)
+        ld_elem = jnp.where(inside, jnp.log(dydx), 0.0)
+    else:
+        y = x
+        seg1 = y <= yc
+        n1 = wa * lam * (y - ya)
+        den1 = wa * (y - ya) - wc * (y - yc)
+        phi1 = n1 / jnp.where(jnp.abs(den1) < 1e-12, 1e-12, den1)
+        n2 = wc * (y - yc) + lam * wb * (yb - y)
+        den2 = wc * (y - yc) + wb * (yb - y)
+        phi2 = n2 / jnp.where(jnp.abs(den2) < 1e-12, 1e-12, den2)
+        phi = jnp.clip(jnp.where(seg1, phi1, phi2), 0.0, 1.0)
+        D1 = wa * (lam - phi) + wc * phi
+        dydx1 = lam * wa * wc * (yc - ya) / (D1 * D1 * w)
+        D2 = wc * (1.0 - phi) + wb * (phi - lam)
+        dydx2 = (1.0 - lam) * wb * wc * (yb - yc) / (D2 * D2 * w)
+        dydx = jnp.where(seg1, dydx1, dydx2)
+        x_out = x0 + w * phi
+        out = jnp.where(inside, x_out, vb)
+        ld_elem = jnp.where(inside, -jnp.log(dydx), 0.0)
+    return out, jnp.sum(ld_elem, axis=-1)
+
+
 def _rqs_transform(vb, cw, ch, dv, n_bins: int, tail_bound: float, inverse: bool):
     """Elementwise RQS on (Bt, db); returns (out, per-row log-det sum)."""
     K = n_bins
@@ -175,12 +269,13 @@ def _rqs_transform(vb, cw, ch, dv, n_bins: int, tail_bound: float, inverse: bool
 
 
 def _layer_apply(x, w6, l: int, d: int, n_bins: int, tail_bound: float,
-                 inverse: bool):
+                 inverse: bool, kind: str = "rqs"):
     """One coupling layer on a packed ``(Bt, d)`` block -> (x_next, ld_l).
 
     Pure function of the block and the layer's six weight arrays, so the
     backward kernel can take its ``jax.vjp`` (everything here is gather-free
-    and Mosaic-lowerable)."""
+    and Mosaic-lowerable). ``kind``: 'rqs' (rational-quadratic) or 'lrs'
+    (linear-rational) elementwise spline."""
     d_even = (d + 1) // 2
     db = d - d_even if l % 2 == 0 else d_even
     w1, b1, w2, b2, w3, b3 = w6
@@ -194,8 +289,13 @@ def _layer_apply(x, w6, l: int, d: int, n_bins: int, tail_bound: float,
     h = jnp.tanh(jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2)
     raw = jnp.dot(h, w3, preferred_element_type=jnp.float32) + b3
 
-    cw, ch, dv = _spline_blocks(raw, db, n_bins, tail_bound)
-    vb, ld_l = _rqs_transform(vb, cw, ch, dv, n_bins, tail_bound, inverse)
+    if kind == "rqs":
+        cw, ch, dv = _spline_blocks(raw, db, n_bins, tail_bound)
+        vb, ld_l = _rqs_transform(vb, cw, ch, dv, n_bins, tail_bound, inverse)
+    else:
+        cw, ch, dv, lam = _lrs_blocks(raw, db, n_bins, tail_bound)
+        vb, ld_l = _lrs_transform(vb, cw, ch, dv, lam, n_bins, tail_bound,
+                                  inverse)
 
     if l % 2 == 0:
         x = jnp.concatenate([va, vb], axis=-1)
@@ -205,25 +305,27 @@ def _layer_apply(x, w6, l: int, d: int, n_bins: int, tail_bound: float,
 
 
 def _stack_apply(x, weights, n_layers: int, d: int, n_bins: int,
-                 tail_bound: float, inverse: bool):
+                 tail_bound: float, inverse: bool, kind: str = "rqs"):
     """Whole coupling stack on a packed ``(Bt, d)`` block."""
     ld = jnp.zeros((x.shape[0],), dtype=jnp.float32)
     layer_order = range(n_layers) if not inverse else range(n_layers - 1, -1, -1)
     for l in layer_order:
         x, ld_l = _layer_apply(
-            x, weights[6 * l : 6 * l + 6], l, d, n_bins, tail_bound, inverse
+            x, weights[6 * l : 6 * l + 6], l, d, n_bins, tail_bound, inverse,
+            kind,
         )
         ld = ld + ld_l
     return x, ld
 
 
-def _kernel(n_layers: int, d: int, n_bins: int, tail_bound: float, inverse: bool):
+def _kernel(n_layers: int, d: int, n_bins: int, tail_bound: float, inverse: bool,
+            kind: str = "rqs"):
     def kernel(x_ref, *refs):
         w_refs = refs[: 6 * n_layers]
         y_ref, ld_ref = refs[6 * n_layers :]
         y, ld = _stack_apply(
             x_ref[:], [r[:] for r in w_refs], n_layers, d, n_bins, tail_bound,
-            inverse,
+            inverse, kind,
         )
         y_ref[:] = y
         ld_ref[:] = ld[:, None]
@@ -232,7 +334,7 @@ def _kernel(n_layers: int, d: int, n_bins: int, tail_bound: float, inverse: bool
 
 
 def _kernel_bwd(n_layers: int, d: int, n_bins: int, tail_bound: float,
-                inverse: bool):
+                inverse: bool, kind: str = "rqs"):
     """Fused VJP: recompute the forward on the VMEM-resident block, saving
     only each layer's *input* (a (block_b, d) array), then transpose ONE
     LAYER AT A TIME with ``jax.vjp`` — the spline forward here is the
@@ -271,7 +373,7 @@ def _kernel_bwd(n_layers: int, d: int, n_bins: int, tail_bound: float,
             xs.append(x)
             x, _ = _layer_apply(
                 x, [w_refs[6 * l + k][:] for k in range(6)], l, d, n_bins,
-                tail_bound, inverse,
+                tail_bound, inverse, kind,
             )
 
         gx = gy_ref[:]
@@ -281,7 +383,7 @@ def _kernel_bwd(n_layers: int, d: int, n_bins: int, tail_bound: float,
 
             def f(x_in, *ws, _l=l):
                 return _layer_apply(x_in, list(ws), _l, d, n_bins, tail_bound,
-                                    inverse)
+                                    inverse, kind)
 
             _, vjp = jax.vjp(f, x_l, *w6)
             grads = vjp((gx, gld))
@@ -296,11 +398,11 @@ def _kernel_bwd(n_layers: int, d: int, n_bins: int, tail_bound: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_layers", "n_bins", "tail_bound", "inverse", "block_b"),
+    static_argnames=("n_layers", "n_bins", "tail_bound", "inverse", "kind", "block_b"),
 )
 def _fused_bwd_call(x_packed, gy_packed, gld, flat_weights, n_layers: int,
                     n_bins: int, tail_bound: float, inverse: bool,
-                    block_b: int = 128):
+                    kind: str = "rqs", block_b: int = 128):
     """Returns (gx_packed, [6L weight-grad arrays]). Cotangents of padded
     rows are zero, so padding contributes nothing to the accumulators.
     ``block_b`` defaults to half the forward's: the vjp keeps the forward
@@ -326,7 +428,7 @@ def _fused_bwd_call(x_packed, gy_packed, gld, flat_weights, n_layers: int,
     ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat_weights]
 
     out = pl.pallas_call(
-        _kernel_bwd(n_layers, d, n_bins, tail_bound, inverse),
+        _kernel_bwd(n_layers, d, n_bins, tail_bound, inverse, kind),
         grid=grid,
         in_specs=in_specs,
         out_specs=(blocked,) + tuple(full(w) for w in flat_weights),
@@ -349,10 +451,12 @@ def _unflatten_weight_grads(gflat, params, n_params: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_layers", "n_bins", "tail_bound", "inverse", "block_b")
+    jax.jit,
+    static_argnames=("n_layers", "n_bins", "tail_bound", "inverse", "kind", "block_b"),
 )
 def _fused_call(x_packed, flat_weights, n_layers: int, n_bins: int,
-                tail_bound: float, inverse: bool, block_b: int = 256):
+                tail_bound: float, inverse: bool, kind: str = "rqs",
+                block_b: int = 256):
     B, d = x_packed.shape
     n_pad = (-B) % block_b
     if n_pad:
@@ -367,7 +471,7 @@ def _fused_call(x_packed, flat_weights, n_layers: int, n_bins: int,
     ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat_weights]
 
     y, ld = pl.pallas_call(
-        _kernel(n_layers, d, n_bins, tail_bound, inverse),
+        _kernel(n_layers, d, n_bins, tail_bound, inverse, kind),
         grid=grid,
         in_specs=in_specs,
         out_specs=(
@@ -384,13 +488,30 @@ def _fused_call(x_packed, flat_weights, n_layers: int, n_bins: int,
 
 def fused_rqs_forward(params, x, d: int, n_layers: int, n_bins: int,
                       tail_bound: float, xla_forward=None):
-    """x: (..., d) -> (z, log_det). Differentiable via XLA-replay custom VJP."""
-    return _fused_dir(params, x, d, n_layers, n_bins, tail_bound, False, xla_forward)
+    """x: (..., d) -> (z, log_det). Differentiable via the fused backward
+    kernel under ``jax.custom_vjp`` (XLA-replay fallback via ``_PALLAS_BWD``)."""
+    return _fused_dir(params, x, d, n_layers, n_bins, tail_bound, False,
+                      xla_forward, "rqs")
 
 
 def fused_rqs_inverse(params, z, d: int, n_layers: int, n_bins: int,
                       tail_bound: float, xla_inverse=None):
-    return _fused_dir(params, z, d, n_layers, n_bins, tail_bound, True, xla_inverse)
+    return _fused_dir(params, z, d, n_layers, n_bins, tail_bound, True,
+                      xla_inverse, "rqs")
+
+
+def fused_lrs_forward(params, x, d: int, n_layers: int, n_bins: int,
+                      tail_bound: float, xla_forward=None):
+    """Linear-rational spline stack (c-lrsnsf); same contract as the RQS
+    entry points."""
+    return _fused_dir(params, x, d, n_layers, n_bins, tail_bound, False,
+                      xla_forward, "lrs")
+
+
+def fused_lrs_inverse(params, z, d: int, n_layers: int, n_bins: int,
+                      tail_bound: float, xla_inverse=None):
+    return _fused_dir(params, z, d, n_layers, n_bins, tail_bound, True,
+                      xla_inverse, "lrs")
 
 
 # Backward implementation switch: the fused Pallas VJP kernel by default; set
@@ -400,16 +521,18 @@ def fused_rqs_inverse(params, z, d: int, n_layers: int, n_bins: int,
 _PALLAS_BWD = True
 
 
-def _fused_dir(params, x, d, n_layers, n_bins, tail_bound, inverse, xla_fn):
+def _fused_dir(params, x, d, n_layers, n_bins, tail_bound, inverse, xla_fn,
+               kind="rqs"):
     batch_shape = x.shape[:-1]
     xf = x.reshape(-1, d)
     pack, unpack = _perm(d)
-    n_params = 3 * n_bins - 1
+    n_params = (3 if kind == "rqs" else 4) * n_bins - 1
 
     def pallas_impl(params, xf):
         flat = _flatten_weights(params, n_params)
         y, ld = _fused_call(
-            jnp.take(xf, pack, axis=-1), flat, n_layers, n_bins, tail_bound, inverse
+            jnp.take(xf, pack, axis=-1), flat, n_layers, n_bins, tail_bound,
+            inverse, kind,
         )
         return jnp.take(y, unpack, axis=-1), ld
 
@@ -429,7 +552,7 @@ def _fused_dir(params, x, d, n_layers, n_bins, tail_bound, inverse, xla_fn):
                 jnp.take(gy, pack, axis=-1),
                 gld,
                 _flatten_weights(params, n_params),
-                n_layers, n_bins, tail_bound, inverse,
+                n_layers, n_bins, tail_bound, inverse, kind,
             )
             return (
                 _unflatten_weight_grads(gflat, params, n_params),

@@ -330,6 +330,73 @@ def test_spline_fused_bwd_multiblock_accumulation(interpret_spline):
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-3
 
 
+def _lrs_flow(d=10, L=3, n_bins=8, pert=0.3):
+    from nfmc_tpu.flows import CouplingLRS, Flow
+
+    f = Flow(CouplingLRS((d,), n_layers=L, n_bins=n_bins, hidden_size=16), seed=0)
+    f.params = jax.tree_util.tree_map(
+        lambda p: p + pert * jax.random.normal(jax.random.key(7), p.shape), f.params
+    )
+    return f
+
+
+def test_lrs_fused_forward_matches_xla(interpret_spline):
+    sp = interpret_spline
+    f = _lrs_flow()
+    x = 4.0 * jax.random.normal(jax.random.key(21), (37, 10))  # bins + tails
+    z_xla, ld_xla = f.bijection.forward(x)
+    z_pal, ld_pal = sp.fused_lrs_forward(f.params, x, 10, 3, 8, 5.0)
+    # 1e-3 abs: log-dets reach |25| here; f32 op-ordering rounding ~2e-4
+    assert float(jnp.max(jnp.abs(z_pal - z_xla))) < 1e-3
+    assert float(jnp.max(jnp.abs(ld_pal - ld_xla))) < 1e-3
+
+
+def test_lrs_fused_inverse_matches_xla(interpret_spline):
+    sp = interpret_spline
+    f = _lrs_flow()
+    z = 4.0 * jax.random.normal(jax.random.key(22), (19, 10))
+    x_xla, ld_xla = f.bijection.inverse(z)
+    x_pal, ld_pal = sp.fused_lrs_inverse(f.params, z, 10, 3, 8, 5.0)
+    # 1e-3 abs: the LRS inverse log-dets reach |25| at this perturbation, so
+    # f32 op-ordering rounding lands ~2e-4 (rel ~1e-5)
+    assert float(jnp.max(jnp.abs(x_pal - x_xla))) < 1e-3
+    assert float(jnp.max(jnp.abs(ld_pal - ld_xla))) < 1e-3
+
+
+def test_lrs_fused_roundtrip_identity(interpret_spline):
+    sp = interpret_spline
+    f = _lrs_flow(d=7, L=2)
+    x = 2.0 * jax.random.normal(jax.random.key(23), (11, 7))
+    z, ld_f = sp.fused_lrs_forward(f.params, x, 7, 2, 8, 5.0)
+    x2, ld_i = sp.fused_lrs_inverse(f.params, z, 7, 2, 8, 5.0)
+    assert float(jnp.max(jnp.abs(x2 - x))) < 1e-3
+    assert float(jnp.max(jnp.abs(ld_f + ld_i))) < 1e-3
+
+
+def test_lrs_fused_bwd_gradients(interpret_spline):
+    """Fused LRS backward vs XLA autodiff (params AND input)."""
+    from nfmc_tpu.flows.coupling import Coupling
+
+    sp = interpret_spline
+    f = _lrs_flow(pert=0.1)
+    x = 2.0 * jax.random.normal(jax.random.key(24), (9, 10))
+
+    def loss_pallas(params, x):
+        z, ld = sp.fused_lrs_forward(params, x, 10, 3, 8, 5.0)
+        return jnp.sum(jnp.sin(z)) + jnp.sum(ld * ld)
+
+    def loss_xla(params, x):
+        z, ld = Coupling.forward_fn(f.bijection, params, x)
+        return jnp.sum(jnp.sin(z)) + jnp.sum(ld * ld)
+
+    gp_p, gx_p = jax.grad(loss_pallas, argnums=(0, 1))(f.params, x)
+    gp_x, gx_x = jax.grad(loss_xla, argnums=(0, 1))(f.params, x)
+    rel = lambda a, b: float(jnp.max(jnp.abs(a - b) / (1.0 + jnp.abs(b))))
+    assert rel(gx_p, gx_x) < 2e-3
+    diffs = jax.tree_util.tree_map(rel, gp_p, gp_x)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 2e-3
+
+
 def test_wrapper_multidim_event(interpret_pallas, interpret_spline):
     """RealNVP / CouplingRQNSF fused-path wrappers with multi-dimensional
     event shapes. Regression: the XLA-replay VJP callbacks receive already-
