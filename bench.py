@@ -811,28 +811,37 @@ def run_pallas_numerics():
 
 
 def _spline_pallas_numerics():
-    """Fused RQS spline kernel (ops/spline_pallas.py) vs the XLA gather path:
+    """Fused spline kernels (ops/spline_pallas.py) vs the XLA gather path:
     numerics at a tame (non-chaotic) parameter scale and an interleaved-rep
-    wall-clock A/B. The gather/searchsorted XLA lowering is pathologically
-    slow on TPU, so the speedup here is large (~65x at this shape); both
-    paths share the default-matmul-precision noise floor (measured: each sits
-    ~4e-2 from a highest-precision reference at 8 layers while agreeing with
-    each other to ~1e-2 — the stack amplifies bf16 multiply rounding, not a
-    kernel artifact)."""
+    wall-clock A/B, for both spline families (RQS = c-rqnsf, LRS = c-lrsnsf).
+    The gather/searchsorted XLA lowering is pathologically slow on TPU, so
+    the speedups are large (~20-65x fwd, ~9-15x training grads at this
+    shape); both paths share the default-matmul-precision noise floor
+    (measured: each sits ~4e-2 from a highest-precision reference at 8
+    layers while agreeing with each other to ~1e-2 — the stack amplifies
+    bf16 multiply rounding, not a kernel artifact)."""
+    from nfmc_tpu.flows import CouplingLRS, CouplingRQNSF
+
+    out = _spline_family_block(CouplingRQNSF, "spline")
+    out.update(_spline_family_block(CouplingLRS, "spline_lrs"))
+    return out
+
+
+def _spline_family_block(cls, prefix):
     import time
 
     import jax
     import jax.numpy as jnp
 
-    from nfmc_tpu.flows import CouplingRQNSF, Flow
+    from nfmc_tpu.flows import Flow
 
     d = EVENT_DIM
-    pallas_bij = CouplingRQNSF((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN,
-                               use_pallas="auto")
-    xla_bij = CouplingRQNSF((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN,
-                            use_pallas=False)
+    pallas_bij = cls((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN,
+                     use_pallas="auto")
+    xla_bij = cls((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN,
+                  use_pallas=False)
     if not pallas_bij._pallas_enabled():
-        return {"spline_enabled": False}
+        return {f"{prefix}_enabled": False}
     params = Flow(pallas_bij, seed=0).params
     params = jax.tree_util.tree_map(
         lambda p: p + 0.02 * jax.random.normal(jax.random.key(3), p.shape), params
@@ -882,19 +891,19 @@ def _spline_pallas_numerics():
 
     md = lambda a, b: float(jnp.max(jnp.abs(a - b)))
     return {
-        "spline_enabled": True,
-        "spline_fwd_max_abs_diff": md(yp, yx),
-        "spline_fwd_logdet_max_abs_diff": md(ldp, ldx),
-        "spline_inv_max_abs_diff": md(ip, ix),
-        "spline_inv_logdet_max_abs_diff": md(ildp, ildx),
-        "spline_roundtrip_err": md(ip, x),
-        "spline_fwd_ms_xla": tx / 3,
-        "spline_fwd_ms_pallas": tp / 3,
-        "spline_fwd_speedup": tx / tp,
-        "spline_grad_max_rel_diff": grad_rel,
-        "spline_grad_ms_xla": tgx / 3,
-        "spline_grad_ms_pallas": tgp / 3,
-        "spline_grad_speedup": tgx / tgp,
+        f"{prefix}_enabled": True,
+        f"{prefix}_fwd_max_abs_diff": md(yp, yx),
+        f"{prefix}_fwd_logdet_max_abs_diff": md(ldp, ldx),
+        f"{prefix}_inv_max_abs_diff": md(ip, ix),
+        f"{prefix}_inv_logdet_max_abs_diff": md(ildp, ildx),
+        f"{prefix}_roundtrip_err": md(ip, x),
+        f"{prefix}_fwd_ms_xla": tx / 3,
+        f"{prefix}_fwd_ms_pallas": tp / 3,
+        f"{prefix}_fwd_speedup": tx / tp,
+        f"{prefix}_grad_max_rel_diff": grad_rel,
+        f"{prefix}_grad_ms_xla": tgx / 3,
+        f"{prefix}_grad_ms_pallas": tgp / 3,
+        f"{prefix}_grad_speedup": tgx / tgp,
     }
 
 

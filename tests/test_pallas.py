@@ -403,11 +403,12 @@ def test_wrapper_multidim_event(interpret_pallas, interpret_spline):
     flattened inputs and must route through ``_forward_flat``/``_inverse_flat``
     — passing them to ``forward_fn`` re-slices the batch shape with
     ``len(event_shape)`` and crashes at trace time."""
-    from nfmc_tpu.flows import CouplingRQNSF, Flow, RealNVP
+    from nfmc_tpu.flows import CouplingLRS, CouplingRQNSF, Flow, RealNVP
 
     for cls, kw in (
         (RealNVP, {"n_layers": 2, "hidden_size": 16}),
         (CouplingRQNSF, {"n_layers": 2, "hidden_size": 16, "n_bins": 4}),
+        (CouplingLRS, {"n_layers": 2, "hidden_size": 16, "n_bins": 4}),
     ):
         bij = cls((4, 4), **kw)
         bij._pallas_state = True  # force the fused path (interpret mode)
