@@ -48,6 +48,37 @@ def test_sampler_state_restores_nested_tuned_kernel(tmp_path):
     assert np.isfinite(out.samples).all()
 
 
+def test_superset_kernels_roundtrip_tuned_state(tmp_path):
+    """ChEES / AIES / PT kernels implement the make_state/sync_from_state
+    checkpoint contract: warmup-tuned state survives a save/load cycle."""
+    from nfmc_tpu.samplers.mcmc import AIES, CheesHMC, PTMALA
+
+    x0 = jax.random.normal(jax.random.key(0), (16, 5))
+    cases = [
+        ("chees", CheesHMC((5,), standard_gaussian_potential)),
+        ("aies", AIES((5,), standard_gaussian_potential)),
+        ("pt", PTMALA((5,), standard_gaussian_potential)),
+    ]
+    for name, src in cases:
+        src.params.n_warmup_iterations = 10
+        src.warmup(x0, show_progress=False)
+        state = sampler_state(src, x0, jax.random.key(1))
+        path = str(tmp_path / f"{name}.npz")
+        save_checkpoint(path, state)
+
+        dst = type(src)((5,), standard_gaussian_potential)
+        loaded, _ = load_checkpoint(path, sampler_state(dst, x0, jax.random.key(1)))
+        x, key = restore_sampler_state(dst, loaded)
+        assert np.allclose(np.asarray(x), np.asarray(x0))
+        # every leaf of the tuned kernel state must match the source's
+        src_leaves = jax.tree_util.tree_leaves(src.kernel.make_state())
+        dst_leaves = jax.tree_util.tree_leaves(dst.kernel.make_state())
+        for a, b in zip(src_leaves, dst_leaves):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        out = dst.sample(x, show_progress=False, key=key)
+        assert np.isfinite(np.asarray(out.running_samples.last_sample)).all()
+
+
 def test_restore_recurses_to_arbitrary_depth():
     """ADVICE round 1: a doubly-nested sampler must resume its deepest tuned
     state, not silently keep defaults."""
