@@ -810,6 +810,79 @@ def run_pallas_numerics():
     return out
 
 
+def run_saturation():
+    """Chip-saturation evidence beyond the BASELINE scale config: jump_hmc at
+    4096 chains x 100-d (4x the 1024-chain config — near-linear chain
+    scaling means the 1024 numbers are not dispatch-bound), and native
+    multi-chain NUTS throughput at 1024 chains (the reference's NUTS is a
+    broken single-chain Pyro shim; ours is an in-scan iterative multinomial
+    sampler, so it rides the same chunked driver)."""
+    import jax
+    import jax.numpy as jnp
+    import nfmc_tpu
+    from nfmc_tpu.core.sampler import NFMCKernel
+    from nfmc_tpu.flows import Flow, RealNVP
+    from nfmc_tpu.samplers.mcmc import NUTS
+    from nfmc_tpu.samplers.mcmc.hmc import HMCParameters
+    from nfmc_tpu.samplers.nfmc import JumpHMC
+
+    nfmc_tpu.set_seed(0)
+    d = 100
+
+    def target(x):
+        return 0.5 * jnp.sum(x.reshape(x.shape[0], -1) ** 2, axis=-1)
+
+    out = {}
+    n_chains = 4096
+    s = JumpHMC(
+        (d,), target,
+        kernel=NFMCKernel((d,), flow=Flow(RealNVP((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN), seed=0)),
+        inner_params=HMCParameters(n_iterations=5),
+    )
+    s.params.store_samples = False
+    x0 = jax.random.normal(jax.random.key(1), (n_chains, d))
+    s.params.n_iterations = 85  # warm chunk sizes 1+4+16+64
+    s.sample(x0, show_progress=False, seed=0)
+    s.params.n_iterations = 100
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        res = s.sample(x0, show_progress=False, seed=0)
+        walls.append(time.time() - t0)
+    wall = sorted(walls)[1]
+    out["jump_hmc_4096"] = {
+        "wall_s": round(wall, 3),
+        "outer_iters_per_s": round(100 / wall, 2),
+        "leapfrog_grads_per_s": round(res.statistics.n_target_gradient_calls / wall, 0),
+        "chain_leapfrogs_per_s": round(100 * 5 * 20 * n_chains / wall, 0),
+        "moment_err": round(float(np.max(np.abs(res.mean))), 4),
+    }
+
+    n_chains = 1024
+    s = NUTS((d,), target)
+    s.params.store_samples = False
+    x0 = jax.random.normal(jax.random.key(2), (n_chains, d))
+    s.params.n_warmup_iterations = 85
+    s.warmup(x0, show_progress=False, seed=0)  # dual-averaging step tuning
+    s.params.n_iterations = 85
+    s.sample(x0, show_progress=False, seed=0)
+    s.params.n_iterations = 100
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        res = s.sample(x0, show_progress=False, seed=0)
+        walls.append(time.time() - t0)
+    wall = sorted(walls)[1]
+    out["nuts_1024"] = {
+        "wall_s": round(wall, 3),
+        "iters_per_s": round(100 / wall, 2),
+        "grads_per_s": round(res.statistics.n_target_gradient_calls / wall, 0),
+        "moment_err": round(float(np.max(np.abs(res.mean))), 4),
+        "tuned_step_size": round(float(s.kernel.step_size), 4),
+    }
+    return out
+
+
 def _spline_pallas_numerics():
     """Fused spline kernels (ops/spline_pallas.py) vs the XLA gather path:
     numerics at a tame (non-chaotic) parameter scale and an interleaved-rep
@@ -998,6 +1071,7 @@ def main():
     funnel = run_funnel() if budget(780) else skipped
     chees = run_chees() if budget(840) else skipped
     pallas = run_pallas_numerics() if budget(870) else skipped
+    saturation = run_saturation() if budget(1020) else skipped
     # normalize ESS yield per outer iteration, compare rates
     ours_eff = ours["ess_per_s"]
     base_eff = base["ess_per_s"]
@@ -1035,6 +1109,7 @@ def main():
         "north_star_vs_torch_replica": north,
         "funnel_mala_100d": funnel,
         "chees_hmc_1024": chees,
+        "saturation": saturation,
         "validation": validation,
         "pallas_numerics": {
             k: (round(v, 8) if isinstance(v, float) else v) for k, v in pallas.items()
