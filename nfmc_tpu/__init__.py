@@ -54,12 +54,13 @@ def __getattr__(name):
         from .api import registry
 
         return getattr(registry, name)
-    if name == "profiling":
+    if name in ("profiling", "potentials", "flows", "samplers", "transport",
+                "parallel", "checkpoint", "diagnostics", "flow_training"):
         # importlib, not `from . import`: the from-import form re-enters this
         # __getattr__ through _handle_fromlist before the submodule loads
         import importlib
 
-        return importlib.import_module(".profiling", __name__)
+        return importlib.import_module("." + name, __name__)
     raise AttributeError(f"module 'nfmc_tpu' has no attribute {name}")
 
 
@@ -77,5 +78,13 @@ def __dir__():
             "create_flow_object",
             "parse_flow_string",
             "profiling",
+            "potentials",
+            "flows",
+            "samplers",
+            "transport",
+            "parallel",
+            "checkpoint",
+            "diagnostics",
+            "flow_training",
         }
     )

@@ -167,3 +167,16 @@ def test_eight_schools():
     # tau is weakly identified and the LogNormal prior admits tiny values;
     # just require a plausible positive scale, not the HalfCauchy-prior ~6
     assert 0.05 < tau < 15.0, tau
+
+
+def test_lazy_submodule_attributes():
+    """`nfmc_tpu.potentials` (and sibling submodules) resolve as attributes
+    of the top-level package without eager imports."""
+    import nfmc_tpu
+
+    for mod in ("potentials", "flows", "samplers", "transport", "parallel",
+                "checkpoint", "diagnostics", "flow_training", "profiling"):
+        assert getattr(nfmc_tpu, mod).__name__ == f"nfmc_tpu.{mod}"
+        assert mod in dir(nfmc_tpu)
+    p = nfmc_tpu.potentials.StandardGaussian((3,))
+    assert p.event_shape == (3,)
