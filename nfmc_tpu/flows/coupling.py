@@ -195,20 +195,30 @@ class _FusedSplineMixin:
             else:
                 from ..ops.coupling_pallas import pallas_available
 
-                # VMEM guard: the kernel holds BOTH the conditioner-output
+                # VMEM guard: the forward kernel holds the conditioner-output
                 # activation block (block_b, db * n_params) with the ~2x
                 # temporaries of the select-accumulate AND the full weight
                 # stack (spline_pallas.py uses unblocked BlockSpecs for the
-                # weights) inside scoped VMEM. Count both; wide stacks
-                # (e.g. 8 layers x 512 hidden at d=100 -> ~28 MB of weights)
-                # fall back to the XLA path instead of failing Mosaic compile.
+                # weights) inside scoped VMEM. The fused BACKWARD additionally
+                # holds the weight stack TWICE (inputs + grad accumulators)
+                # plus one layer's vjp residuals at block 128 (~5x the raw
+                # conditioner block — calibrated: measured 16.7 MB peak at
+                # RQS d=200/L=4/h=128 = 2x5.2 MB weights + ~2565 B per output
+                # column; LRS d=100/L=4/h=128 measurably fits and must stay
+                # enabled). Guard both against the 16 MB scoped-VMEM limit
+                # with headroom; wide stacks (e.g. 8 layers x 512 hidden at
+                # d=100, or 2 x 896 at d=10) fall back to the XLA path
+                # instead of failing Mosaic compile on the first jax.grad.
                 db = (self.event_size + 1) // 2
                 h = self.hidden[0]
                 out = db * self._n_spline_params()
                 act = 256 * out * 4 * 3
                 weights = self.n_layers * (db * h + h * h + h * out + out + 2 * h) * 4
+                bwd_peak = 2 * weights + 128 * out * 4 * 5
                 self._pallas_state = (
-                    bool(pallas_available()) and act + weights < 8 * 2**20
+                    bool(pallas_available())
+                    and act + weights < 8 * 2**20
+                    and bwd_peak < 14 * 2**20
                 )
         return self._pallas_state
 

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .coupling_pallas import _HAS_PALLAS, _layer_sizes, _perm, pallas_available
+from .coupling_pallas import _HAS_PALLAS, _perm, pallas_available
 
 if _HAS_PALLAS:  # pragma: no branch
     from jax.experimental import pallas as pl
@@ -215,27 +215,13 @@ def _rqs_transform(vb, cw, ch, dv, n_bins: int, tail_bound: float, inverse: bool
     inside = jnp.abs(vb) <= T
     x = jnp.clip(vb, -T, T)
 
-    cum_in = ch if inverse else cw
-    # bin index = sum_{j=1..K} [x >= cum_j], clipped to K-1 (matches
-    # flows/spline.py _searchsorted); select-accumulate instead of gather.
-    sels = []
-    for k in range(K):
-        lo = x >= cum_in[k]
-        hi = x < cum_in[k + 1] if k < K - 1 else jnp.ones_like(x, dtype=bool)
-        sels.append(jnp.logical_and(lo, hi).astype(x.dtype))
-
-    def pick(vals, shift=0):
-        acc = sels[0] * vals[shift]
-        for k in range(1, K):
-            acc = acc + sels[k] * vals[k + shift]
-        return acc
-
-    x_k = pick(cw)
-    w_k = pick(cw, 1) - x_k
-    y_k = pick(ch)
-    h_k = pick(ch, 1) - y_k
-    d_k = pick(dv)
-    d_k1 = pick(dv, 1)
+    sels = _bin_select(x, ch if inverse else cw, K)
+    x_k = _pick(sels, cw)
+    w_k = _pick(sels, cw, 1) - x_k
+    y_k = _pick(sels, ch)
+    h_k = _pick(sels, ch, 1) - y_k
+    d_k = _pick(sels, dv)
+    d_k1 = _pick(sels, dv, 1)
     s_k = h_k / w_k
     corr = d_k1 + d_k - 2.0 * s_k
 
