@@ -884,15 +884,22 @@ def run_saturation():
 
 
 def _spline_pallas_numerics():
-    """Fused spline kernels (ops/spline_pallas.py) vs the XLA gather path:
-    numerics at a tame (non-chaotic) parameter scale and an interleaved-rep
-    wall-clock A/B, for both spline families (RQS = c-rqnsf, LRS = c-lrsnsf).
-    The gather/searchsorted XLA lowering is pathologically slow on TPU, so
-    the speedups are large (~20-65x fwd, ~9-15x training grads at this
-    shape); both paths share the default-matmul-precision noise floor
-    (measured: each sits ~4e-2 from a highest-precision reference at 8
-    layers while agreeing with each other to ~1e-2 — the stack amplifies
-    bf16 multiply rounding, not a kernel artifact)."""
+    """Spline bin-lookup strategies on the real device, per spline family
+    (RQS = c-rqnsf, LRS = c-lrsnsf). Three-way A/B:
+
+    * ``gather`` — the searchsorted/take_along_axis formulation (the naive
+      port; pathologically slow under the TPU vector ISA),
+    * ``select`` — the gather-free one-hot select-accumulate that is the
+      DEFAULT XLA path on TPU (``flows/spline.py _use_select_lookup``),
+    * ``pallas`` — the fused multi-layer kernels (``use_pallas=True``,
+      ops/spline_pallas.py), the design that motivated the select
+      formulation; measured within ~20% of the select-XLA path.
+
+    ``*_fwd_speedup`` / ``*_grad_speedup`` record gather->select (the real
+    TPU win); ``*_pallas_fwd_ratio`` / ``*_pallas_grad_ratio`` record
+    select/pallas (>1 means the kernel is faster). Numeric diffs compare
+    pallas vs the select default; both share the TPU default-matmul-precision
+    noise floor."""
     from nfmc_tpu.flows import CouplingLRS, CouplingRQNSF
 
     out = _spline_family_block(CouplingRQNSF, "spline")
@@ -906,11 +913,12 @@ def _spline_family_block(cls, prefix):
     import jax
     import jax.numpy as jnp
 
+    import nfmc_tpu.flows.spline as spl
     from nfmc_tpu.flows import Flow
 
     d = EVENT_DIM
     pallas_bij = cls((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN,
-                     use_pallas="auto")
+                     use_pallas=True)
     xla_bij = cls((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN,
                   use_pallas=False)
     if not pallas_bij._pallas_enabled():
@@ -939,12 +947,6 @@ def _spline_family_block(cls, prefix):
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / reps * 1e3
 
-    tx = tp = 0.0
-    for _ in range(3):  # interleave (tunnel latency drifts)
-        tx += timeit(fwd_x, params, x)
-        tp += timeit(fwd_p, params, x)
-
-    # training backward: fused layer-wise-vjp kernel vs XLA autodiff
     def loss(bij):
         def f(p):
             z, ld = bij.forward_fn(p, x)
@@ -957,8 +959,27 @@ def _spline_family_block(cls, prefix):
     grad_rel = max(
         jax.tree_util.tree_leaves(jax.tree_util.tree_map(rel, gp, gx))
     )
-    tgx = tgp = 0.0
-    for _ in range(3):
+
+    # the gather formulation, force-compiled fresh (separate jit closures)
+    spl._FORCE_LOOKUP = "gather"
+    try:
+        gather_bij = cls((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN,
+                         use_pallas=False)
+        fwd_g = jax.jit(lambda p, v: gather_bij.forward_fn(p, v))
+        g_g = loss(gather_bij)
+        jax.block_until_ready(fwd_g(params, x))
+        jax.block_until_ready(g_g(params))
+        tg = tgg = 0.0
+        for _ in range(3):
+            tg += timeit(fwd_g, params, x)
+            tgg += timeit(g_g, params)
+    finally:
+        spl._FORCE_LOOKUP = None
+
+    tx = tp = tgx = tgp = 0.0
+    for _ in range(3):  # interleave (tunnel latency drifts)
+        tx += timeit(fwd_x, params, x)
+        tp += timeit(fwd_p, params, x)
         tgx += timeit(g_x, params)
         tgp += timeit(g_p, params)
 
@@ -970,13 +991,17 @@ def _spline_family_block(cls, prefix):
         f"{prefix}_inv_max_abs_diff": md(ip, ix),
         f"{prefix}_inv_logdet_max_abs_diff": md(ildp, ildx),
         f"{prefix}_roundtrip_err": md(ip, x),
+        f"{prefix}_fwd_ms_gather": tg / 3,
         f"{prefix}_fwd_ms_xla": tx / 3,
         f"{prefix}_fwd_ms_pallas": tp / 3,
-        f"{prefix}_fwd_speedup": tx / tp,
+        f"{prefix}_fwd_speedup": tg / tx,
+        f"{prefix}_pallas_fwd_ratio": tx / tp,
         f"{prefix}_grad_max_rel_diff": grad_rel,
+        f"{prefix}_grad_ms_gather": tgg / 3,
         f"{prefix}_grad_ms_xla": tgx / 3,
         f"{prefix}_grad_ms_pallas": tgp / 3,
-        f"{prefix}_grad_speedup": tgx / tgp,
+        f"{prefix}_grad_speedup": tgg / tgx,
+        f"{prefix}_pallas_grad_ratio": tgx / tgp,
     }
 
 

@@ -181,7 +181,17 @@ class _FusedSplineMixin:
     """Shared Pallas wiring for the coupling spline flows (RQS and LRS).
 
     Subclasses set ``_spline_kind`` ('rqs' | 'lrs'); the per-dim parameter
-    count is ``3K - 1`` for RQS and ``4K - 1`` for LRS."""
+    count is ``3K - 1`` for RQS and ``4K - 1`` for LRS.
+
+    ``use_pallas`` semantics (different from RealNVP's): the default
+    ``'auto'`` takes the PLAIN XLA path — which on TPU already uses the
+    gather-free select-accumulate bin lookup (``flows/spline.py
+    _use_select_lookup``) and measures within ~20% of the fused kernels at
+    every shape we tested (fwd 0.8-1.2x, grads 0.8-1.0x at d in {20, 100},
+    B in {100, 1024, 8192}) with exact autodiff and no VMEM limits.
+    ``use_pallas=True`` opts into the fused Pallas kernels
+    (:mod:`nfmc_tpu.ops.spline_pallas`) — the design that motivated the
+    select-accumulate formulation — subject to the VMEM guard below."""
 
     _spline_kind = "rqs"
 
@@ -190,7 +200,7 @@ class _FusedSplineMixin:
 
     def _pallas_enabled(self) -> bool:
         if self._pallas_state is None:
-            if self.use_pallas is False or len(self.hidden) != 2:
+            if self.use_pallas is not True or len(self.hidden) != 2:
                 self._pallas_state = False
             else:
                 from ..ops.coupling_pallas import pallas_available
@@ -254,12 +264,10 @@ class _FusedSplineMixin:
 class CouplingRQNSF(_FusedSplineMixin, Coupling):
     """Coupling rational-quadratic neural spline flow (c-rqnsf).
 
-    On TPU, ``use_pallas='auto'`` routes forward/inverse through the fused
-    multi-layer spline kernel (:mod:`nfmc_tpu.ops.spline_pallas`): one kernel
-    for the whole stack, bin lookup as static select-accumulation instead of
-    gather. Gradients run a second fused kernel (layer-wise in-kernel vjp of
-    the select-accumulate forward — also gather-free); see the module
-    docstring for measured speedups.
+    On TPU the default path is already gather-free (select-accumulate bin
+    lookup in ``flows/spline.py``, ~10-15x the old searchsorted/gather
+    lowering); ``use_pallas=True`` opts into the fused Pallas kernels — see
+    :class:`_FusedSplineMixin` for when that matters.
     """
 
     _spline_kind = "rqs"
@@ -279,9 +287,8 @@ class CouplingRQNSF(_FusedSplineMixin, Coupling):
 class CouplingLRS(_FusedSplineMixin, Coupling):
     """Coupling linear-rational spline flow (c-lrsnsf).
 
-    On TPU, ``use_pallas='auto'`` routes through the fused spline kernel
-    (:mod:`nfmc_tpu.ops.spline_pallas`, ``kind='lrs'``), same design as
-    :class:`CouplingRQNSF`."""
+    Same TPU path selection as :class:`CouplingRQNSF` (gather-free XLA by
+    default; ``use_pallas=True`` for the fused kernels, ``kind='lrs'``)."""
 
     _spline_kind = "lrs"
 

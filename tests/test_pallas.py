@@ -450,22 +450,24 @@ def test_spline_vmem_guard_counts_weights():
     from nfmc_tpu.flows import CouplingRQNSF
 
     with mock.patch("nfmc_tpu.ops.coupling_pallas.pallas_available", return_value=True):
-        wide = CouplingRQNSF((100,), n_layers=8, hidden_size=512)
+        # 'auto' (the default) now means the gather-free XLA path, not Pallas
+        assert CouplingRQNSF((100,), n_layers=4, hidden_size=128)._pallas_enabled() is False
+        wide = CouplingRQNSF((100,), n_layers=8, hidden_size=512, use_pallas=True)
         assert wide._pallas_enabled() is False
-        default = CouplingRQNSF((100,), n_layers=4, hidden_size=128)
+        default = CouplingRQNSF((100,), n_layers=4, hidden_size=128, use_pallas=True)
         assert default._pallas_enabled() is True
         # backward-peak guard: 2x the weight stack + vjp residuals must also
         # fit (2 layers x 896 hidden at d=10 passes the forward estimate but
         # doubles to ~15 MB in the fused backward)
-        fat = CouplingRQNSF((10,), n_layers=2, hidden_size=896)
+        fat = CouplingRQNSF((10,), n_layers=2, hidden_size=896, use_pallas=True)
         assert fat._pallas_enabled() is False
         # d=200 at the default width exceeds the measured 16.7 MB bwd peak
-        wide_d = CouplingRQNSF((200,), n_layers=4, hidden_size=128)
+        wide_d = CouplingRQNSF((200,), n_layers=4, hidden_size=128, use_pallas=True)
         assert wide_d._pallas_enabled() is False
         # ...but LRS at the bench shape measurably fits and must stay enabled
         from nfmc_tpu.flows import CouplingLRS
 
-        lrs = CouplingLRS((100,), n_layers=4, hidden_size=128)
+        lrs = CouplingLRS((100,), n_layers=4, hidden_size=128, use_pallas=True)
         assert lrs._pallas_enabled() is True
 
 
