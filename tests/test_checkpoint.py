@@ -106,3 +106,102 @@ def test_restore_recurses_to_arbitrary_depth():
     assert float(fresh_deep.kernel.step_size) != 0.777
     restore_sampler_state(fresh, state)
     assert abs(float(fresh_deep.kernel.step_size) - 0.777) < 1e-6
+
+
+def test_sample_resumable_bit_exact_after_crash(tmp_path):
+    """sample_resumable: a run killed mid-way and resumed from its checkpoint
+    must produce the BIT-EXACT final state and identical counters as an
+    uninterrupted segmented run (per-segment fold_in keys)."""
+    from nfmc_tpu.checkpoint import sample_resumable
+
+    x0 = jax.random.normal(jax.random.key(0), (8, 5))
+
+    def fresh():
+        s = MALA((5,), standard_gaussian_potential)
+        s.params.n_iterations = 40
+        s.params.store_samples = True
+        return s
+
+    # uninterrupted segmented reference
+    out_a = sample_resumable(
+        fresh(), x0, str(tmp_path / "a"), segment_iterations=10, seed=5,
+        show_progress=False, save_samples=True,
+    )
+
+    # crash after 2 of 4 segments
+    crash = fresh()
+    orig_sample = crash.sample
+    calls = {"n": 0}
+
+    def crashing_sample(*a, **k):
+        if calls["n"] == 2:
+            raise RuntimeError("simulated preemption")
+        calls["n"] += 1
+        return orig_sample(*a, **k)
+
+    crash.sample = crashing_sample
+    try:
+        sample_resumable(crash, x0, str(tmp_path / "b"), segment_iterations=10,
+                         seed=5, show_progress=False, save_samples=True)
+        raise AssertionError("expected simulated crash")
+    except RuntimeError as e:
+        assert "preemption" in str(e)
+
+    # resume on a FRESH sampler from the crash checkpoint
+    out_c = sample_resumable(
+        fresh(), x0, str(tmp_path / "b"), segment_iterations=10, seed=5,
+        show_progress=False, save_samples=True,
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(out_a.running_samples.last_sample),
+        np.asarray(out_c.running_samples.last_sample),
+    )
+    sa, sc = out_a.statistics, out_c.statistics
+    for f in ("n_accepted_trajectories", "n_attempted_trajectories",
+              "n_divergences", "n_target_calls", "n_target_gradient_calls"):
+        assert getattr(sa, f) == getattr(sc, f), f
+    np.testing.assert_allclose(np.asarray(sa.running_first_moment),
+                               np.asarray(sc.running_first_moment), rtol=1e-12)
+    # full 40 stored draws survive the crash via save_samples=True
+    assert out_c.running_samples.n_samples == 40
+    np.testing.assert_array_equal(np.asarray(out_a.samples), np.asarray(out_c.samples))
+
+
+def test_sample_resumable_jump_sampler(tmp_path):
+    """Flow-kernel samplers round-trip too (flow params live in the state)."""
+    from nfmc_tpu.checkpoint import sample_resumable
+
+    x0 = jax.random.normal(jax.random.key(1), (4, 5))
+
+    def fresh():
+        s = JumpMALA((5,), standard_gaussian_potential)
+        s.params.n_iterations = 8
+        return s
+
+    out_a = sample_resumable(fresh(), x0, str(tmp_path / "ja"),
+                             segment_iterations=4, seed=7, show_progress=False)
+    # crash after 1 segment, resume
+    crash = fresh()
+    orig = crash.sample
+    state = {"n": 0}
+
+    def crashing(*a, **k):
+        if state["n"] == 1:
+            raise RuntimeError("boom")
+        state["n"] += 1
+        return orig(*a, **k)
+
+    crash.sample = crashing
+    try:
+        sample_resumable(crash, x0, str(tmp_path / "jb"),
+                         segment_iterations=4, seed=7, show_progress=False)
+    except RuntimeError:
+        pass
+    out_c = sample_resumable(fresh(), x0, str(tmp_path / "jb"),
+                             segment_iterations=4, seed=7, show_progress=False)
+    np.testing.assert_array_equal(
+        np.asarray(out_a.running_samples.last_sample),
+        np.asarray(out_c.running_samples.last_sample),
+    )
+    assert out_a.statistics.n_attempted_jumps == out_c.statistics.n_attempted_jumps
