@@ -292,6 +292,8 @@ def sample(
     warmup_time_limit_seconds: Optional[float] = None,
     seed: Optional[int] = None,
     mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_segment_iterations: Optional[int] = None,
     **kwargs,
 ) -> MCMCOutput:
     """One-call sampling entry; parity with reference ``sample.py:243-314``.
@@ -302,6 +304,19 @@ def sample(
     across the mesh devices with GSPMD inserting the statistic all-reduces;
     the first mesh axis's size must divide ``n_chains``. Equivalent to
     wrapping the sampler in ``nfmc_tpu.parallel.sharded_sample``.
+
+    ``checkpoint_path`` (superset; the reference has no recovery story —
+    SURVEY.md section 5): run the sampling phase preemption-safe via
+    :func:`nfmc_tpu.checkpoint.sample_resumable` — the iteration budget runs
+    as checkpointed segments (``checkpoint_segment_iterations`` each,
+    default ~10 segments) with stored draws round-tripped. If the process
+    dies, calling ``sample()`` again with the same arguments skips warmup
+    (the checkpoint holds the tuned kernel + flow) and continues BIT-EXACT
+    from the last completed segment. On successful completion the checkpoint
+    file is deleted, so a file on disk always means "crashed, resume".
+    Incompatible with ``sampling_time_limit_seconds`` (segments already
+    bound loss-on-crash; a wall-clock limit across segments would make the
+    resume point ambiguous).
     """
     if flow == "None":
         flow = None
@@ -351,7 +366,23 @@ def sample(
             )
         x0 = shard_chains(x0, mesh, axis_name=mesh.axis_names[0])
 
-    if warmup:
+    resume = False
+    if checkpoint_path is not None:
+        import os as _os
+
+        if sampling_time_limit_seconds is not None:
+            raise ValueError(
+                "checkpoint_path is incompatible with sampling_time_limit_seconds"
+            )
+        ckpt_file = str(checkpoint_path)
+        if not ckpt_file.endswith(".npz"):
+            ckpt_file += ".npz"
+        # A checkpoint on disk means a previous call crashed mid-sampling:
+        # the tuned kernel/flow state lives in the checkpoint, so warmup is
+        # skipped and sampling continues from the saved segment.
+        resume = _os.path.exists(ckpt_file)
+
+    if warmup and not resume:
         warmup_output = sampler.warmup(
             x0=x0, show_progress=show_progress,
             time_limit_seconds=warmup_time_limit_seconds, key=k_warm,
@@ -370,6 +401,18 @@ def sample(
 
             # the reshuffle rebuilt x0 from host arrays — re-pin the sharding
             x0 = shard_chains(x0, mesh, axis_name=mesh.axis_names[0])
+    if checkpoint_path is not None:
+        import os as _os
+
+        from ..checkpoint import sample_resumable
+
+        out = sample_resumable(
+            sampler, x0, checkpoint_path,
+            segment_iterations=checkpoint_segment_iterations,
+            key=k_samp, show_progress=show_progress, save_samples=True,
+        )
+        _os.remove(ckpt_file)  # done: a leftover file always means "resume"
+        return out
     return sampler.sample(
         x0=x0, show_progress=show_progress,
         time_limit_seconds=sampling_time_limit_seconds, key=k_samp,

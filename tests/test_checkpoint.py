@@ -205,3 +205,50 @@ def test_sample_resumable_jump_sampler(tmp_path):
         np.asarray(out_c.running_samples.last_sample),
     )
     assert out_a.statistics.n_attempted_jumps == out_c.statistics.n_attempted_jumps
+
+
+def test_front_door_checkpoint_resume(tmp_path, monkeypatch):
+    """sample(checkpoint_path=...): crash mid-sampling, re-call resumes
+    (skipping warmup) and finishes bit-exact; the file is deleted on
+    success."""
+    import os
+
+    import pytest
+
+    import nfmc_tpu
+    from nfmc_tpu.samplers.mcmc.langevin import MALA
+
+    path = str(tmp_path / "fd")
+    cfg = dict(
+        target=standard_gaussian_potential, event_shape=(5,), flow=None,
+        strategy="mala", n_chains=8, n_iterations=20, n_warmup_iterations=10,
+        warmup=True, show_progress=False, seed=9,
+        checkpoint_path=path, checkpoint_segment_iterations=5,
+    )
+    out_a = nfmc_tpu.sample(**cfg)
+    assert not os.path.exists(path + ".npz")  # deleted on success
+
+    orig = MALA.sample
+    calls = {"n": 0}
+
+    def crashing(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:  # 3rd SAMPLING segment (warmup uses .warmup)
+            raise RuntimeError("boom")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(MALA, "sample", crashing)
+    with pytest.raises(RuntimeError, match="boom"):
+        nfmc_tpu.sample(**cfg)
+    assert os.path.exists(path + ".npz")  # crash left the checkpoint
+
+    monkeypatch.setattr(MALA, "sample", orig)
+    out_c = nfmc_tpu.sample(**cfg)  # resumes, skips warmup
+    assert not os.path.exists(path + ".npz")
+
+    np.testing.assert_array_equal(
+        np.asarray(out_a.running_samples.last_sample),
+        np.asarray(out_c.running_samples.last_sample),
+    )
+    assert out_a.statistics.n_attempted_trajectories == \
+        out_c.statistics.n_attempted_trajectories
