@@ -294,6 +294,7 @@ def sample(
     mesh=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_segment_iterations: Optional[int] = None,
+    checkpoint_save_samples: bool = True,
     **kwargs,
 ) -> MCMCOutput:
     """One-call sampling entry; parity with reference ``sample.py:243-314``.
@@ -311,9 +312,14 @@ def sample(
     as checkpointed segments (``checkpoint_segment_iterations`` each,
     default ~10 segments) with stored draws round-tripped. If the process
     dies, calling ``sample()`` again with the same arguments skips warmup
-    (the checkpoint holds the tuned kernel + flow) and continues BIT-EXACT
-    from the last completed segment. On successful completion the checkpoint
-    file is deleted, so a file on disk always means "crashed, resume".
+    (the checkpoint holds the tuned kernel + flow, incl. ESS's adapted
+    ellipse) and continues BIT-EXACT from the last completed segment — the
+    resumed base PRNG key comes from the checkpoint, so this holds even
+    without an explicit ``seed``. On successful completion the checkpoint
+    files are deleted, so a file on disk always means "crashed, resume"
+    (a re-call that finds an already-complete checkpoint rebuilds the
+    finished output from it). ``checkpoint_save_samples=False`` skips the
+    per-segment draw sidecar files when only statistics matter.
     Incompatible with ``sampling_time_limit_seconds`` (segments already
     bound loss-on-crash; a wall-clock limit across segments would make the
     resume point ambiguous).
@@ -402,16 +408,21 @@ def sample(
             # the reshuffle rebuilt x0 from host arrays — re-pin the sharding
             x0 = shard_chains(x0, mesh, axis_name=mesh.axis_names[0])
     if checkpoint_path is not None:
-        import os as _os
+        from ..checkpoint import discard_resumable_checkpoint, sample_resumable
 
-        from ..checkpoint import sample_resumable
+        shard_fn = None
+        if mesh is not None:
+            from ..parallel import shard_chains
 
+            shard_fn = lambda v: shard_chains(v, mesh, axis_name=mesh.axis_names[0])
         out = sample_resumable(
             sampler, x0, checkpoint_path,
             segment_iterations=checkpoint_segment_iterations,
-            key=k_samp, show_progress=show_progress, save_samples=True,
+            key=k_samp, show_progress=show_progress,
+            save_samples=checkpoint_save_samples, shard_fn=shard_fn,
         )
-        _os.remove(ckpt_file)  # done: a leftover file always means "resume"
+        # done: a leftover checkpoint always means "resume"
+        discard_resumable_checkpoint(ckpt_file)
         return out
     return sampler.sample(
         x0=x0, show_progress=show_progress,

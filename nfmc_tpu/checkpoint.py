@@ -155,6 +155,92 @@ def _load_combined_into(stats, combined) -> None:
         exp.n_seen = int(combined["n_seen"])
 
 
+def _collect_extras(sampler, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Tuned state living OUTSIDE the make_state/sync_from_state contract.
+
+    Samplers may define ``extra_resumable_state() -> {name: array}`` and
+    ``restore_extra_resumable_state({name: array})`` (e.g. ESS's adapted
+    ellipse covariance, which also rewrites its nll closure — see
+    ``samplers/mcmc/ess.py``). Collected recursively through nested
+    samplers with dotted prefixes."""
+    out: Dict[str, np.ndarray] = {}
+    fn = getattr(sampler, "extra_resumable_state", None)
+    if fn is not None:
+        for k, v in fn().items():
+            out[f"{prefix}{k}"] = np.asarray(v)
+    inner = getattr(sampler, "inner_sampler", None)
+    if inner is not None:
+        out.update(_collect_extras(inner, prefix + "inner."))
+    return out
+
+
+def _restore_extras(sampler, extras: Dict[str, np.ndarray], prefix: str = "") -> None:
+    own = {
+        k[len(prefix):]: v
+        for k, v in extras.items()
+        if k.startswith(prefix) and "." not in k[len(prefix):]
+    }
+    fn = getattr(sampler, "restore_extra_resumable_state", None)
+    if fn is not None and own:
+        fn(own)
+    inner = getattr(sampler, "inner_sampler", None)
+    if inner is not None:
+        _restore_extras(sampler=inner, extras=extras, prefix=prefix + "inner.")
+
+
+def _seg_samples_path(path: str, i: int) -> str:
+    return f"{path}.seg{i}.npy"
+
+
+def discard_resumable_checkpoint(path: str) -> None:
+    """Remove a :func:`sample_resumable` checkpoint and its per-segment
+    sample sidecar files."""
+    path = str(path)
+    if not path.endswith(".npz"):
+        path += ".npz"
+    if _os.path.exists(path):
+        try:
+            data = np.load(path, allow_pickle=False)
+            meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
+            segs = meta.get("sample_segments", [])
+        except Exception:
+            segs = []
+        for i in segs:
+            try:
+                _os.remove(_seg_samples_path(path, i))
+            except FileNotFoundError:
+                pass
+        _os.remove(path)
+
+
+def _rebuild_completed_output(sampler, x, combined, sample_segments, path,
+                              event_shape):
+    """A re-invocation found the checkpoint already complete (the previous
+    process died between the final segment's save and the caller's cleanup):
+    rebuild the finished run's output from the checkpoint instead of raising."""
+    from .core import output as _output
+    from .core import statistics as _statistics
+
+    stats_cls = getattr(
+        _statistics, combined.get("stats_class", "MCMCStatistics"),
+        _statistics.MCMCStatistics,
+    )
+    out = _output.MCMCOutput(
+        event_shape,
+        statistics=stats_cls(event_shape),
+        kernel=sampler.kernel,
+        store_samples=bool(sample_segments),
+    )
+    _load_combined_into(out.statistics, combined)
+    rs = out.running_samples
+    rs.last_sample = np.asarray(x)
+    for i in sample_segments:
+        blk = np.load(_seg_samples_path(path, i))
+        rs._running.extend(list(blk))
+        rs.n_samples += len(blk)
+    return out
+
+
 def sample_resumable(
     sampler,
     x0,
@@ -165,30 +251,38 @@ def sample_resumable(
     seed: Optional[int] = None,
     show_progress: bool = False,
     save_samples: bool = False,
+    shard_fn=None,
 ):
     """Run ``sampler.sample`` as checkpointed segments; resume after a crash.
 
     Production long runs die (preemption, OOM elsewhere, tunnel flaps); the
-    reference has no recovery story (SURVEY.md section 5). Here the total
+    reference has no recovery story (SURVEY.md section 5). The total
     ``sampler.params.n_iterations`` budget is split into segments of
     ``segment_iterations`` (default: ~10 segments); after each segment the
     full resumable state — chain positions, tuned kernel + flow params
-    (:func:`sampler_state`), combined statistics, and optionally the stored
-    samples — is written to ``checkpoint_path`` (one ``.npz``). Calling this
-    function again with the same arguments resumes from the last completed
-    segment and, because segment i draws its PRNG key as
-    ``fold_in(base_key, i)``, the resumed run is BIT-EXACT equal to an
-    uninterrupted one.
+    (:func:`sampler_state`, plus any ``extra_resumable_state`` the sampler
+    declares, e.g. ESS's adapted ellipse), RNG key, and combined statistics
+    — is written atomically to ``checkpoint_path`` (one ``.npz``). Calling
+    again with the same arguments resumes from the last completed segment;
+    segment i draws its PRNG key as ``fold_in(base_key, i)`` and on resume
+    the base key comes FROM the checkpoint, so the resumed run is BIT-EXACT
+    equal to an uninterrupted one even when the caller passed no seed.
 
-    ``save_samples=False`` (default) keeps checkpoints small: on resume the
-    pre-crash segments' stored samples are absent from the final output
-    (statistics/moments still cover the full run). With ``save_samples=True``
-    the stored draws are round-tripped too (mind the size: draws dominate).
+    ``save_samples=True`` round-trips the stored draws too, as one sidecar
+    ``.npz.seg<i>.npy`` file per segment (append-only: each segment writes
+    only its own draws — no quadratic rewrite of the history). The default
+    keeps checkpoints small; statistics/moments always cover the full run.
 
-    Returns the final segment's ``MCMCOutput`` with statistics (and, with
-    ``save_samples``, stored samples) covering ALL completed segments.
-    Thinning/max-samples policies apply per segment. The checkpoint file is
-    left on disk after completion (delete it to start fresh).
+    ``shard_fn`` (optional): applied to the chain-state array between
+    segments and on resume — pass ``lambda v: shard_chains(v, mesh, ...)``
+    to keep the chain axis pinned to a mesh across segment boundaries (the
+    inter-segment state otherwise materializes unsharded).
+
+    The checkpoint stays on disk after completion so a crash in the caller's
+    hands cannot lose the run: a re-invocation rebuilds the completed output
+    from it. Delete with :func:`discard_resumable_checkpoint` (the front
+    door does this automatically on success). Thinning/max-samples policies
+    apply per segment.
     """
     from .core.rng import resolve_key
 
@@ -196,37 +290,70 @@ def sample_resumable(
     if segment_iterations is None:
         segment_iterations = max(1, -(-n_total // 10))
     n_segments = -(-n_total // segment_iterations)
-    base_key = resolve_key(key, seed)
     event_shape = tuple(sampler.event_shape)
 
     path = str(checkpoint_path)
     if not path.endswith(".npz"):
         path += ".npz"
 
-    x = jnp.asarray(x0, dtype=jnp.float32) if not isinstance(x0, jax.Array) else x0
+    base_key = resolve_key(key, seed)
+    x = jnp.asarray(x0, dtype=jnp.float32)
     start_segment = 0
     combined: Optional[Dict] = None
-    prior_samples = None
+    sample_segments: list = []
+
+    if n_segments == 0:
+        return sampler.sample(x, show_progress=show_progress, key=base_key)
 
     if _os.path.exists(path):
         data = np.load(path, allow_pickle=False)
         meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
+        if meta.get("n_total") != n_total or (
+            meta.get("segment_iterations") != segment_iterations
+        ):
+            raise ValueError(
+                "checkpoint %s was written for n_iterations=%s / "
+                "segment_iterations=%s but this call uses %s / %s — delete it "
+                "(discard_resumable_checkpoint) or match the original config"
+                % (path, meta.get("n_total"), meta.get("segment_iterations"),
+                   n_total, segment_iterations)
+            )
+        # tuned-but-uncontracted state first: it can change the kernel-state
+        # STRUCTURE (ESS: cov None -> array), which the treedef check below
+        # must see on the fresh sampler
+        extras = {
+            k[len("extra__"):]: data[k] for k in data.files
+            if k.startswith("extra__")
+        }
+        _restore_extras(sampler, extras)
         like = sampler_state(sampler, x, base_key)
         leaves_like, treedef = jax.tree_util.tree_flatten(like)
+        if meta.get("treedef") != repr(treedef):
+            raise ValueError(
+                "checkpoint %s does not match this sampler's state structure "
+                "(saved %s, got %s) — was it written by a differently "
+                "configured sampler?" % (path, meta.get("treedef"), repr(treedef))
+            )
         state = jax.tree_util.tree_unflatten(
             treedef, [data[f"leaf_{i}"] for i in range(len(leaves_like))]
         )
-        x, _ = restore_sampler_state(sampler, state)
+        x, base_key = restore_sampler_state(sampler, state)
         x = jnp.asarray(x, dtype=jnp.float32)
+        if shard_fn is not None:
+            x = shard_fn(x)
         start_segment = int(meta["segment"])
         combined = {
             "counters": meta["counters"],
             "fm": data["fm"],
             "sm": data["sm"],
             "n_seen": int(meta["n_seen"]),
+            "stats_class": meta.get("stats_class", "MCMCStatistics"),
         }
-        if "samples" in data.files:
-            prior_samples = data["samples"]
+        sample_segments = list(meta.get("sample_segments", []))
+        if start_segment >= n_segments:
+            return _rebuild_completed_output(
+                sampler, x, combined, sample_segments, path, event_shape
+            )
 
     out = None
     for i in range(start_segment, n_segments):
@@ -234,37 +361,43 @@ def sample_resumable(
         sampler.params.n_iterations = seg_iters
         try:
             seg_key = jax.random.fold_in(base_key, i)
-            out = sampler.sample(
-                x, show_progress=show_progress, key=seg_key
-            )
+            out = sampler.sample(x, show_progress=show_progress, key=seg_key)
         finally:
             sampler.params.n_iterations = n_total
         x = jnp.asarray(out.running_samples.last_sample, dtype=jnp.float32)
+        if shard_fn is not None:
+            x = shard_fn(x)
         combined = _merge_segment_stats(combined, out.statistics, event_shape)
+        combined["stats_class"] = type(out.statistics).__name__
+
+        if save_samples and out.running_samples.n_samples > 0:
+            seg_draws = np.asarray(jax.device_get(out.running_samples.as_tensor()))
+            tmp = _seg_samples_path(path, i) + ".tmp.npy"
+            np.save(tmp, seg_draws)
+            _os.replace(tmp, _seg_samples_path(path, i))
+            sample_segments.append(i)
 
         state = sampler_state(sampler, x, base_key)
-        leaves, _ = jax.tree_util.tree_flatten(state)
+        leaves, treedef = jax.tree_util.tree_flatten(state)
         arrays = {
             f"leaf_{j}": np.asarray(jax.device_get(l)) for j, l in enumerate(leaves)
         }
+        for k, v in _collect_extras(sampler).items():
+            arrays[f"extra__{k}"] = v
         arrays["fm"] = combined["fm"]
         arrays["sm"] = combined["sm"]
-        if save_samples and out.running_samples.n_samples > 0:
-            seg_draws = np.asarray(jax.device_get(out.running_samples.as_tensor()))
-            prior_samples = (
-                seg_draws
-                if prior_samples is None
-                else np.concatenate([prior_samples, seg_draws], axis=0)
-            )
-        if save_samples and prior_samples is not None:
-            arrays["samples"] = prior_samples
         arrays["__meta__"] = np.frombuffer(
             json.dumps(
                 {
                     "segment": i + 1,
                     "n_segments": n_segments,
+                    "n_total": n_total,
+                    "segment_iterations": segment_iterations,
+                    "treedef": repr(treedef),
                     "counters": combined["counters"],
                     "n_seen": combined["n_seen"],
+                    "stats_class": combined["stats_class"],
+                    "sample_segments": sample_segments,
                 }
             ).encode(),
             dtype=np.uint8,
@@ -273,21 +406,13 @@ def sample_resumable(
         np.savez(tmp, **arrays)
         _os.replace(tmp, path)  # atomic: a crash mid-save keeps the old file
 
-    if out is None:
-        # everything was already complete in the checkpoint: re-run the last
-        # segment? No — report completion by rebuilding a minimal output.
-        raise RuntimeError(
-            "checkpoint already covers all %d segments; delete %s to rerun"
-            % (n_segments, path)
-        )
-
     _load_combined_into(out.statistics, combined)
-    if save_samples and prior_samples is not None:
+    if save_samples and sample_segments:
         rs = out.running_samples
-        rs._running = (
-            [jnp.asarray(prior_samples)] if rs.on_device else list(prior_samples)
-        )
-        rs.n_samples = len(prior_samples)
+        blocks = [np.load(_seg_samples_path(path, i)) for i in sample_segments]
+        allb = np.concatenate(blocks, axis=0)
+        rs._running = [jnp.asarray(allb)] if rs.on_device else list(allb)
+        rs.n_samples = len(allb)
     return out
 
 

@@ -339,6 +339,24 @@ class ESS(MCMCSampler):
         # The cov-token in _static_config changes, so the cached driver
         # (which baked the old nll closure) rebuilds on next run.
         self.kernel.cov = S.astype(np.float32)
+        # Checkpoint hook (checkpoint.py _collect_extras): the f64 S — the
+        # f32 kernel.cov would re-derive a slightly different Cholesky and
+        # break bit-exact resume.
+        self._adapted_cov64 = np.asarray(S, dtype=np.float64)
+
+    def extra_resumable_state(self):
+        """Tuned state outside the make_state contract: the adapted ellipse
+        (which also rewrites ``negative_log_likelihood`` — a closure the
+        pytree checkpoint cannot carry, but one that re-derives exactly from
+        the adapted covariance via :meth:`_apply_ellipse_adaptation`)."""
+        cov = getattr(self, "_adapted_cov64", None)
+        return {} if cov is None else {"ellipse_cov": cov}
+
+    def restore_extra_resumable_state(self, state) -> None:
+        if "ellipse_cov" in state:
+            self._apply_ellipse_adaptation(
+                np.asarray(state["ellipse_cov"], dtype=np.float64)
+            )
 
     def _warmup_ellipse_covariance(self, out: MCMCOutput) -> Optional[np.ndarray]:
         """Covariance estimate for the adaptation: dense (shrunk toward its

@@ -252,3 +252,100 @@ def test_front_door_checkpoint_resume(tmp_path, monkeypatch):
     )
     assert out_a.statistics.n_attempted_trajectories == \
         out_c.statistics.n_attempted_trajectories
+
+
+def test_front_door_resume_ess_keeps_tuned_ellipse(tmp_path, monkeypatch):
+    """ESS's warmup-adapted ellipse lives outside make_state/sync_from_state;
+    the extras hook must carry it so a resumed run is bit-exact (a lost
+    ellipse would change every draw)."""
+    import os
+
+    import pytest
+
+    import nfmc_tpu
+    from nfmc_tpu.samplers.mcmc.ess import ESS
+
+    path = str(tmp_path / "ess")
+    cfg = dict(
+        target=standard_gaussian_potential, event_shape=(5,), flow=None,
+        strategy="ess", negative_log_likelihood=standard_gaussian_potential,
+        n_chains=8, n_iterations=12, n_warmup_iterations=30, warmup=True,
+        show_progress=False, seed=4,
+        checkpoint_path=path, checkpoint_segment_iterations=4,
+    )
+    out_a = nfmc_tpu.sample(**cfg)
+    assert not os.path.exists(path + ".npz")
+
+    orig = ESS.sample
+    calls = {"n": 0}
+
+    def crashing(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("boom")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(ESS, "sample", crashing)
+    with pytest.raises(RuntimeError, match="boom"):
+        nfmc_tpu.sample(**cfg)
+    assert os.path.exists(path + ".npz")
+    monkeypatch.setattr(ESS, "sample", orig)
+    out_c = nfmc_tpu.sample(**cfg)  # resume skips warmup, restores ellipse
+    assert not os.path.exists(path + ".npz")
+    np.testing.assert_array_equal(
+        np.asarray(out_a.running_samples.last_sample),
+        np.asarray(out_c.running_samples.last_sample),
+    )
+
+
+def test_sample_resumable_rejects_mismatched_config(tmp_path):
+    """A checkpoint written under one segmentation must not silently resume
+    under another."""
+    import pytest
+
+    from nfmc_tpu.checkpoint import sample_resumable
+
+    x0 = jax.random.normal(jax.random.key(0), (4, 5))
+    s = MALA((5,), standard_gaussian_potential)
+    s.params.n_iterations = 20
+    orig = s.sample
+    state = {"n": 0}
+
+    def crashing(*a, **k):
+        if state["n"] == 1:
+            raise RuntimeError("boom")
+        state["n"] += 1
+        return orig(*a, **k)
+
+    s.sample = crashing
+    with pytest.raises(RuntimeError):
+        sample_resumable(s, x0, str(tmp_path / "m"), segment_iterations=5, seed=1)
+    s.sample = orig
+    with pytest.raises(ValueError, match="segment_iterations"):
+        sample_resumable(s, x0, str(tmp_path / "m"), segment_iterations=10, seed=1)
+
+
+def test_sample_resumable_completed_checkpoint_rebuilds_output(tmp_path):
+    """A crash between the final segment save and the caller's cleanup must
+    not strand the run: re-invocation rebuilds the completed output."""
+    from nfmc_tpu.checkpoint import sample_resumable
+
+    x0 = jax.random.normal(jax.random.key(0), (4, 5))
+
+    def fresh():
+        s = MALA((5,), standard_gaussian_potential)
+        s.params.n_iterations = 12
+        return s
+
+    out_a = sample_resumable(fresh(), x0, str(tmp_path / "c"),
+                             segment_iterations=4, seed=2, save_samples=True)
+    # checkpoint intentionally left on disk: simulate the caller dying here
+    out_b = sample_resumable(fresh(), x0, str(tmp_path / "c"),
+                             segment_iterations=4, seed=2, save_samples=True)
+    np.testing.assert_array_equal(
+        np.asarray(out_a.running_samples.last_sample),
+        np.asarray(out_b.running_samples.last_sample),
+    )
+    assert out_b.statistics.n_attempted_trajectories == \
+        out_a.statistics.n_attempted_trajectories
+    np.testing.assert_array_equal(np.asarray(out_a.samples), np.asarray(out_b.samples))
