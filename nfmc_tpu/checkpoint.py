@@ -4,7 +4,10 @@ The reference has no checkpointing (SURVEY.md section 5: only in-memory flow
 ``state_dict`` snapshots). Here all sampler state is explicit pytrees
 (positions, kernel params, flow params, RNG key, counters), so a checkpoint
 is a flat dict of arrays + a JSON-serializable metadata dict, written with
-``numpy.savez`` — no framework dependencies, portable across hosts.
+``numpy.savez`` — no framework dependencies, portable across hosts
+(:func:`sample_resumable` with ``save_samples=True`` additionally writes one
+``.seg<i>.npy`` draw sidecar per segment next to the npz; statistics remain
+recoverable from the npz alone if sidecars are lost).
 """
 from __future__ import annotations
 
@@ -194,23 +197,40 @@ def _seg_samples_path(path: str, i: int) -> str:
 
 def discard_resumable_checkpoint(path: str) -> None:
     """Remove a :func:`sample_resumable` checkpoint and its per-segment
-    sample sidecar files."""
+    sample sidecar files (glob-based: also cleans sidecars orphaned by a
+    crash between a sidecar write and its npz entry, or by a corrupt npz)."""
+    import glob as _glob
+
     path = str(path)
     if not path.endswith(".npz"):
         path += ".npz"
+    for f in _glob.glob(_glob.escape(path) + ".seg*.npy"):
+        _os.remove(f)
     if _os.path.exists(path):
-        try:
-            data = np.load(path, allow_pickle=False)
-            meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
-            segs = meta.get("sample_segments", [])
-        except Exception:
-            segs = []
-        for i in segs:
-            try:
-                _os.remove(_seg_samples_path(path, i))
-            except FileNotFoundError:
-                pass
         _os.remove(path)
+
+
+def _load_segment_blocks(path, sample_segments, mem_blocks=None):
+    """Per-segment draw blocks, preferring this process's in-memory copies;
+    missing sidecar files (lost in transit, crash-window orphans) degrade to
+    a warning — statistics are always recoverable from the npz alone."""
+    import warnings
+
+    blocks = []
+    for i in sample_segments:
+        if mem_blocks is not None and i in mem_blocks:
+            blocks.append(mem_blocks[i])
+            continue
+        f = _seg_samples_path(path, i)
+        if _os.path.exists(f):
+            blocks.append(np.load(f))
+        else:
+            warnings.warn(
+                f"resumable checkpoint sidecar {f} is missing; the final "
+                "output omits that segment's stored draws (statistics still "
+                "cover the full run)"
+            )
+    return blocks
 
 
 def _rebuild_completed_output(sampler, x, combined, sample_segments, path,
@@ -225,17 +245,17 @@ def _rebuild_completed_output(sampler, x, combined, sample_segments, path,
         _statistics, combined.get("stats_class", "MCMCStatistics"),
         _statistics.MCMCStatistics,
     )
+    blocks = _load_segment_blocks(path, sample_segments)
     out = _output.MCMCOutput(
         event_shape,
         statistics=stats_cls(event_shape),
         kernel=sampler.kernel,
-        store_samples=bool(sample_segments),
+        store_samples=bool(blocks),
     )
     _load_combined_into(out.statistics, combined)
     rs = out.running_samples
     rs.last_sample = np.asarray(x)
-    for i in sample_segments:
-        blk = np.load(_seg_samples_path(path, i))
+    for blk in blocks:
         rs._running.extend(list(blk))
         rs.n_samples += len(blk)
     return out
@@ -308,6 +328,7 @@ def sample_resumable(
     if _os.path.exists(path):
         data = np.load(path, allow_pickle=False)
         meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
+        # all value-level config checks BEFORE any sampler mutation
         if meta.get("n_total") != n_total or (
             meta.get("segment_iterations") != segment_iterations
         ):
@@ -318,7 +339,14 @@ def sample_resumable(
                 % (path, meta.get("n_total"), meta.get("segment_iterations"),
                    n_total, segment_iterations)
             )
-        # tuned-but-uncontracted state first: it can change the kernel-state
+        if meta.get("x_shape") is not None and tuple(meta["x_shape"]) != tuple(x.shape):
+            raise ValueError(
+                "checkpoint %s holds chain state of shape %s but this call "
+                "passed x0 of shape %s (different n_chains/event?) — delete "
+                "it (discard_resumable_checkpoint) or match the original run"
+                % (path, tuple(meta["x_shape"]), tuple(x.shape))
+            )
+        # tuned-but-uncontracted state next: it can change the kernel-state
         # STRUCTURE (ESS: cov None -> array), which the treedef check below
         # must see on the fresh sampler
         extras = {
@@ -332,7 +360,10 @@ def sample_resumable(
             raise ValueError(
                 "checkpoint %s does not match this sampler's state structure "
                 "(saved %s, got %s) — was it written by a differently "
-                "configured sampler?" % (path, meta.get("treedef"), repr(treedef))
+                "configured sampler? NOTE: the sampler's extra resumable "
+                "state (e.g. an ESS ellipse) was already applied before this "
+                "check; rebuild the sampler before reusing it."
+                % (path, meta.get("treedef"), repr(treedef))
             )
         state = jax.tree_util.tree_unflatten(
             treedef, [data[f"leaf_{i}"] for i in range(len(leaves_like))]
@@ -351,17 +382,32 @@ def sample_resumable(
         }
         sample_segments = list(meta.get("sample_segments", []))
         if start_segment >= n_segments:
-            return _rebuild_completed_output(
+            out = _rebuild_completed_output(
                 sampler, x, combined, sample_segments, path, event_shape
             )
+            if not sample_segments and "last_seg_samples" in data.files:
+                # save_samples=False path: the normal return carries the
+                # final segment's draws — reproduce that from the npz
+                blk = data["last_seg_samples"]
+                rs = out.running_samples
+                rs.store_samples = out.store_samples = True
+                rs._running = list(blk)
+                rs.n_samples = len(blk)
+            return out
 
     out = None
+    mem_blocks: Dict[int, np.ndarray] = {}  # this process's segment draws
     for i in range(start_segment, n_segments):
         seg_iters = min(segment_iterations, n_total - i * segment_iterations)
         sampler.params.n_iterations = seg_iters
         try:
             seg_key = jax.random.fold_in(base_key, i)
-            out = sampler.sample(x, show_progress=show_progress, key=seg_key)
+            # first-ever segment uses sampler.sample (run-entry semantics:
+            # ESS prior redraw, DLMC init step, ... happen exactly once);
+            # every later segment — including all resumed ones — continues
+            # the chain via sample_continue
+            entry = sampler.sample if i == 0 else sampler.sample_continue
+            out = entry(x, show_progress=show_progress, key=seg_key)
         finally:
             sampler.params.n_iterations = n_total
         x = jnp.asarray(out.running_samples.last_sample, dtype=jnp.float32)
@@ -370,12 +416,22 @@ def sample_resumable(
         combined = _merge_segment_stats(combined, out.statistics, event_shape)
         combined["stats_class"] = type(out.statistics).__name__
 
-        if save_samples and out.running_samples.n_samples > 0:
+        last_seg_draws = None
+        if out.running_samples.n_samples > 0 and (
+            save_samples or i == n_segments - 1
+        ):
             seg_draws = np.asarray(jax.device_get(out.running_samples.as_tensor()))
-            tmp = _seg_samples_path(path, i) + ".tmp.npy"
-            np.save(tmp, seg_draws)
-            _os.replace(tmp, _seg_samples_path(path, i))
-            sample_segments.append(i)
+            if save_samples:
+                tmp = _seg_samples_path(path, i) + ".tmp.npy"
+                np.save(tmp, seg_draws)
+                _os.replace(tmp, _seg_samples_path(path, i))
+                mem_blocks[i] = seg_draws
+                sample_segments.append(i)
+            else:
+                # final segment's draws ride in the npz so a completed-
+                # checkpoint rebuild returns the same output the normal
+                # path would (one segment's size, not the whole history)
+                last_seg_draws = seg_draws
 
         state = sampler_state(sampler, x, base_key)
         leaves, treedef = jax.tree_util.tree_flatten(state)
@@ -386,6 +442,8 @@ def sample_resumable(
             arrays[f"extra__{k}"] = v
         arrays["fm"] = combined["fm"]
         arrays["sm"] = combined["sm"]
+        if last_seg_draws is not None:
+            arrays["last_seg_samples"] = last_seg_draws
         arrays["__meta__"] = np.frombuffer(
             json.dumps(
                 {
@@ -393,6 +451,7 @@ def sample_resumable(
                     "n_segments": n_segments,
                     "n_total": n_total,
                     "segment_iterations": segment_iterations,
+                    "x_shape": list(x.shape),
                     "treedef": repr(treedef),
                     "counters": combined["counters"],
                     "n_seen": combined["n_seen"],
@@ -409,7 +468,7 @@ def sample_resumable(
     _load_combined_into(out.statistics, combined)
     if save_samples and sample_segments:
         rs = out.running_samples
-        blocks = [np.load(_seg_samples_path(path, i)) for i in sample_segments]
+        blocks = _load_segment_blocks(path, sample_segments, mem_blocks)
         allb = np.concatenate(blocks, axis=0)
         rs._running = [jnp.asarray(allb)] if rs.on_device else list(allb)
         rs.n_samples = len(allb)

@@ -158,3 +158,17 @@ class Sampler:
         seed: Optional[int] = None,
     ) -> MCMCOutput:
         raise NotImplementedError
+
+    def sample_continue(self, x0, **kwargs) -> MCMCOutput:
+        """Continue an existing chain from ``x0`` = a previous run's
+        ``running_samples.last_sample``.
+
+        For most samplers this is exactly :meth:`sample`; samplers whose
+        ``sample`` applies entry semantics to ``x0`` that must NOT repeat on
+        a continuation override it (ESS redraws x0 from the prior, TESS
+        treats x0 as latent while emitting data-space draws, DLMC applies a
+        one-off init gradient step, NeuTra may transport a data-space x0).
+        Used by :func:`nfmc_tpu.checkpoint.sample_resumable` for every
+        segment after the first, so segmented/checkpointed runs follow the
+        same chain law as uninterrupted ones."""
+        return self.sample(x0, **kwargs)

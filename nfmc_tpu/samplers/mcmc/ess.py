@@ -339,10 +339,13 @@ class ESS(MCMCSampler):
         # The cov-token in _static_config changes, so the cached driver
         # (which baked the old nll closure) rebuilds on next run.
         self.kernel.cov = S.astype(np.float32)
-        # Checkpoint hook (checkpoint.py _collect_extras): the f64 S — the
-        # f32 kernel.cov would re-derive a slightly different Cholesky and
-        # break bit-exact resume.
-        self._adapted_cov64 = np.asarray(S, dtype=np.float64)
+        # Checkpoint hook (checkpoint.py _collect_extras): the RAW f64
+        # adaptation input — restore replays _apply_ellipse_adaptation on it
+        # and takes the IDENTICAL branch (1-D diagonal vs 2-D dense compute
+        # logdet by different formulas; the f32 kernel.cov would also
+        # re-derive a slightly different Cholesky). Bit-exact resume needs
+        # the exact original computation.
+        self._adapted_cov64 = np.asarray(cov, dtype=np.float64).copy()
 
     def extra_resumable_state(self):
         """Tuned state outside the make_state contract: the adapted ellipse
@@ -444,6 +447,20 @@ class ESS(MCMCSampler):
             x0 = jnp.matmul(z, state.chol.T, precision="highest").reshape(
                 n_chains, *self.event_shape
             )
+        return super().sample(
+            x0, show_progress=show_progress,
+            time_limit_seconds=time_limit_seconds, key=krun,
+        )
+
+    def sample_continue(self, x0, show_progress: bool = True,
+                        time_limit_seconds=None, key=None, seed=None):
+        """Continuation entry: KEEP the carried positions (the per-call
+        prior redraw above is a run-entry quirk — repeating it at every
+        checkpoint-segment boundary would restart the chain from the prior
+        each segment). Key discipline mirrors :meth:`sample` (k0 drawn and
+        discarded) so segmented runs stay deterministic."""
+        key = self._key(key, seed)
+        _k0, krun = jax.random.split(key)
         return super().sample(
             x0, show_progress=show_progress,
             time_limit_seconds=time_limit_seconds, key=krun,

@@ -146,6 +146,17 @@ class DLMC(Sampler):
 
         return step
 
+    def sample_continue(self, x0, **kwargs) -> MCMCOutput:
+        """Continuation entry (checkpointed segments): skip the one-off init
+        gradient step (reference ``dlmc.py:73-78``) — repeating an
+        uncorrected drift at every segment boundary would perturb the
+        chain."""
+        self._skip_init_step = True
+        try:
+            return self.sample(x0, **kwargs)
+        finally:
+            self._skip_init_step = False
+
     def sample(self, x0, show_progress: bool = True, time_limit_seconds=None,
                key=None, seed=None) -> MCMCOutput:
         key = self._key(key, seed)
@@ -210,8 +221,13 @@ class DLMC(Sampler):
 
         # Initial update (``dlmc.py:58-61``)
         t0 = time.time()
-        x = x0 - tau * grad_nll(x0)
-        out.statistics.update_counters(n_target_calls=n_chains, n_target_gradient_calls=n_chains)
+        if getattr(self, "_skip_init_step", False):
+            # continuation (sample_continue): the one-off init gradient step
+            # already happened at the original run entry
+            x = x0
+        else:
+            x = x0 - tau * grad_nll(x0)
+            out.statistics.update_counters(n_target_calls=n_chains, n_target_gradient_calls=n_chains)
         out.statistics.update_elapsed_time(time.time() - t0)
 
         # Fused path: fixed-effort refits compile into the iteration scan

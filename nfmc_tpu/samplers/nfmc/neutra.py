@@ -162,6 +162,18 @@ class NeuTra(Sampler):
             time_limit_seconds=inner_limit, key=k_inner,
         )
 
+    def sample_continue(self, z0, **kwargs) -> MCMCOutput:
+        """Continuation entry (checkpointed segments): NeuTra's stored draws
+        (and hence ``last_sample``) are LATENT, so the carried state re-enters
+        as-is; bypass ``params.transport_x0`` (which would wrongly
+        forward-map a latent point as if it were data-space)."""
+        old = getattr(self.params, "transport_x0", False)
+        self.params.transport_x0 = False
+        try:
+            return self.sample(z0, **kwargs)
+        finally:
+            self.params.transport_x0 = old
+
     def sample(self, x0, show_progress: bool = True, time_limit_seconds=None,
                key=None, seed=None) -> MCMCOutput:
         key = self._key(key, seed)

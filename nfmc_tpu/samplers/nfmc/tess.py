@@ -319,6 +319,17 @@ class TESS(Sampler):
         out.kernel = self.kernel
         return out
 
+    def sample_continue(self, x, **kwargs) -> MCMCOutput:
+        """Continuation entry (checkpointed segments): ``x`` is the previous
+        segment's DATA-space last draw (TESS emits x = f^{-1}(u) while
+        carrying latent u — ``sample`` treats its input as latent), so map
+        it back through the flow forward before re-entering."""
+        flow = self.kernel.flow
+        u, _ = flow.bijection.forward_fn(
+            flow.params, jnp.asarray(x, dtype=jnp.float32)
+        )
+        return self.sample(u, **kwargs)
+
     def sample(self, x0, show_progress: bool = True, time_limit_seconds=None,
                key=None, seed=None) -> MCMCOutput:
         key = self._key(key, seed)

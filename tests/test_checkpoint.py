@@ -276,20 +276,22 @@ def test_front_door_resume_ess_keeps_tuned_ellipse(tmp_path, monkeypatch):
     out_a = nfmc_tpu.sample(**cfg)
     assert not os.path.exists(path + ".npz")
 
-    orig = ESS.sample
+    # segments after the first enter via sample_continue (the ESS prior
+    # redraw must happen exactly once per run) — crash the second segment
+    orig = ESS.sample_continue
     calls = {"n": 0}
 
     def crashing(self, *a, **k):
         calls["n"] += 1
-        if calls["n"] == 2:
+        if calls["n"] == 1:
             raise RuntimeError("boom")
         return orig(self, *a, **k)
 
-    monkeypatch.setattr(ESS, "sample", crashing)
+    monkeypatch.setattr(ESS, "sample_continue", crashing)
     with pytest.raises(RuntimeError, match="boom"):
         nfmc_tpu.sample(**cfg)
     assert os.path.exists(path + ".npz")
-    monkeypatch.setattr(ESS, "sample", orig)
+    monkeypatch.setattr(ESS, "sample_continue", orig)
     out_c = nfmc_tpu.sample(**cfg)  # resume skips warmup, restores ellipse
     assert not os.path.exists(path + ".npz")
     np.testing.assert_array_equal(
@@ -349,3 +351,30 @@ def test_sample_resumable_completed_checkpoint_rebuilds_output(tmp_path):
     assert out_b.statistics.n_attempted_trajectories == \
         out_a.statistics.n_attempted_trajectories
     np.testing.assert_array_equal(np.asarray(out_a.samples), np.asarray(out_b.samples))
+
+
+def test_sample_continue_entry_semantics(tmp_path):
+    """Samplers with run-entry quirks (TESS latent x0, DLMC init step,
+    NeuTra transport) continue cleanly across segments: segmented runs stay
+    finite and recover the standard-Gaussian moments."""
+    from nfmc_tpu.checkpoint import sample_resumable
+    from nfmc_tpu.samplers.nfmc import DLMC, TESS, NeuTraHMC
+
+    x0 = jax.random.normal(jax.random.key(0), (16, 5))
+    for name, build in (
+        ("tess", lambda: TESS((5,), standard_gaussian_potential,
+                              negative_log_likelihood=standard_gaussian_potential)),
+        ("dlmc", lambda: DLMC((5,), standard_gaussian_potential,
+                              negative_log_likelihood=standard_gaussian_potential)),
+        ("neutra", lambda: NeuTraHMC((5,), standard_gaussian_potential)),
+    ):
+        s = build()
+        s.params.n_iterations = 30
+        out = sample_resumable(s, x0, str(tmp_path / name),
+                               segment_iterations=10, seed=3,
+                               show_progress=False, save_samples=True)
+        draws = np.asarray(out.samples)
+        assert np.isfinite(draws).all(), name
+        assert out.running_samples.n_samples == 30, name
+        # crude sanity: segmented chains stay near the standard Gaussian
+        assert float(np.abs(np.asarray(out.mean)).max()) < 1.0, name
