@@ -378,3 +378,28 @@ def test_sample_continue_entry_semantics(tmp_path):
         assert out.running_samples.n_samples == 30, name
         # crude sanity: segmented chains stay near the standard Gaussian
         assert float(np.abs(np.asarray(out.mean)).max()) < 1.0, name
+
+
+def test_segmented_run_statistically_matches_unsegmented(tmp_path):
+    """Segmentation must be statistically transparent: a segmented MALA run
+    and a single-call run from the same start recover the same posterior
+    (different RNG schedules, so compare moments, not bits)."""
+    from nfmc_tpu.checkpoint import sample_resumable
+
+    x0 = jax.random.normal(jax.random.key(0), (64, 5))
+
+    def fresh():
+        s = MALA((5,), standard_gaussian_potential)
+        s.params.n_iterations = 400
+        return s
+
+    seg = sample_resumable(fresh(), x0, str(tmp_path / "seg"),
+                           segment_iterations=100, seed=11, show_progress=False)
+    whole = fresh().sample(x0, show_progress=False, seed=11)
+    m_seg = np.asarray(seg.statistics.running_second_moment)
+    m_whole = np.asarray(whole.statistics.running_second_moment)
+    # both should sit near the true second moment (1.0) within MC error
+    assert np.max(np.abs(m_seg - 1.0)) < 0.15
+    assert np.max(np.abs(m_seg - m_whole)) < 0.2
+    assert seg.statistics.n_attempted_trajectories == \
+        whole.statistics.n_attempted_trajectories

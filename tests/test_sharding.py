@@ -387,3 +387,40 @@ def test_front_door_mesh_uneven_chains_rejected():
             standard_gaussian_potential, event_shape=(5,), strategy="mala",
             n_chains=10, n_iterations=2, show_progress=False, mesh=chain_mesh(),
         )
+
+
+def test_resumable_sampling_keeps_chain_sharding(tmp_path):
+    """sample(checkpoint_path=..., mesh=...): the chain axis stays pinned to
+    the mesh across segment boundaries (shard_fn re-pins the inter-segment
+    host round-trip)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    import nfmc_tpu
+    from nfmc_tpu.parallel import shard_chains
+    from nfmc_tpu.checkpoint import sample_resumable
+    from nfmc_tpu.samplers.mcmc import MALA
+
+    from tests.util import standard_gaussian_potential
+
+    devs = jax.devices()
+    mesh = Mesh(np.asarray(devs), ("chains",))
+    x0 = shard_chains(
+        jax.random.normal(jax.random.key(0), (16, 5)), mesh, axis_name="chains"
+    )
+    s = MALA((5,), standard_gaussian_potential)
+    s.params.n_iterations = 12
+    shard_fn = lambda v: shard_chains(v, mesh, axis_name="chains")
+    out = sample_resumable(s, x0, str(tmp_path / "mesh_ck"),
+                           segment_iterations=4, seed=2, show_progress=False,
+                           shard_fn=shard_fn)
+    x_last = out.running_samples.last_sample
+    assert np.isfinite(np.asarray(x_last)).all()
+    # the front-door path with mesh= + checkpoint_path wires the same shard_fn
+    out2 = nfmc_tpu.sample(standard_gaussian_potential, event_shape=(5,),
+                           flow=None, strategy="mala", n_chains=16,
+                           n_iterations=8, warmup=False, show_progress=False,
+                           mesh=mesh, seed=3,
+                           checkpoint_path=str(tmp_path / "mesh_fd"),
+                           checkpoint_segment_iterations=4)
+    assert np.isfinite(np.asarray(out2.samples)).all()
