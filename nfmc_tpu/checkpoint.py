@@ -417,21 +417,22 @@ def sample_resumable(
         combined["stats_class"] = type(out.statistics).__name__
 
         last_seg_draws = None
-        if out.running_samples.n_samples > 0 and (
-            save_samples or i == n_segments - 1
-        ):
-            seg_draws = np.asarray(jax.device_get(out.running_samples.as_tensor()))
-            if save_samples:
-                tmp = _seg_samples_path(path, i) + ".tmp.npy"
-                np.save(tmp, seg_draws)
-                _os.replace(tmp, _seg_samples_path(path, i))
-                mem_blocks[i] = seg_draws
-                sample_segments.append(i)
-            else:
-                # final segment's draws ride in the npz so a completed-
-                # checkpoint rebuild returns the same output the normal
-                # path would (one segment's size, not the whole history)
-                last_seg_draws = seg_draws
+        rs = out.running_samples
+        if rs.n_samples > 0 and save_samples:
+            seg_draws = np.asarray(jax.device_get(rs.as_tensor()))
+            tmp = _seg_samples_path(path, i) + ".tmp.npy"
+            np.save(tmp, seg_draws)
+            _os.replace(tmp, _seg_samples_path(path, i))
+            mem_blocks[i] = seg_draws
+            sample_segments.append(i)
+        elif rs.n_samples > 0 and i == n_segments - 1 and not rs.on_device:
+            # final segment's draws ride in the npz (so a completed-
+            # checkpoint rebuild returns the same output the normal path
+            # would) ONLY when they are already host-resident and small —
+            # never force a bulk D2H or a huge npz just for this rare window
+            est_bytes = rs.n_samples * int(np.prod(rs.last_sample.shape)) * 4
+            if est_bytes <= 64 * 2**20:
+                last_seg_draws = np.asarray(rs.as_tensor())
 
         state = sampler_state(sampler, x, base_key)
         leaves, treedef = jax.tree_util.tree_flatten(state)

@@ -352,6 +352,10 @@ class MCMCSampler(Sampler):
             desc=desc,
         )
         self.kernel.sync_from_state(self._extract_mstate(mstate))
+        # Full final scan state (incl. auxiliary components the kernel-state
+        # contract doesn't carry, e.g. PT's hot-rung replica positions) — the
+        # continuation entry (``sample_continue``) re-seeds from it.
+        self._final_mstate = mstate
         out.kernel = self.kernel
         self._post_run(out)
         return out

@@ -242,6 +242,14 @@ class ParallelTempering(MCMCSampler):
     def _augment_state(self, ptstate: PTState, x0):
         T = self.kernel.n_temps
         xs = jnp.broadcast_to(x0[None], (T, *x0.shape))  # every rung starts at x0
+        hot = getattr(self, "_continue_hot", None)
+        if getattr(self, "_use_continue_hot", False) and hot is not None:
+            hot = jnp.asarray(hot, dtype=jnp.float32)
+            if hot.shape == xs[1:].shape:
+                # continuation (sample_continue): the hot replicas resume
+                # from where the previous segment left them instead of
+                # collapsing onto the cold state
+                xs = jnp.concatenate([x0[None], hot], axis=0)
         flat = xs.reshape(T * x0.shape[0], *self.event_shape)
         if self.use_grad:
             u, g = value_and_batched_grad(self.target)(flat)
@@ -481,6 +489,37 @@ class ParallelTempering(MCMCSampler):
         if self.move == "hmc":
             return 2 * self.kernel.n_leapfrog_steps * TC
         return 2 * TC if self.use_grad else 0
+
+
+    # ---- continuation / checkpoint hooks ----------------------------------
+    def sample_continue(self, x0, **kwargs):
+        """Continuation entry (checkpointed segments): re-seed the hot-rung
+        replica positions from the previous run's final scan state — the
+        plain entry collapses every rung onto ``x0``, which would restart the
+        hot chains' exploration at each segment boundary."""
+        st = getattr(self, "_final_mstate", None)
+        if st is not None:
+            self._continue_hot = st[1]  # xs_hot: (T-1, C, *event)
+        self._use_continue_hot = True
+        try:
+            return self.sample(x0, **kwargs)
+        finally:
+            self._use_continue_hot = False
+
+    def extra_resumable_state(self):
+        """Checkpoint hook: the hot-rung positions (PTState carries the
+        ladder/tuning scalars; replica positions live in the scan carry)."""
+        st = getattr(self, "_final_mstate", None)
+        hot = st[1] if st is not None else getattr(self, "_continue_hot", None)
+        if hot is None:
+            return {}
+        import jax as _jax
+
+        return {"pt_hot_rungs": np.asarray(_jax.device_get(hot))}
+
+    def restore_extra_resumable_state(self, state) -> None:
+        if "pt_hot_rungs" in state:
+            self._continue_hot = np.asarray(state["pt_hot_rungs"])
 
 
 class PTMALA(ParallelTempering):

@@ -293,18 +293,24 @@ class AdaptiveIMH(AbstractIMH):
     def name(self):
         return "Adaptive IMH"
 
-    def _adaptation_schedule(self, rng: np.random.Generator, start: int, chunk: int):
+    def _adaptation_schedule(self, rng: np.random.Generator, start: int,
+                             chunk: int, offset: int = 0):
         """Host-precomputed (do_fit, k_idx) for iterations [start, start+chunk):
         the adaptation decision (prob ``dropoff**i``) and the historical batch
-        index depend only on the absolute iteration index — ``n_samples`` at
-        iteration i is exactly i+1 — so the whole schedule is known before the
-        chunk runs. Draw order matches the host loop exactly (same rng
-        stream)."""
+        index depend only on the iteration index — ``n_samples`` at iteration
+        i is exactly i+1 — so the whole schedule is known before the chunk
+        runs. Draw order matches the host loop exactly (same rng stream).
+
+        ``offset`` shifts only the DROPOFF exponent: on a checkpointed
+        continuation the adaptation probability keeps decaying from where the
+        run left off, while batch indices stay local to this run's history
+        buffer (segments re-window the history — immaterial for the default
+        bounded train distributions, which draw recent batches)."""
         do_fit = np.zeros(chunk, dtype=bool)
         k_idx = np.zeros(chunk, dtype=np.int32)
         for j in range(chunk):
             i_abs = start + j
-            if rng.uniform() < self.params.adaptation_dropoff**i_abs:
+            if rng.uniform() < self.params.adaptation_dropoff ** (offset + i_abs):
                 n_samples = i_abs + 1
                 if self.params.train_distribution == "uniform":
                     k = int(rng.integers(0, n_samples))
@@ -315,6 +321,15 @@ class AdaptiveIMH(AbstractIMH):
                 do_fit[j] = True
                 k_idx[j] = k
         return do_fit, k_idx
+
+    def extra_resumable_state(self):
+        """Checkpoint hook: the absolute adaptation-schedule position."""
+        n = int(getattr(self, "_iters_done", 0))
+        return {} if n == 0 else {"imh_iters_done": np.int64(n)}
+
+    def restore_extra_resumable_state(self, state) -> None:
+        if "imh_iters_done" in state:
+            self._iters_done = int(state["imh_iters_done"])
 
     def _get_fused_runner(self, n_chains: int):
         """Whole-iteration scan step: accept + history write + (conditional)
@@ -376,6 +391,18 @@ class AdaptiveIMH(AbstractIMH):
             keepalive=(flow, flow.bijection, flow._base_log_prob_override, self.target),
         )
 
+    def sample_continue(self, x0, **kwargs) -> MCMCOutput:
+        """Continuation entry (checkpointed segments): the adaptation
+        schedule keeps decaying from the absolute iteration count instead of
+        resetting to refit-probability ~1 at every segment boundary. The
+        training history re-windows per segment (see
+        :meth:`_adaptation_schedule`)."""
+        self._continue_offset = int(getattr(self, "_iters_done", 0))
+        try:
+            return self.sample(x0, **kwargs)
+        finally:
+            self._continue_offset = 0
+
     def sample(self, x0, show_progress: bool = True, time_limit_seconds=None,
                key=None, seed=None) -> MCMCOutput:
         key = self._key(key, seed)
@@ -385,11 +412,14 @@ class AdaptiveIMH(AbstractIMH):
         n_chains = x0.shape[0]
         n_total = self.params.n_iterations
         event_size = int(np.prod(self.event_shape)) if self.event_shape else 1
+        offset = int(getattr(self, "_continue_offset", 0))
+        self._iters_done = offset + n_total  # absolute schedule position
 
         # Fused path unless the on-device history would be large.
         if n_total * n_chains * event_size <= self.history_element_limit:
             return self._sample_fused(x0, key, n_chains, n_total,
-                                      show_progress, time_limit_seconds)
+                                      show_progress, time_limit_seconds,
+                                      offset=offset)
 
         out = MCMCOutput(self.event_shape, store_samples=True,
                          on_device=getattr(self.params, 'store_samples_on_device', False))
@@ -433,7 +463,7 @@ class AdaptiveIMH(AbstractIMH):
             out.running_samples.add(x)
 
             # probabilistic adaptation on one stored historical batch
-            alpha_prime = self.params.adaptation_dropoff**i
+            alpha_prime = self.params.adaptation_dropoff ** (offset + i)
             if rng.uniform() < alpha_prime:
                 n_samples = out.running_samples.n_samples
                 if self.params.train_distribution == "uniform":
@@ -455,7 +485,7 @@ class AdaptiveIMH(AbstractIMH):
         return out
 
     def _sample_fused(self, x0, key, n_chains, n_total, show_progress,
-                      time_limit_seconds) -> MCMCOutput:
+                      time_limit_seconds, offset: int = 0) -> MCMCOutput:
         from ...core.driver import StatsAccum, chunk_schedule
 
         flow = self.kernel.flow
@@ -503,7 +533,8 @@ class AdaptiveIMH(AbstractIMH):
                 and out.statistics.elapsed_time_seconds >= time_limit_seconds
             ):
                 break
-            do_fit, k_idx = self._adaptation_schedule(rng, iters_done, chunk)
+            do_fit, k_idx = self._adaptation_schedule(rng, iters_done, chunk,
+                                                       offset=offset)
             t0 = time.time()
             params, x, flp, u, hist, acc, key = runner(
                 params, x, flp, u, hist, jnp.int32(iters_done), acc, key,

@@ -325,9 +325,12 @@ class TESS(Sampler):
         carrying latent u — ``sample`` treats its input as latent), so map
         it back through the flow forward before re-entering."""
         flow = self.kernel.flow
-        u, _ = flow.bijection.forward_fn(
-            flow.params, jnp.asarray(x, dtype=jnp.float32)
+        fwd = self._memo(
+            "continue_fwd", (id(flow.bijection),),
+            lambda: jax.jit(flow.bijection.forward_fn),
+            keepalive=(flow.bijection,),
         )
+        u, _ = fwd(flow.params, jnp.asarray(x, dtype=jnp.float32))
         return self.sample(u, **kwargs)
 
     def sample(self, x0, show_progress: bool = True, time_limit_seconds=None,
@@ -401,8 +404,18 @@ class TESS(Sampler):
             keepalive=(flow.bijection, flow._base_log_prob_override,
                        self.negative_log_likelihood),
         )
+        # memoized: a fresh jax.jit per sample() call re-traces the flow
+        # inverse every segment of a checkpointed run (CLAUDE.md convention)
+        init_jit = self._memo(
+            "tess_init",
+            (max_iter, id(flow.bijection), id(flow._base_log_prob_override),
+             cov_token, id(self.negative_log_likelihood)),
+            lambda: jax.jit(tess_init),
+            keepalive=(flow.bijection, flow._base_log_prob_override,
+                       self.negative_log_likelihood),
+        )
         t0 = time.time()
-        lp0, x0_data = jax.jit(tess_init)(flow.params, u0)
+        lp0, x0_data = init_jit(flow.params, u0)
         out.statistics.update_elapsed_time(time.time() - t0)
         driver.run(
             x0_data,

@@ -403,3 +403,95 @@ def test_segmented_run_statistically_matches_unsegmented(tmp_path):
     assert np.max(np.abs(m_seg - m_whole)) < 0.2
     assert seg.statistics.n_attempted_trajectories == \
         whole.statistics.n_attempted_trajectories
+
+
+def test_pt_continuation_carries_hot_rungs(tmp_path):
+    """PT's hot replica positions live in the scan carry, not PTState; the
+    continuation protocol must carry them through crash/resume bit-exactly
+    (the plain entry collapses every rung onto the cold state)."""
+    from nfmc_tpu.checkpoint import sample_resumable
+    from nfmc_tpu.samplers.mcmc import PTMALA
+
+    x0 = jax.random.normal(jax.random.key(0), (8, 5))
+
+    def fresh():
+        s = PTMALA((5,), standard_gaussian_potential)
+        s.params.n_iterations = 12
+        return s
+
+    out_a = sample_resumable(fresh(), x0, str(tmp_path / "pa"),
+                             segment_iterations=4, seed=13, show_progress=False)
+    crash = fresh()
+    orig = crash.sample_continue
+    state = {"n": 0}
+
+    def crashing(*a, **k):
+        if state["n"] == 1:
+            raise RuntimeError("boom")
+        state["n"] += 1
+        return orig(*a, **k)
+
+    crash.sample_continue = crashing
+    try:
+        sample_resumable(crash, x0, str(tmp_path / "pb"),
+                         segment_iterations=4, seed=13, show_progress=False)
+    except RuntimeError:
+        pass
+    # the crash checkpoint carries the hot rungs
+    data = np.load(str(tmp_path / "pb") + ".npz")
+    assert any(k.startswith("extra__pt_hot_rungs") for k in data.files)
+    out_c = sample_resumable(fresh(), x0, str(tmp_path / "pb"),
+                             segment_iterations=4, seed=13, show_progress=False)
+    np.testing.assert_array_equal(
+        np.asarray(out_a.running_samples.last_sample),
+        np.asarray(out_c.running_samples.last_sample),
+    )
+
+
+def test_adaptive_imh_schedule_survives_resume(tmp_path):
+    """AdaptiveIMH's refit probability decays with the ABSOLUTE iteration
+    index across segments and resumes (no per-segment reset to ~1)."""
+    from nfmc_tpu.checkpoint import sample_resumable
+    from nfmc_tpu.flows import Flow, RealNVP
+    from nfmc_tpu.samplers.nfmc import AdaptiveIMH
+    from nfmc_tpu.samplers.nfmc.imh import IMHKernel
+
+    x0 = jax.random.normal(jax.random.key(0), (4, 5))
+
+    def fresh():
+        # explicit flow seed: AdaptiveIMH refits the flow, so bit-exact
+        # cross-run comparison needs identical hidden-layer inits (a default
+        # flow seeds from the global stream, different per construction)
+        s = AdaptiveIMH((5,), standard_gaussian_potential,
+                        kernel=IMHKernel((5,), flow=Flow(RealNVP((5,)), seed=123)))
+        s.params.n_iterations = 12
+        return s
+
+    out_a = sample_resumable(fresh(), x0, str(tmp_path / "ia"),
+                             segment_iterations=4, seed=17, show_progress=False)
+    crash = fresh()
+    orig = crash.sample_continue
+    state = {"n": 0}
+
+    def crashing(*a, **k):
+        if state["n"] == 1:
+            raise RuntimeError("boom")
+        state["n"] += 1
+        return orig(*a, **k)
+
+    crash.sample_continue = crashing
+    try:
+        sample_resumable(crash, x0, str(tmp_path / "ib"),
+                         segment_iterations=4, seed=17, show_progress=False)
+    except RuntimeError:
+        pass
+    data = np.load(str(tmp_path / "ib") + ".npz")
+    assert any(k.startswith("extra__imh_iters_done") for k in data.files)
+    resumed = fresh()
+    out_c = sample_resumable(resumed, x0, str(tmp_path / "ib"),
+                             segment_iterations=4, seed=17, show_progress=False)
+    np.testing.assert_array_equal(
+        np.asarray(out_a.running_samples.last_sample),
+        np.asarray(out_c.running_samples.last_sample),
+    )
+    assert resumed._iters_done == 12  # absolute schedule position at the end

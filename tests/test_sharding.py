@@ -410,12 +410,20 @@ def test_resumable_sampling_keeps_chain_sharding(tmp_path):
     )
     s = MALA((5,), standard_gaussian_potential)
     s.params.n_iterations = 12
-    shard_fn = lambda v: shard_chains(v, mesh, axis_name="chains")
+    pinned = []
+
+    def shard_fn(v):
+        v = shard_chains(v, mesh, axis_name="chains")
+        pinned.append(len(v.sharding.device_set))
+        return v
+
     out = sample_resumable(s, x0, str(tmp_path / "mesh_ck"),
                            segment_iterations=4, seed=2, show_progress=False,
                            shard_fn=shard_fn)
     x_last = out.running_samples.last_sample
     assert np.isfinite(np.asarray(x_last)).all()
+    # the re-pin actually ran at every segment boundary and spans the mesh
+    assert len(pinned) == 3 and all(p == len(devs) for p in pinned)
     # the front-door path with mesh= + checkpoint_path wires the same shard_fn
     out2 = nfmc_tpu.sample(standard_gaussian_potential, event_shape=(5,),
                            flow=None, strategy="mala", n_chains=16,
