@@ -300,7 +300,9 @@ def sample_resumable(
 
     The checkpoint stays on disk after completion so a crash in the caller's
     hands cannot lose the run: a re-invocation rebuilds the completed output
-    from it. Delete with :func:`discard_resumable_checkpoint` (the front
+    from it (with ``save_samples=False`` the rebuilt output carries the final
+    segment's draws only when they were small — 64 MB host-resident / 8 MB
+    on-device — and otherwise returns statistics without stored draws). Delete with :func:`discard_resumable_checkpoint` (the front
     door does this automatically on success). Thinning/max-samples policies
     apply per segment.
     """
@@ -425,14 +427,17 @@ def sample_resumable(
             _os.replace(tmp, _seg_samples_path(path, i))
             mem_blocks[i] = seg_draws
             sample_segments.append(i)
-        elif rs.n_samples > 0 and i == n_segments - 1 and not rs.on_device:
+        elif rs.n_samples > 0 and i == n_segments - 1:
             # final segment's draws ride in the npz (so a completed-
             # checkpoint rebuild returns the same output the normal path
-            # would) ONLY when they are already host-resident and small —
-            # never force a bulk D2H or a huge npz just for this rare window
+            # would) ONLY when they are small: 64 MB host-resident, 8 MB
+            # when a D2H fetch is needed (on-device storage over a thin
+            # tunnel costs ~2 s/MB) — beyond that the rebuild omits draws
+            # (documented caveat)
             est_bytes = rs.n_samples * int(np.prod(rs.last_sample.shape)) * 4
-            if est_bytes <= 64 * 2**20:
-                last_seg_draws = np.asarray(rs.as_tensor())
+            cap = (8 if rs.on_device else 64) * 2**20
+            if est_bytes <= cap:
+                last_seg_draws = np.asarray(jax.device_get(rs.as_tensor()))
 
         state = sampler_state(sampler, x, base_key)
         leaves, treedef = jax.tree_util.tree_flatten(state)

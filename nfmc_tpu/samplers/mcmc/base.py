@@ -352,10 +352,13 @@ class MCMCSampler(Sampler):
             desc=desc,
         )
         self.kernel.sync_from_state(self._extract_mstate(mstate))
-        # Full final scan state (incl. auxiliary components the kernel-state
-        # contract doesn't carry, e.g. PT's hot-rung replica positions) — the
-        # continuation entry (``sample_continue``) re-seeds from it.
-        self._final_mstate = mstate
+        if getattr(self, "_continue_needs_final_state", False):
+            # Full final scan state (auxiliary components the kernel-state
+            # contract doesn't carry, e.g. PT's hot-rung replica positions) —
+            # the continuation entry (``sample_continue``) re-seeds from it.
+            # Opt-in: keeping the whole carry alive pins potentially large
+            # device buffers (PT: all rungs' positions + gradient caches).
+            self._final_mstate = mstate
         out.kernel = self.kernel
         self._post_run(out)
         return out

@@ -245,11 +245,19 @@ class ParallelTempering(MCMCSampler):
         hot = getattr(self, "_continue_hot", None)
         if getattr(self, "_use_continue_hot", False) and hot is not None:
             hot = jnp.asarray(hot, dtype=jnp.float32)
-            if hot.shape == xs[1:].shape:
-                # continuation (sample_continue): the hot replicas resume
-                # from where the previous segment left them instead of
-                # collapsing onto the cold state
-                xs = jnp.concatenate([x0[None], hot], axis=0)
+            if hot.shape != xs[1:].shape:
+                # silently collapsing onto the cold state would claim
+                # continuation semantics while restarting every hot chain
+                raise ValueError(
+                    f"PT continuation hot-rung state has shape {hot.shape} "
+                    f"but this run needs {tuple(xs[1:].shape)} — was the "
+                    "ladder (n_temps) or chain count changed since the "
+                    "checkpoint?"
+                )
+            # continuation (sample_continue): the hot replicas resume from
+            # where the previous segment left them instead of collapsing
+            # onto the cold state
+            xs = jnp.concatenate([x0[None], hot], axis=0)
         flat = xs.reshape(T * x0.shape[0], *self.event_shape)
         if self.use_grad:
             u, g = value_and_batched_grad(self.target)(flat)
@@ -492,6 +500,8 @@ class ParallelTempering(MCMCSampler):
 
 
     # ---- continuation / checkpoint hooks ----------------------------------
+    _continue_needs_final_state = True  # base _run keeps the final scan carry
+
     def sample_continue(self, x0, **kwargs):
         """Continuation entry (checkpointed segments): re-seed the hot-rung
         replica positions from the previous run's final scan state — the
@@ -513,13 +523,15 @@ class ParallelTempering(MCMCSampler):
         hot = st[1] if st is not None else getattr(self, "_continue_hot", None)
         if hot is None:
             return {}
-        import jax as _jax
-
-        return {"pt_hot_rungs": np.asarray(_jax.device_get(hot))}
+        return {"pt_hot_rungs": np.asarray(jax.device_get(hot))}
 
     def restore_extra_resumable_state(self, state) -> None:
         if "pt_hot_rungs" in state:
             self._continue_hot = np.asarray(state["pt_hot_rungs"])
+            # drop any stale in-process carry: a same-process retry after a
+            # failed checkpoint write must resume from the RESTORED rungs
+            # (consistent with the checkpoint's cold x), not a newer carry
+            self._final_mstate = None
 
 
 class PTMALA(ParallelTempering):

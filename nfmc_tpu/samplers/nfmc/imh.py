@@ -304,8 +304,12 @@ class AdaptiveIMH(AbstractIMH):
         ``offset`` shifts only the DROPOFF exponent: on a checkpointed
         continuation the adaptation probability keeps decaying from where the
         run left off, while batch indices stay local to this run's history
-        buffer (segments re-window the history — immaterial for the default
-        bounded train distributions, which draw recent batches)."""
+        buffer. Segments re-window the history: with the DEFAULT
+        ``train_distribution='uniform'`` an unsegmented run draws training
+        batches over all past iterations while a continuation draws only
+        within the current segment (a recency bias — a documented deviation);
+        the bounded distributions draw recent batches anyway, so for them the
+        re-window is immaterial."""
         do_fit = np.zeros(chunk, dtype=bool)
         k_idx = np.zeros(chunk, dtype=np.int32)
         for j in range(chunk):
@@ -413,7 +417,6 @@ class AdaptiveIMH(AbstractIMH):
         n_total = self.params.n_iterations
         event_size = int(np.prod(self.event_shape)) if self.event_shape else 1
         offset = int(getattr(self, "_continue_offset", 0))
-        self._iters_done = offset + n_total  # absolute schedule position
 
         # Fused path unless the on-device history would be large.
         if n_total * n_chains * event_size <= self.history_element_limit:
@@ -442,12 +445,14 @@ class AdaptiveIMH(AbstractIMH):
         u_x = self.target(x)
         out.statistics.update_elapsed_time(time.time() - t0)
 
+        completed = 0
         for i in tqdm(range(self.params.n_iterations), desc=self.name, disable=not show_progress):
             if (
                 time_limit_seconds is not None
                 and out.statistics.elapsed_time_seconds >= time_limit_seconds
             ):
                 break
+            completed = i + 1
             t0 = time.time()
             key, k_step = jax.random.split(key)
             x, flp_x, u_x, mask, diverged = accept_step(flow.params, x, flp_x, u_x, k_step)
@@ -481,6 +486,9 @@ class AdaptiveIMH(AbstractIMH):
                     flow.load_state_dict(flow_weights)
             out.statistics.update_elapsed_time(time.time() - t0)
 
+        # absolute adaptation-schedule position: only ACTUALLY completed
+        # iterations count (a time-limit break must not skip ahead)
+        self._iters_done = offset + completed
         out.kernel = self.kernel
         return out
 
@@ -562,6 +570,7 @@ class AdaptiveIMH(AbstractIMH):
             flush(jax.device_get(acc), unflushed)
         if iters_done:
             out.running_samples.add(hist[:iters_done])
+        self._iters_done = offset + iters_done  # actual completed count
         flow.params = params
         out.kernel = self.kernel
         return out
