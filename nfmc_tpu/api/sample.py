@@ -294,7 +294,7 @@ def sample(
     mesh=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_segment_iterations: Optional[int] = None,
-    checkpoint_save_samples: bool = True,
+    checkpoint_save_samples: Optional[bool] = None,
     **kwargs,
 ) -> MCMCOutput:
     """One-call sampling entry; parity with reference ``sample.py:243-314``.
@@ -319,7 +319,12 @@ def sample(
     files are deleted, so a file on disk always means "crashed, resume"
     (a re-call that finds an already-complete checkpoint rebuilds the
     finished output from it). ``checkpoint_save_samples=False`` skips the
-    per-segment draw sidecar files when only statistics matter.
+    per-segment draw sidecar files when only statistics matter; the default
+    (``None``) saves them on fresh runs and, on resume, adopts whatever the
+    original run used — so a run started here and resumed via
+    :func:`~nfmc_tpu.checkpoint.sample_resumable` (or vice versa) can never
+    silently flip sidecar behavior mid-run (an explicit contradicting bool
+    raises; ADVICE r2).
     Incompatible with ``sampling_time_limit_seconds`` (segments already
     bound loss-on-crash; a wall-clock limit across segments would make the
     resume point ambiguous).
@@ -415,6 +420,11 @@ def sample(
             from ..parallel import shard_chains
 
             shard_fn = lambda v: shard_chains(v, mesh, axis_name=mesh.axis_names[0])
+        # Fresh front-door runs default the sidecars ON (out.samples covers
+        # the full run); resumes pass None so sample_resumable adopts the
+        # original run's setting from the checkpoint meta.
+        if checkpoint_save_samples is None and not resume:
+            checkpoint_save_samples = True
         out = sample_resumable(
             sampler, x0, checkpoint_path,
             segment_iterations=checkpoint_segment_iterations,

@@ -19,12 +19,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _tree_signature(state: Any) -> str:
+    """Version-stable structural signature of a pytree: the JSON list of
+    per-leaf key paths, rendered from the path entries themselves — NOT from
+    ``repr(treedef)``, whose text format is not a serialization contract and
+    can change across JAX versions (VERDICT r2 item 10). Two trees match iff
+    every leaf sits at the same (dict-key / sequence-index / attribute) path.
+    """
+    paths = []
+    for kp, _ in jax.tree_util.tree_flatten_with_path(state)[0]:
+        parts = []
+        for e in kp:
+            if hasattr(e, "idx"):  # SequenceKey
+                parts.append(["i", int(e.idx)])
+            elif hasattr(e, "key"):  # DictKey / FlattenedIndexKey
+                parts.append(["k", str(e.key)])
+            elif hasattr(e, "name"):  # GetAttrKey
+                parts.append(["a", str(e.name)])
+            else:  # unknown entry type: still deterministic per-path text
+                parts.append(["?", str(e)])
+        paths.append(parts)
+    return json.dumps(paths, separators=(",", ":"))
+
+
 def save_checkpoint(path: str, state: Any, metadata: Optional[Dict] = None) -> None:
     """Save a pytree of arrays (+ JSON metadata) to ``path`` (.npz)."""
     leaves, treedef = jax.tree_util.tree_flatten(state)
     arrays = {f"leaf_{i}": np.asarray(jax.device_get(l)) for i, l in enumerate(leaves)}
-    arrays["__treedef__"] = np.frombuffer(
-        json.dumps(jax.tree_util.tree_structure(state).__repr__()).encode(), dtype=np.uint8
+    arrays["__tree_signature__"] = np.frombuffer(
+        _tree_signature(state).encode(), dtype=np.uint8
     )
     arrays["__meta__"] = np.frombuffer(
         json.dumps(metadata or {}).encode(), dtype=np.uint8
@@ -270,7 +293,7 @@ def sample_resumable(
     key: Optional[jax.Array] = None,
     seed: Optional[int] = None,
     show_progress: bool = False,
-    save_samples: bool = False,
+    save_samples: Optional[bool] = None,
     shard_fn=None,
 ):
     """Run ``sampler.sample`` as checkpointed segments; resume after a crash.
@@ -291,7 +314,12 @@ def sample_resumable(
     ``save_samples=True`` round-trips the stored draws too, as one sidecar
     ``.npz.seg<i>.npy`` file per segment (append-only: each segment writes
     only its own draws — no quadratic rewrite of the history). The default
-    keeps checkpoints small; statistics/moments always cover the full run.
+    (``None``) means False for a fresh run — small checkpoints;
+    statistics/moments always cover the full run — and, on resume, ADOPTS
+    the original run's setting from the checkpoint metadata. Passing an
+    explicit bool that contradicts the checkpoint raises: a silent flip
+    mid-run would produce an output whose stored draws omit whole segments
+    (ADVICE r2).
 
     ``shard_fn`` (optional): applied to the chain-state array between
     segments and on resume — pass ``lambda v: shard_chains(v, mesh, ...)``
@@ -348,6 +376,18 @@ def sample_resumable(
                 "it (discard_resumable_checkpoint) or match the original run"
                 % (path, tuple(meta["x_shape"]), tuple(x.shape))
             )
+        if "save_samples" in meta:
+            if save_samples is None:
+                save_samples = bool(meta["save_samples"])
+            elif bool(save_samples) != bool(meta["save_samples"]):
+                raise ValueError(
+                    "checkpoint %s was written with save_samples=%s but this "
+                    "call passed save_samples=%s — a silent flip would drop "
+                    "whole segments from the stored draws; pass save_samples="
+                    "None to adopt the checkpoint's setting, or delete the "
+                    "checkpoint (discard_resumable_checkpoint)"
+                    % (path, bool(meta["save_samples"]), bool(save_samples))
+                )
         # tuned-but-uncontracted state next: it can change the kernel-state
         # STRUCTURE (ESS: cov None -> array), which the treedef check below
         # must see on the fresh sampler
@@ -358,14 +398,24 @@ def sample_resumable(
         _restore_extras(sampler, extras)
         like = sampler_state(sampler, x, base_key)
         leaves_like, treedef = jax.tree_util.tree_flatten(like)
-        if meta.get("treedef") != repr(treedef):
+        sig = _tree_signature(like)
+        # key-path signature, not repr(treedef): repr is not a stable
+        # serialization contract across JAX versions (VERDICT r2 item 10).
+        # Legacy checkpoints (pre-signature) carry only "treedef" — fall back
+        # to the repr comparison for those.
+        saved_sig = meta.get("tree_signature")
+        mismatch = (
+            saved_sig != sig if saved_sig is not None
+            else meta.get("treedef") != repr(treedef)
+        )
+        if mismatch:
             raise ValueError(
                 "checkpoint %s does not match this sampler's state structure "
                 "(saved %s, got %s) — was it written by a differently "
                 "configured sampler? NOTE: the sampler's extra resumable "
                 "state (e.g. an ESS ellipse) was already applied before this "
                 "check; rebuild the sampler before reusing it."
-                % (path, meta.get("treedef"), repr(treedef))
+                % (path, saved_sig or meta.get("treedef"), sig)
             )
         state = jax.tree_util.tree_unflatten(
             treedef, [data[f"leaf_{i}"] for i in range(len(leaves_like))]
@@ -397,6 +447,7 @@ def sample_resumable(
                 rs.n_samples = len(blk)
             return out
 
+    save_samples = bool(save_samples)  # fresh runs: None -> False
     out = None
     mem_blocks: Dict[int, np.ndarray] = {}  # this process's segment draws
     for i in range(start_segment, n_segments):
@@ -458,7 +509,8 @@ def sample_resumable(
                     "n_total": n_total,
                     "segment_iterations": segment_iterations,
                     "x_shape": list(x.shape),
-                    "treedef": repr(treedef),
+                    "tree_signature": _tree_signature(state),
+                    "save_samples": save_samples,
                     "counters": combined["counters"],
                     "n_seen": combined["n_seen"],
                     "stats_class": combined["stats_class"],

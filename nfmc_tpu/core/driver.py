@@ -149,6 +149,76 @@ def chunk_schedule(n_iterations: int, max_chunk: int = 128):
         remaining -= size
 
 
+def run_chunk_loop(
+    n_iterations: int,
+    *,
+    dispatch: Callable[[int, int], object],
+    stats,
+    flush: Callable[[int], None],
+    time_limit_seconds: Optional[float] = None,
+    show_progress: bool = False,
+    desc: str = "MCMC",
+    sync_max_chunk: int = 128,
+    max_chunk: Optional[int] = None,
+    postfix: Optional[Callable[[], str]] = None,
+) -> int:
+    """THE chunk-loop policy — pipelining, chunk-size growth, time limits,
+    elapsed-time accounting, progress flushes — shared by every chunked
+    runner (``ChunkedScanDriver.run``, ``JumpNFMC._sample_fused``,
+    ``AdaptiveIMH._sample_fused``). One implementation so a policy change
+    cannot silently skew walls or time limits in one copy (VERDICT r2 item 7).
+
+    ``dispatch(chunk_len, iters_done)`` launches one compiled chunk (carrying
+    its own state via closure) and returns a device value to block on.
+    ``flush(unflushed_iters)`` fetches the device accumulators, folds them
+    into ``stats``, and RESETS them (called per chunk under a live progress
+    bar, once at the end otherwise). ``stats`` provides
+    ``elapsed_time_seconds`` / ``update_elapsed_time``.
+
+    Policy (mirrors the tunneled-device economics documented on
+    :meth:`ChunkedScanDriver.run`): without a time limit or live bar, chunks
+    are dispatched asynchronously (pipelined) with ONE final sync; otherwise
+    each chunk blocks so elapsed-time accounting (and limits) see real work.
+    Default max chunk: 1024 pipelined (amortizes per-dispatch latency),
+    ``sync_max_chunk`` otherwise (time-limit granularity).
+
+    Returns the number of iterations completed (a time limit may stop early).
+    """
+    pipelined = time_limit_seconds is None and not show_progress
+    if max_chunk is None:
+        max_chunk = 1024 if pipelined else sync_max_chunk
+    iters_done = 0
+    unflushed = 0
+    token = None
+    run_t0 = time.time()
+    pbar = tqdm(total=n_iterations, desc=desc, disable=not show_progress)
+    for chunk in chunk_schedule(n_iterations, max_chunk=max_chunk):
+        if (
+            time_limit_seconds is not None
+            and stats.elapsed_time_seconds >= time_limit_seconds
+        ):
+            break
+        t0 = time.time()
+        token = dispatch(chunk, iters_done)
+        if not pipelined:
+            jax.block_until_ready(token)
+            stats.update_elapsed_time(time.time() - t0)
+        iters_done += chunk
+        unflushed += chunk
+        pbar.update(chunk)
+        if show_progress:
+            flush(unflushed)
+            unflushed = 0
+            pbar.set_postfix_str(postfix() if postfix is not None else f"{stats}")
+    pbar.close()
+    if pipelined and token is not None:
+        jax.block_until_ready(token)
+        stats.update_elapsed_time(time.time() - run_t0)
+    if unflushed:
+        flush(unflushed)
+    return iters_done
+
+
 class ChunkedScanDriver:
     """Runs `step_fn` for N iterations as jitted scan chunks with host control.
 
@@ -280,19 +350,31 @@ class ChunkedScanDriver:
         full pipelining applies with on-device storage or no storage.
         """
         runner = self._runner(tuning, collect)
-        pipelined = time_limit_seconds is None and not show_progress
-        if max_chunk is None:
-            # Default policy: 1024 for pipelined runs (larger chunks amortize
-            # per-dispatch latency; no time-limit granularity to honor; one
-            # compile per new size), 128 otherwise. An explicit caller value —
-            # e.g. to bound the (chunk, C, *event) emit buffer — is respected.
-            max_chunk = 1024 if pipelined else 128
         # Copy: chunk runners donate their carry buffers; never consume the
         # caller's x0 storage.
-        x = jnp.array(x0, dtype=jnp.float32, copy=True)
-        n_chains = x.shape[0]
+        st = {
+            "x": jnp.array(x0, dtype=jnp.float32, copy=True),
+            "kstate": kstate,
+            "key": key,
+            "acc": StatsAccum.zeros(self.event_shape),
+        }
+        n_chains = st["x"].shape[0]
 
-        def flush(acc_host, iters):
+        def dispatch(chunk, _iters_done):
+            x, ks, acc, k, ys = runner(st["x"], st["kstate"], st["acc"], st["key"], chunk)
+            st.update(x=x, kstate=ks, acc=acc, key=k)
+            if samples is not None:
+                if collect:
+                    samples.add(ys)
+                elif self.emit_transform is not None:
+                    samples.add(self.emit_transform(x))
+                else:
+                    samples.add(x)
+            return x
+
+        def flush(iters):
+            acc_host = jax.device_get(st["acc"])
+            st["acc"] = StatsAccum.zeros(self.event_shape)
             stats.update_counters(
                 n_accepted_trajectories=int(acc_host.n_accepted),
                 n_attempted_trajectories=iters * n_chains,
@@ -302,45 +384,22 @@ class ChunkedScanDriver:
             )
             stats.update_moments_from_sums(acc_host.sum_x, acc_host.sum_x2, iters * n_chains)
 
-        acc = StatsAccum.zeros(self.event_shape)
-        iters_done = 0
-        run_t0 = time.time()
-        pbar = tqdm(total=n_iterations, desc=desc, disable=not show_progress)
-        for chunk in chunk_schedule(n_iterations, max_chunk=max_chunk):
-            if (
-                time_limit_seconds is not None
-                and stats.elapsed_time_seconds > time_limit_seconds
-            ):
-                break
-            t0 = time.time()
-            x, kstate, acc, key, ys = runner(x, kstate, acc, key, chunk)
-            if not pipelined:
-                # Block so elapsed-time accounting (and time limits) see real
-                # work; pipelined runs sync once after the loop instead.
-                jax.block_until_ready(x)
-            iters_done += chunk
-            if samples is not None:
-                if collect:
-                    samples.add(ys)
-                elif self.emit_transform is not None:
-                    samples.add(self.emit_transform(x))
-                else:
-                    samples.add(x)
-            if not pipelined:
-                stats.update_elapsed_time(time.time() - t0)
-            if show_progress:
-                flush(jax.device_get(acc), iters_done)
-                acc = StatsAccum.zeros(self.event_shape)
-                iters_done = 0
-                pbar.update(chunk)
-                postfix = f"{stats}"
-                if kernel_repr is not None:
-                    postfix += f" | {kernel_repr(kstate)}"
-                pbar.set_postfix_str(postfix)
-        pbar.close()
-        if pipelined:
-            jax.block_until_ready(x)
-            stats.update_elapsed_time(time.time() - run_t0)
-        if iters_done:
-            flush(jax.device_get(acc), iters_done)
-        return x, kstate
+        def postfix():
+            s = f"{stats}"
+            if kernel_repr is not None:
+                s += f" | {kernel_repr(st['kstate'])}"
+            return s
+
+        run_chunk_loop(
+            n_iterations,
+            dispatch=dispatch,
+            stats=stats,
+            flush=flush,
+            time_limit_seconds=time_limit_seconds,
+            show_progress=show_progress,
+            desc=desc,
+            sync_max_chunk=128,
+            max_chunk=max_chunk,
+            postfix=postfix,
+        )
+        return st["x"], st["kstate"]

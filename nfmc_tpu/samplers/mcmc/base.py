@@ -353,15 +353,22 @@ class MCMCSampler(Sampler):
         )
         self.kernel.sync_from_state(self._extract_mstate(mstate))
         if getattr(self, "_continue_needs_final_state", False):
-            # Full final scan state (auxiliary components the kernel-state
-            # contract doesn't carry, e.g. PT's hot-rung replica positions) —
-            # the continuation entry (``sample_continue``) re-seeds from it.
-            # Opt-in: keeping the whole carry alive pins potentially large
-            # device buffers (PT: all rungs' positions + gradient caches).
-            self._final_mstate = mstate
+            # Final scan state the kernel-state contract doesn't carry (e.g.
+            # PT's hot-rung replica positions) — the continuation entry
+            # (``sample_continue``) re-seeds from it. Samplers override
+            # ``_stash_final_carry`` to keep only the components continuation
+            # actually consumes, so the stash doesn't pin the whole carry's
+            # device buffers for the sampler's lifetime (ADVICE r2).
+            self._stash_final_carry(mstate)
         out.kernel = self.kernel
         self._post_run(out)
         return out
+
+    def _stash_final_carry(self, mstate) -> None:
+        """Store the final scan carry for ``sample_continue``. Default keeps
+        everything; samplers whose carry holds large caches should keep only
+        what continuation needs (see ``ParallelTempering``)."""
+        self._final_mstate = mstate
 
 
 class MetropolisSampler(MCMCSampler):

@@ -500,7 +500,15 @@ class ParallelTempering(MCMCSampler):
 
 
     # ---- continuation / checkpoint hooks ----------------------------------
-    _continue_needs_final_state = True  # base _run keeps the final scan carry
+    _continue_needs_final_state = True  # base _run stashes via _stash_final_carry
+
+    def _stash_final_carry(self, mstate) -> None:
+        """Keep ONLY the hot-rung replica positions (``mstate[1]``) —
+        everything continuation/checkpointing consumes. Stashing the full
+        carry would pin every rung's potential/gradient caches
+        ((T,C) + (T,C,*event) device buffers) for the sampler's lifetime
+        (ADVICE r2). The tuple shape matches the consumers' ``st[1]``."""
+        self._final_mstate = (None, mstate[1])
 
     def sample_continue(self, x0, **kwargs):
         """Continuation entry (checkpointed segments): re-seed the hot-rung

@@ -494,7 +494,7 @@ class AdaptiveIMH(AbstractIMH):
 
     def _sample_fused(self, x0, key, n_chains, n_total, show_progress,
                       time_limit_seconds, offset: int = 0) -> MCMCOutput:
-        from ...core.driver import StatsAccum, chunk_schedule
+        from ...core.driver import StatsAccum, run_chunk_loop
 
         flow = self.kernel.flow
         out = MCMCOutput(self.event_shape, store_samples=True,
@@ -505,15 +505,37 @@ class AdaptiveIMH(AbstractIMH):
         runner = self._get_fused_runner(n_chains)
 
         t0 = time.time()
-        params = flow.params
-        x = jnp.array(x0, copy=True)
-        flp = flow.log_prob_fn(params, x)
-        u = self.target(x)
-        hist = jnp.zeros((n_total, n_chains, *self.event_shape), dtype=jnp.float32)
-        acc = StatsAccum.zeros(self.event_shape)
+        st = {
+            "params": flow.params,
+            "x": jnp.array(x0, copy=True),
+            "hist": jnp.zeros((n_total, n_chains, *self.event_shape),
+                              dtype=jnp.float32),
+            "key": key,
+            "acc": StatsAccum.zeros(self.event_shape),
+        }
+        st["flp"] = flow.log_prob_fn(st["params"], st["x"])
+        st["u"] = self.target(st["x"])
         out.statistics.update_elapsed_time(time.time() - t0)
 
-        def flush(acc_host, iters):
+        # The pipelining / chunk-size / time-limit policy lives in ONE place —
+        # core.driver.run_chunk_loop — shared with ChunkedScanDriver.run and
+        # JumpNFMC._sample_fused. The carry here (flow params + draw history)
+        # threads through the dispatch closure.
+        def dispatch(chunk, iters_done):
+            do_fit, k_idx = self._adaptation_schedule(rng, iters_done, chunk,
+                                                      offset=offset)
+            params, x, flp, u, hist, acc, k = runner(
+                st["params"], st["x"], st["flp"], st["u"], st["hist"],
+                jnp.int32(iters_done), st["acc"], st["key"],
+                jnp.asarray(do_fit), jnp.asarray(k_idx), chunk,
+            )
+            st.update(params=params, x=x, flp=flp, u=u, hist=hist, acc=acc,
+                      key=k)
+            return x
+
+        def flush(iters):
+            acc_host = jax.device_get(st["acc"])
+            st["acc"] = StatsAccum.zeros(self.event_shape)
             out.statistics.update_counters(
                 n_accepted_trajectories=int(acc_host.n_accepted),
                 n_attempted_trajectories=iters * n_chains,
@@ -526,48 +548,17 @@ class AdaptiveIMH(AbstractIMH):
                 acc_host.sum_x, acc_host.sum_x2, iters * n_chains
             )
 
-        # NOTE: this chunk loop mirrors ChunkedScanDriver.run (the carry here
-        # holds flow params + the draw history); keep the pipelining /
-        # chunk-size / per-chunk-flush policy in sync with core/driver.py
-        # when changing either.
-        pipelined = time_limit_seconds is None and not show_progress
-        unflushed = 0
-        iters_done = 0
-        run_t0 = time.time()
-        pbar = tqdm(total=n_total, desc=self.name, disable=not show_progress)
-        for chunk in chunk_schedule(n_total, max_chunk=1024 if pipelined else 256):
-            if (
-                time_limit_seconds is not None
-                and out.statistics.elapsed_time_seconds >= time_limit_seconds
-            ):
-                break
-            do_fit, k_idx = self._adaptation_schedule(rng, iters_done, chunk,
-                                                       offset=offset)
-            t0 = time.time()
-            params, x, flp, u, hist, acc, key = runner(
-                params, x, flp, u, hist, jnp.int32(iters_done), acc, key,
-                jnp.asarray(do_fit), jnp.asarray(k_idx), chunk,
-            )
-            if not pipelined:
-                jax.block_until_ready(x)
-                out.statistics.update_elapsed_time(time.time() - t0)
-            iters_done += chunk
-            unflushed += chunk
-            pbar.update(chunk)
-            if show_progress:
-                # live bar needs the device accumulator flushed per chunk
-                from ...core.driver import StatsAccum as _StatsAccum
-
-                flush(jax.device_get(acc), unflushed)
-                acc = _StatsAccum.zeros(self.event_shape)
-                unflushed = 0
-                pbar.set_postfix_str(f"{out.statistics}")
-        pbar.close()
-        if pipelined:
-            jax.block_until_ready(x)
-            out.statistics.update_elapsed_time(time.time() - run_t0)
-        if unflushed:
-            flush(jax.device_get(acc), unflushed)
+        iters_done = run_chunk_loop(
+            n_total,
+            dispatch=dispatch,
+            stats=out.statistics,
+            flush=flush,
+            time_limit_seconds=time_limit_seconds,
+            show_progress=show_progress,
+            desc=self.name,
+            sync_max_chunk=256,
+        )
+        params, hist = st["params"], st["hist"]
         if iters_done:
             out.running_samples.add(hist[:iters_done])
         self._iters_done = offset + iters_done  # actual completed count

@@ -32,7 +32,6 @@ import numpy as np
 from ...core.driver import (
     RNG_HOIST_ELEMENT_LIMIT,
     StatsAccum,
-    chunk_schedule,
     flow_proposal_footprint_per_draw,
 )
 from ...core.output import JumpNFMCOutput, MCMCOutput
@@ -486,41 +485,33 @@ class JumpNFMC(Sampler):
         x = jnp.array(x0, copy=True)
 
         # Accumulators are carried on-device across chunks; one host fetch at
-        # the end (per chunk only when a live progress bar is shown). Without
-        # a time limit or progress bar, chunks are dispatched asynchronously
-        # (pipelined) and synced once after the loop — per-chunk round-trips
-        # dominate wall-clock on a tunneled device.
-        # NOTE: this chunk loop mirrors ChunkedScanDriver.run (jump carries
-        # extra state: flow params + jump accumulators); keep the pipelining /
-        # chunk-size policy in sync with core/driver.py when changing either.
-        pipelined = time_limit_seconds is None and not show_progress
-        max_chunk = 1024 if pipelined else 256
-        acc = StatsAccum.zeros(self.event_shape)
-        jump_acc = _JumpAccum.zeros(self.event_shape)
-        outer_done = 0  # unflushed count (resets on progress flushes)
-        outer_abs = 0  # absolute outer-iteration index
-        run_t0 = time.time()
-        pbar = tqdm(total=self.params.n_iterations, desc=self.name, disable=not show_progress)
-        for chunk in chunk_schedule(self.params.n_iterations, max_chunk=max_chunk):
-            if (
-                time_limit_seconds is not None
-                and out.statistics.elapsed_time_seconds >= time_limit_seconds
-            ):
-                break
-            t0 = time.time()
+        # the end (per chunk only when a live progress bar is shown). The
+        # pipelining / chunk-size / time-limit policy lives in ONE place —
+        # core.driver.run_chunk_loop — shared with ChunkedScanDriver.run and
+        # AdaptiveIMH._sample_fused. Jump carries extra state (flow params +
+        # jump accumulators) through the dispatch closure.
+        from ...core.driver import run_chunk_loop
+
+        st = {
+            "x": x, "inner_kstate": inner_kstate, "flow_params": flow_params,
+            "key": key,
+            "acc": StatsAccum.zeros(self.event_shape),
+            "jump_acc": _JumpAccum.zeros(self.event_shape),
+        }
+
+        def dispatch(chunk, outer_abs):
             # refit gate by absolute outer index (reference ``jump.py:193-201``);
             # ignored by the runner when fit_nf_cfg is None
             gate = jnp.asarray(
                 np.arange(outer_abs, outer_abs + chunk)
                 >= self.params.n_jumps_before_training
             )
-            x, inner_kstate, flow_params, acc, jump_acc, key, ys = runner(
-                x, inner_kstate, flow_params, acc, jump_acc, key, gate, chunk
+            x, ks, fp, acc, jacc, k, ys = runner(
+                st["x"], st["inner_kstate"], st["flow_params"], st["acc"],
+                st["jump_acc"], st["key"], gate, chunk,
             )
-            if not pipelined:
-                jax.block_until_ready(x)
-            outer_done += chunk
-            outer_abs += chunk
+            st.update(x=x, inner_kstate=ks, flow_params=fp, acc=acc,
+                      jump_acc=jacc, key=k)
             if self.params.store_samples:
                 # (chunk, inner_n+1, C, *e) -> (chunk*(inner_n+1), C, *e)
                 out.running_samples.add(
@@ -528,25 +519,28 @@ class JumpNFMC(Sampler):
                 )
             else:
                 out.running_samples.add(x)
-            if not pipelined:
-                out.statistics.update_elapsed_time(time.time() - t0)
-            pbar.update(chunk)
-            if show_progress:
-                self._account_outer_iters(out, outer_done, n_chains, inner_n, acc, jump_acc)
-                acc = StatsAccum.zeros(self.event_shape)
-                jump_acc = _JumpAccum.zeros(self.event_shape)
-                outer_done = 0
-                pbar.set_postfix_str(f"{out.statistics}")
-        pbar.close()
-        if pipelined:
-            jax.block_until_ready(x)
-            out.statistics.update_elapsed_time(time.time() - run_t0)
-        if outer_done:
-            self._account_outer_iters(out, outer_done, n_chains, inner_n, acc, jump_acc)
+            return x
+
+        def flush(iters):
+            self._account_outer_iters(out, iters, n_chains, inner_n,
+                                      st["acc"], st["jump_acc"])
+            st["acc"] = StatsAccum.zeros(self.event_shape)
+            st["jump_acc"] = _JumpAccum.zeros(self.event_shape)
+
+        run_chunk_loop(
+            self.params.n_iterations,
+            dispatch=dispatch,
+            stats=out.statistics,
+            flush=flush,
+            time_limit_seconds=time_limit_seconds,
+            show_progress=show_progress,
+            desc=self.name,
+            sync_max_chunk=256,
+        )
         if fit_nf_cfg is not None:
-            self.kernel.flow.params = flow_params
+            self.kernel.flow.params = st["flow_params"]
         self.inner_sampler.kernel.sync_from_state(
-            self.inner_sampler._extract_mstate(inner_kstate)
+            self.inner_sampler._extract_mstate(st["inner_kstate"])
         )
 
     def _sample_host(self, x0, out, key, inner_n, n_chains, time_limit_seconds, show_progress):

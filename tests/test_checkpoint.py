@@ -495,3 +495,145 @@ def test_adaptive_imh_schedule_survives_resume(tmp_path):
         np.asarray(out_c.running_samples.last_sample),
     )
     assert resumed._iters_done == 12  # absolute schedule position at the end
+
+
+def test_tree_signature_is_structural_not_repr(tmp_path):
+    """VERDICT r2 item 10: checkpoint structure validation must not depend on
+    ``repr(treedef)`` (not a stable contract across JAX versions). The meta
+    carries a key-path signature; a legacy/garbage repr field must be
+    ignored, and a signature mismatch must fail loudly."""
+    import json as _json
+
+    import pytest
+
+    from nfmc_tpu.checkpoint import _tree_signature, sample_resumable
+
+    # determinism + structure sensitivity, no repr() involved
+    a = {"x": jnp.zeros(3), "k": [jnp.ones(2), jnp.asarray(1)]}
+    b = {"x": jnp.zeros(3), "k": [jnp.ones(2), jnp.asarray(1)]}
+    assert _tree_signature(a) == _tree_signature(b)
+    assert _tree_signature(a) != _tree_signature(
+        {"y": jnp.zeros(3), "k": [jnp.ones(2), jnp.asarray(1)]}
+    )
+    assert _tree_signature(a) != _tree_signature({"x": jnp.zeros(3), "k": jnp.ones(2)})
+    # no memory addresses / object ids leak into the signature
+    assert "0x" not in _tree_signature(a)
+
+    x0 = jax.random.normal(jax.random.key(0), (8, 5))
+
+    def fresh():
+        s = MALA((5,), standard_gaussian_potential)
+        s.params.n_iterations = 20
+        return s
+
+    path = str(tmp_path / "sig")
+
+    crash = fresh()
+    orig = crash.sample_continue
+    n = {"v": 0}
+
+    def crashing(*args, **kw):
+        if n["v"] == 1:
+            raise RuntimeError("boom")
+        n["v"] += 1
+        return orig(*args, **kw)
+
+    crash.sample_continue = crashing
+    try:
+        sample_resumable(crash, x0, path, segment_iterations=5, seed=3,
+                         show_progress=False)
+    except RuntimeError:
+        pass
+
+    def rewrite_meta(mutate):
+        f = path + ".npz"
+        data = dict(np.load(f))
+        meta = _json.loads(bytes(data["__meta__"].tobytes()).decode())
+        mutate(meta)
+        data["__meta__"] = np.frombuffer(_json.dumps(meta).encode(), dtype=np.uint8)
+        np.savez(f, **data)
+
+    # a JAX-version-style repr change (simulated: garbage legacy field) must
+    # NOT produce a false reject — the signature governs
+    rewrite_meta(lambda m: m.__setitem__("treedef", "PyTreeDef(<garbage 0xdead>)"))
+    out = sample_resumable(fresh(), x0, path, segment_iterations=5, seed=3,
+                           show_progress=False)
+    assert out.statistics.n_attempted_trajectories == 20 * 8
+
+    # ... and a signature mismatch must fail loudly (no false accept)
+    crash3 = fresh()
+    orig3 = crash3.sample_continue
+    m = {"v": 0}
+
+    def crashing3(*args, **kw):
+        if m["v"] == 1:
+            raise RuntimeError("boom")
+        m["v"] += 1
+        return orig3(*args, **kw)
+
+    crash3.sample_continue = crashing3
+    path2 = str(tmp_path / "sig2")
+    try:
+        sample_resumable(crash3, x0, path2, segment_iterations=5, seed=3,
+                         show_progress=False)
+    except RuntimeError:
+        pass
+
+    def corrupt_sig(meta):
+        meta["tree_signature"] = '[[["k","not_the_real_structure"]]]'
+
+    f2 = path2 + ".npz"
+    data = dict(np.load(f2))
+    meta = _json.loads(bytes(data["__meta__"].tobytes()).decode())
+    corrupt_sig(meta)
+    data["__meta__"] = np.frombuffer(_json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(f2, **data)
+    with pytest.raises(ValueError, match="state structure"):
+        sample_resumable(fresh(), x0, path2, segment_iterations=5, seed=3,
+                         show_progress=False)
+
+
+def test_save_samples_recorded_and_validated(tmp_path):
+    """ADVICE r2: the checkpoint meta records save_samples; resuming with a
+    contradicting explicit flag raises, and the default (None) adopts the
+    original run's setting so stored draws never silently drop segments."""
+    import pytest
+
+    from nfmc_tpu.checkpoint import sample_resumable
+
+    x0 = jax.random.normal(jax.random.key(0), (8, 5))
+
+    def fresh():
+        s = MALA((5,), standard_gaussian_potential)
+        s.params.n_iterations = 40
+        s.params.store_samples = True
+        return s
+
+    path = str(tmp_path / "ss")
+    crash = fresh()
+    orig = crash.sample_continue
+    n = {"v": 0}
+
+    def crashing(*args, **kw):
+        if n["v"] == 1:
+            raise RuntimeError("boom")
+        n["v"] += 1
+        return orig(*args, **kw)
+
+    crash.sample_continue = crashing
+    try:
+        sample_resumable(crash, x0, path, segment_iterations=10, seed=5,
+                         show_progress=False, save_samples=True)
+    except RuntimeError:
+        pass
+
+    # explicit contradiction fails loudly
+    with pytest.raises(ValueError, match="save_samples"):
+        sample_resumable(fresh(), x0, path, segment_iterations=10, seed=5,
+                         show_progress=False, save_samples=False)
+
+    # default (None) adopts save_samples=True from the meta: the final
+    # output carries ALL 40 draws, none silently dropped
+    out = sample_resumable(fresh(), x0, path, segment_iterations=10, seed=5,
+                           show_progress=False)
+    assert out.running_samples.n_samples == 40
