@@ -1,0 +1,166 @@
+"""Execute the ACTUAL reference implementation (/root/reference) in-process.
+
+The reference's hard dependencies (`torchflows`, `potentials`) are provided
+by the from-scratch shim in ``tools/reference_shim`` (see its README). This
+module is the single place that puts the reference on ``sys.path``; nothing
+in ``nfmc_tpu`` imports it.
+
+Used by ``bench.py``'s ``reference_ab`` block and
+``tests/test_reference_parity.py`` for direct A/B validation: same target,
+matched kernel configs, different RNG streams — then distribution-level
+two-sample tests (:mod:`nfmc_tpu.validation`) and ESS/s comparison.
+"""
+import os
+import sys
+import time
+import warnings
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+_REFERENCE_ROOT = os.environ.get("NFMC_REFERENCE_ROOT", "/root/reference")
+_SHIM_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "reference_shim")
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(_REFERENCE_ROOT, "nfmc"))
+
+
+def _ensure_paths():
+    for p in (_SHIM_ROOT, _REFERENCE_ROOT):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+
+
+def run_reference(
+    strategy: str,
+    sigma: Sequence[float],
+    n_chains: int = 32,
+    n_iterations: int = 500,
+    seed: int = 0,
+    inner_iterations: Optional[int] = None,
+    param_kwargs: Optional[dict] = None,
+    kernel_kwargs: Optional[dict] = None,
+    x0_from_target: bool = False,
+) -> Dict:
+    """Run the reference's ``sample()`` on a diagonal-Gaussian target.
+
+    Target: ``U(x) = 0.5 * sum((x_i / sigma_i)^2)`` — the same closed form
+    the matched nfmc-tpu run uses (``nfmc_tpu.potentials.DiagonalGaussian``).
+    Returns draws ``(T, C, d)`` (host NumPy), wall seconds for the sampling
+    call, and the reference's own statistics counters.
+
+    ``x0_from_target``: draw the initial states exactly from the target
+    (possible in closed form for a diagonal Gaussian) so every chain starts
+    IN stationarity — the two-sample parity tests then measure kernel bias
+    alone, with no burn-in transient to confound them (slow-mixing defaults
+    like HMC's otherwise need thousands of discard iterations).
+    """
+    _ensure_paths()
+    import torch
+
+    from nfmc import sample  # the reference package, via the shim
+
+    torch.manual_seed(seed)
+    sig = torch.tensor(np.asarray(sigma, dtype=np.float32))
+    d = int(sig.numel())
+
+    def target(x):
+        return 0.5 * ((x / sig) ** 2).flatten(1).sum(-1)
+
+    kwargs = {}
+    if param_kwargs:
+        kwargs["param_kwargs"] = dict(param_kwargs)
+    if kernel_kwargs:
+        kwargs["kernel_kwargs"] = dict(kernel_kwargs)
+    if inner_iterations is not None:
+        kwargs["inner_param_kwargs"] = {"n_iterations": int(inner_iterations)}
+    needs_flow = not (
+        strategy in ("mh", "mala", "ula", "hmc", "uhmc", "ess")
+        or strategy.startswith("pt_")
+    )
+    if not needs_flow:
+        kwargs["flow"] = "None"
+
+    x0 = torch.randn(n_chains, d)
+    if x0_from_target:
+        x0 = x0 * sig
+    t0 = time.time()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = sample(
+            target,
+            event_shape=(d,),
+            strategy=strategy,
+            n_chains=n_chains,
+            n_iterations=n_iterations,
+            x0=x0,
+            warmup=False,
+            show_progress=False,
+            **kwargs,
+        )
+    wall = time.time() - t0
+    draws = out.samples.detach().cpu().numpy()
+    stats = out.statistics
+    return {
+        "draws": draws,
+        "wall_s": wall,
+        "accept_rate": float(stats.acceptance_rate),
+        "n_divergences": int(stats.n_divergences),
+        "strategy": strategy,
+    }
+
+
+def run_ours_matched(
+    strategy: str,
+    sigma: Sequence[float],
+    n_chains: int = 32,
+    n_iterations: int = 500,
+    seed: int = 0,
+    inner_iterations: Optional[int] = None,
+    param_kwargs: Optional[dict] = None,
+    kernel_kwargs: Optional[dict] = None,
+    x0_from_target: bool = False,
+) -> Dict:
+    """The nfmc-tpu side of the A/B: identical target/config, JAX RNG."""
+    import jax
+
+    import nfmc_tpu
+    from nfmc_tpu.potentials import DiagonalGaussian
+
+    sig = np.asarray(sigma, dtype=np.float32)
+    d = len(sig)
+    target = DiagonalGaussian(mu=np.zeros(d), sigma=sig)
+    kwargs = {}
+    if param_kwargs:
+        kwargs["param_kwargs"] = dict(param_kwargs)
+    if kernel_kwargs:
+        kwargs["kernel_kwargs"] = dict(kernel_kwargs)
+    if inner_iterations is not None:
+        kwargs["inner_param_kwargs"] = {"n_iterations": int(inner_iterations)}
+    if strategy in ("mh", "mala", "ula", "hmc", "uhmc", "ess") or strategy.startswith("pt_"):
+        kwargs["flow"] = "None"
+    x0 = jax.random.normal(jax.random.key(seed), (n_chains, d))
+    if x0_from_target:
+        x0 = x0 * sig
+    t0 = time.time()
+    out = nfmc_tpu.sample(
+        target,
+        strategy=strategy,
+        n_chains=n_chains,
+        n_iterations=n_iterations,
+        x0=x0,
+        warmup=False,
+        show_progress=False,
+        seed=seed,
+        **kwargs,
+    )
+    draws = np.asarray(out.samples)
+    wall = time.time() - t0
+    return {
+        "draws": draws,
+        "wall_s": wall,
+        "accept_rate": float(out.statistics.acceptance_rate),
+        "n_divergences": int(out.statistics.n_divergences),
+        "strategy": strategy,
+    }
