@@ -1016,6 +1016,74 @@ def _spline_family_block(cls, prefix):
     }
 
 
+def run_pt_multimodal():
+    """Parallel tempering on a workload it exists for (VERDICT r2 item 8).
+
+    Two-mode Gaussian mixture in 10-d with modes at +-2 per dim
+    (separation ~12.6 sigma: an untempered local sampler cannot cross), every
+    chain initialized in mode 0 (adversarial). pt_mala's hot rungs
+    (beta_min 0.02 -> effective sigma ~7) carry chains across; plain MALA
+    must stay trapped; jump_mala's flow only ever trains on mode-0 data here
+    so its jumps can't discover mode 1 either. Metrics: mode balance error
+    (|fraction in mode 1 - 0.5|; 0.5 = never found), per-chain mode switch
+    rate, PT swap rates.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import nfmc_tpu
+    from nfmc_tpu.potentials import GaussianMixture
+
+    d, C, n_iters = 10, 64, 3000
+    a = 2.0
+    means = np.stack([np.full(d, -a), np.full(d, a)]).astype(np.float32)
+    target = GaussianMixture(means, sigma=1.0)
+    nfmc_tpu.set_seed(0)
+    # adversarial start: every chain in mode 0
+    x0 = means[0] + 0.5 * jax.random.normal(jax.random.key(5), (C, d))
+
+    def mode_metrics(draws):
+        # assign each draw to the nearest mode; use the second half (mixing)
+        half = np.asarray(draws[draws.shape[0] // 2 :])
+        in_mode1 = (half @ np.ones(d)) > 0.0  # hyperplane between the modes
+        balance_err = abs(float(in_mode1.mean()) - 0.5)
+        switches = np.abs(np.diff(in_mode1.astype(np.int8), axis=0)).mean()
+        return balance_err, float(switches)
+
+    results = {}
+    for strategy, strat_iters, kwargs in [
+        ("pt_mala", n_iters, {"kernel_kwargs": {"n_temps": 8, "beta_min": 0.02}}),
+        ("mala", n_iters, {}),
+        # 500 outer x (5+1) = 3000 stored draws, matching the others' budget
+        ("jump_mala", 500, {"inner_param_kwargs": {"n_iterations": 5},
+                            "param_kwargs": {"fit_nf": True}}),
+    ]:
+        t0 = time.time()
+        out = nfmc_tpu.sample(
+            target, strategy=strategy, n_chains=C, n_iterations=strat_iters,
+            x0=jnp.asarray(x0), warmup=False, show_progress=False, seed=0,
+            **kwargs,
+        )
+        jax.block_until_ready(out.running_samples.last_sample)
+        wall = time.time() - t0
+        balance_err, switch_rate = mode_metrics(out.samples)
+        results[strategy] = {
+            "mode_balance_err": round(balance_err, 4),
+            "mode_switch_rate": round(switch_rate, 5),
+            "wall_s": round(wall, 2),
+        }
+        if strategy == "pt_mala":
+            rates = getattr(out.statistics, "swap_acceptance_rates", None)
+            if rates is not None:
+                results[strategy]["swap_rates"] = [round(float(r), 3) for r in rates]
+    # the demonstration: PT balanced (finds mode 1), MALA trapped
+    results["pt_finds_modes_mala_misses"] = bool(
+        results["pt_mala"]["mode_balance_err"] < 0.15
+        and results["mala"]["mode_balance_err"] > 0.4
+    )
+    return results
+
+
 def run_reference_ab():
     """Direct A/B against the ACTUAL reference implementation.
 
@@ -1173,6 +1241,7 @@ def main():
     chees = run_chees() if budget(840) else skipped
     pallas = run_pallas_numerics() if budget(870) else skipped
     saturation = run_saturation() if budget(1020) else skipped
+    pt_multimodal = run_pt_multimodal() if budget(1080) else skipped
     reference_ab = run_reference_ab() if budget(1140) else skipped
     # normalize ESS yield per outer iteration, compare rates
     ours_eff = ours["ess_per_s"]
@@ -1213,6 +1282,7 @@ def main():
         "chees_hmc_1024": chees,
         "saturation": saturation,
         "validation": validation,
+        "pt_multimodal": pt_multimodal,
         "reference_ab": reference_ab,
         "pallas_numerics": {
             k: (round(v, 8) if isinstance(v, float) else v) for k, v in pallas.items()
@@ -1258,6 +1328,16 @@ def main():
         # two-sample distribution tests against the ACTUAL reference code
         # (None if the section was skipped/unavailable this run)
         "reference_ab_ok": reference_ab.get("all_ok"),
+        # mode-balance errors (0 = both modes equally visited, 0.5 = trapped)
+        "pt_multimodal": (
+            {
+                "pt_mala": pt_multimodal["pt_mala"]["mode_balance_err"],
+                "mala": pt_multimodal["mala"]["mode_balance_err"],
+                "jump_mala": pt_multimodal["jump_mala"]["mode_balance_err"],
+                "ok": pt_multimodal["pt_finds_modes_mala_misses"],
+            }
+            if "pt_mala" in pt_multimodal else None
+        ),
         "full": "BENCH_full.json",
     }
     line = json.dumps(compact)
