@@ -759,7 +759,10 @@ def run_pallas_numerics():
     from nfmc_tpu.flows import Flow, RealNVP
 
     d = EVENT_DIM
-    pallas_bij = RealNVP((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN, use_pallas="auto")
+    # use_pallas=True: the kernels are OPT-IN (the 'auto' default takes the
+    # XLA path — measured faster at production shapes, see RealNVP docstring);
+    # this section keeps the opt-in path numerically validated on the device.
+    pallas_bij = RealNVP((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN, use_pallas=True)
     xla_bij = RealNVP((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN, use_pallas=False)
     if not pallas_bij._pallas_enabled():
         return {"enabled": False}
@@ -817,6 +820,29 @@ def run_pallas_numerics():
         "vjp_inv_max_abs_diff": tree_maxdiff(gip, gix),
         "vjp_inv_rel_diff": tree_maxdiff(gip, gix) / tree_maxabs(gix),
     }
+
+    # VERDICT r2 item 4 regression guard: the wide (8x512) backward must
+    # compile STANDALONE (eager grad, no enclosing jit) — block sizes now
+    # derive from the VMEM budget (derive_bwd_block_b -> 128 here; the old
+    # fixed 256 failed the scoped-VMEM check).
+    wide = RealNVP((d,), n_layers=8, hidden_size=512, use_pallas=True)
+    wide_params = Flow(wide, seed=0).params
+    xw = jax.random.normal(jax.random.key(6), (4096, d))
+
+    def wide_loss(p):
+        y, ld = wide.forward_fn(p, xw)
+        return jnp.mean(0.5 * jnp.sum(y * y, -1) - ld)
+
+    try:
+        g = jax.grad(wide_loss)(wide_params)  # eager: standalone kernel compile
+        jax.block_until_ready(jax.tree_util.tree_leaves(g)[0])
+        out["wide_bwd_standalone_ok"] = bool(
+            all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g))
+        )
+    except Exception as e:  # record, don't kill the bench
+        out["wide_bwd_standalone_ok"] = False
+        out["wide_bwd_standalone_error"] = str(e)[:300]
+
     out.update(_spline_pallas_numerics())
     return out
 
@@ -903,7 +929,7 @@ def _spline_pallas_numerics():
     * ``select`` — the gather-free one-hot select-accumulate that is the
       DEFAULT XLA path on TPU (``flows/spline.py _use_select_lookup``),
     * ``pallas`` — the fused multi-layer kernels (``use_pallas=True``,
-      ops/spline_pallas.py), the design that motivated the select
+      ops/experimental_spline_pallas.py), the design that motivated the select
       formulation; measured within ~20% of the select-XLA path.
 
     ``*_fwd_speedup`` / ``*_grad_speedup`` record gather->select (the real

@@ -120,10 +120,20 @@ class RealNVP(Coupling):
     """Affine coupling flow (Dinh et al. 2017); reference default
     (``base.py:26``).
 
-    On TPU, ``use_pallas='auto'`` routes forward/inverse through the fused
-    multi-layer Pallas kernel (:mod:`nfmc_tpu.ops.coupling_pallas`) — one
-    kernel for the whole stack with the state resident in VMEM; gradients
-    fall back to the XLA path via custom VJP (bit-exact at validation shapes).
+    ``use_pallas``: the default ``'auto'`` takes the plain XLA path.
+    Measured on TPU v5e under the axon toolchain (2026-08-18, in-process
+    interleaved reps after an honest first transfer): the fused Pallas
+    kernels (:mod:`nfmc_tpu.ops.coupling_pallas`) are at or below XLA parity
+    at every production shape — forward 0.65-0.95x (1.34x only at the wide
+    8x512 stack), backward 0.5-1.0x, wide-flow MLE epoch 43.0 vs 45.3
+    TFLOP/s — because this toolchain's `--xla_allow_excess_precision=true`
+    pins every matmul to the same ~63 TFLOP/s f32 pipeline (bf16 dots measure
+    72) and XLA already fuses the elementwise work; the extra pack/permute
+    ops around the kernel then cost more than the fusion saves.
+    ``use_pallas=True`` opts in (on TPU; block sizes derive from a VMEM
+    budget at trace time, ``derive_bwd_block_b``); the kernels stay
+    numerically validated in ``tests/test_pallas.py`` and
+    ``bench run_pallas_numerics``.
     """
 
     def __init__(self, event_shape, n_layers: int = 2, clamp: float = 3.0,
@@ -135,8 +145,8 @@ class RealNVP(Coupling):
 
     def _pallas_enabled(self) -> bool:
         if self._pallas_state is None:
-            if self.use_pallas is False or len(self.hidden) != 2:
-                self._pallas_state = False
+            if self.use_pallas is not True or len(self.hidden) != 2:
+                self._pallas_state = False  # 'auto' = XLA (measured faster)
             else:
                 from ..ops.coupling_pallas import pallas_available
 
@@ -190,7 +200,7 @@ class _FusedSplineMixin:
     every shape we tested (fwd 0.8-1.2x, grads 0.8-1.0x at d in {20, 100},
     B in {100, 1024, 8192}) with exact autodiff and no VMEM limits.
     ``use_pallas=True`` opts into the fused Pallas kernels
-    (:mod:`nfmc_tpu.ops.spline_pallas`) — the design that motivated the
+    (:mod:`nfmc_tpu.ops.experimental_spline_pallas`) — the design that motivated the
     select-accumulate formulation — subject to the VMEM guard below."""
 
     _spline_kind = "rqs"
@@ -208,7 +218,7 @@ class _FusedSplineMixin:
                 # VMEM guard: the forward kernel holds the conditioner-output
                 # activation block (block_b, db * n_params) with the ~2x
                 # temporaries of the select-accumulate AND the full weight
-                # stack (spline_pallas.py uses unblocked BlockSpecs for the
+                # stack (experimental_spline_pallas.py uses unblocked BlockSpecs for the
                 # weights) inside scoped VMEM. The fused BACKWARD additionally
                 # holds the weight stack TWICE (inputs + grad accumulators)
                 # plus one layer's vjp residuals at block 128 (~5x the raw
@@ -234,7 +244,7 @@ class _FusedSplineMixin:
 
     def forward_fn(self, params, x):
         if self._pallas_enabled():
-            from ..ops.spline_pallas import fused_lrs_forward, fused_rqs_forward
+            from ..ops.experimental_spline_pallas import fused_lrs_forward, fused_rqs_forward
 
             fused = fused_rqs_forward if self._spline_kind == "rqs" else fused_lrs_forward
             batch = x.shape[: x.ndim - len(self.event_shape)]
@@ -248,7 +258,7 @@ class _FusedSplineMixin:
 
     def inverse_fn(self, params, z):
         if self._pallas_enabled():
-            from ..ops.spline_pallas import fused_lrs_inverse, fused_rqs_inverse
+            from ..ops.experimental_spline_pallas import fused_lrs_inverse, fused_rqs_inverse
 
             fused = fused_rqs_inverse if self._spline_kind == "rqs" else fused_lrs_inverse
             batch = z.shape[: z.ndim - len(self.event_shape)]

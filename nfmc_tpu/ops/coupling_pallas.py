@@ -144,6 +144,76 @@ def _fused_call(x_packed, flat_weights, n_layers: int, clamp: float,
     return y, ld
 
 
+# Budget for deriving block sizes at trace time, in MODEL units: the
+# analytic estimates below deliberately over-count what Mosaic actually
+# keeps resident (they charge weights AND weight-grad accumulators fully,
+# while the compiler schedules/reuses some of that), so the budget is
+# calibrated empirically rather than set to the raw ~16 MiB scoped-VMEM
+# hardware limit. Measured on TPU v5e (2026-08-18, wide training shape
+# d=100 / 8 layers / 512 hidden, standalone eager grad at batch 4096):
+# block 256 (model est 32.3 MiB) fails the scoped-VMEM check; 128
+# (est 26.5 MiB) compiles and runs. 28 MiB splits those with margin on
+# both sides (VERDICT r2 item 4: the old fixed block_b=256 made the wide
+# backward compile only inside larger jits by accident).
+_VMEM_BUDGET_BYTES = 28 * 1024 * 1024
+
+
+def _bwd_vmem_bytes(block_b: int, d: int, hidden: int, n_layers: int) -> int:
+    """Analytic scoped-VMEM estimate for one ``_kernel_bwd`` grid step.
+
+    Fixed (batch-independent): every layer's 6 weight arrays plus the same-
+    shape weight-gradient accumulators. Per-row: the stashed forward
+    activations (va, vb, h1, h2, s, ls, vb_new per layer), the I/O blocks
+    (x, gy, gld, gx) and the live backward temporaries (g_raw, g_a1, g_a2).
+    """
+    H = hidden
+    sizes = _layer_sizes(d, n_layers)
+    fixed = 0
+    per_row = 0
+    for da, db in sizes:
+        fixed += 2 * (da * H + H + H * H + H + H * 2 * db + 2 * db)
+        per_row += da + 4 * db + 2 * H  # saved activations
+    per_row += 4 * d + 1  # x, gy, gx blocks + gld column
+    per_row += 2 * d + 2 * H  # live temporaries: g_raw (<=2*d), g_a1, g_a2
+    return 4 * (fixed + block_b * per_row)
+
+
+def derive_bwd_block_b(d: int, hidden: int, n_layers: int,
+                       budget_bytes: int = _VMEM_BUDGET_BYTES,
+                       max_block: int = 256):
+    """Largest power-of-two row block (<= ``max_block``, >= 8) whose analytic
+    footprint fits the scoped-VMEM budget, or ``None`` when even the smallest
+    block cannot fit (weights alone too large) — callers then fall back to
+    the XLA vjp."""
+    b = max_block
+    while b >= 8:
+        if _bwd_vmem_bytes(b, d, hidden, n_layers) <= budget_bytes:
+            return b
+        b //= 2
+    return None
+
+
+def _fwd_vmem_bytes(block_b: int, d: int, hidden: int, n_layers: int) -> int:
+    """Analytic scoped-VMEM estimate for one ``_kernel`` (forward) grid step:
+    all weights (fixed) + the I/O blocks and live layer temporaries."""
+    H = hidden
+    sizes = _layer_sizes(d, n_layers)
+    fixed = sum(da * H + H + H * H + H + H * 2 * db + 2 * db for da, db in sizes)
+    per_row = 2 * d + 1 + 2 * H + 2 * d  # x/y blocks, ld, h1/h2, raw+parts
+    return 4 * (fixed + block_b * per_row)
+
+
+def derive_fwd_block_b(d: int, hidden: int, n_layers: int,
+                       budget_bytes: int = _VMEM_BUDGET_BYTES,
+                       max_block: int = 256):
+    b = max_block
+    while b >= 8:
+        if _fwd_vmem_bytes(b, d, hidden, n_layers) <= budget_bytes:
+            return b
+        b //= 2
+    return None
+
+
 def _kernel_bwd(n_layers: int, d: int, clamp: float, inverse: bool):
     """Fused VJP: recompute the forward pass in VMEM, then run the analytic
     backward through every coupling layer and conditioner MLP — one kernel for
@@ -348,10 +418,18 @@ def _fused_dir(params, x, d, n_layers, clamp, inverse, xla_fn):
     xf = x.reshape(-1, d)
     pack, unpack = _perm(d)
 
+    hidden = int(params[0]["w"][1].shape[0])  # shapes are static under trace
+    fwd_block = derive_fwd_block_b(d, hidden, n_layers)
+    if fwd_block is None and xla_fn is not None:
+        # weights alone exceed the scoped-VMEM budget: pure XLA
+        y, ld = xla_fn(params, xf)
+        return y.reshape(x.shape), ld.reshape(batch_shape)
+
     def pallas_impl(params, xf):
         flat = _flatten_weights(params)
         y, ld = _fused_call(
-            jnp.take(xf, pack, axis=-1), flat, n_layers, clamp, inverse
+            jnp.take(xf, pack, axis=-1), flat, n_layers, clamp, inverse,
+            block_b=fwd_block or 256,
         )
         return jnp.take(y, unpack, axis=-1), ld
 
@@ -365,13 +443,18 @@ def _fused_dir(params, x, d, n_layers, clamp, inverse, xla_fn):
     def op_bwd(res, g):
         params, xf = res
         gy, gld = g
-        if _PALLAS_BWD:
+        # Block size derived from the scoped-VMEM budget at trace time (the
+        # hidden width comes from the params themselves); None = even the
+        # smallest block cannot fit -> XLA vjp fallback.
+        hidden = int(params[0]["w"][1].shape[0])
+        block_b = derive_bwd_block_b(d, hidden, n_layers)
+        if _PALLAS_BWD and block_b is not None:
             gx_packed, gflat = _fused_bwd_call(
                 jnp.take(xf, pack, axis=-1),
                 jnp.take(gy, pack, axis=-1),
                 gld,
                 _flatten_weights(params),
-                n_layers, clamp, inverse,
+                n_layers, clamp, inverse, block_b=block_b,
             )
             return _unflatten_weight_grads(gflat, params), jnp.take(gx_packed, unpack, axis=-1)
         _, vjp = jax.vjp(xla_fn, params, xf)

@@ -153,14 +153,14 @@ def test_fused_pallas_bwd_multiblock_accumulation(interpret_pallas):
 
 
 # ---------------------------------------------------------------------------
-# Fused RQS spline coupling kernel (ops/spline_pallas.py)
+# Fused RQS spline coupling kernel (ops/experimental_spline_pallas.py)
 # ---------------------------------------------------------------------------
 
 @pytest.fixture()
 def interpret_spline(monkeypatch):
     import jax.experimental.pallas as pl
 
-    import nfmc_tpu.ops.spline_pallas as sp
+    import nfmc_tpu.ops.experimental_spline_pallas as sp
 
     orig = pl.pallas_call
 
@@ -482,3 +482,55 @@ def test_spline_fused_multiblock_padding(interpret_spline):
     y, ld = sp._fused_call(jnp.take(x, pack, axis=-1), flat, 2, 8, 5.0, False, block_b=8)
     assert float(jnp.max(jnp.abs(jnp.take(y, unpack, axis=-1) - z_xla))) < 1e-4
     assert float(jnp.max(jnp.abs(ld - ld_xla))) < 1e-4
+
+
+def test_bwd_block_derivation_fits_budget():
+    """VERDICT r2 item 4: backward block sizes derive from a scoped-VMEM
+    budget at trace time. The wide training shape (8 layers x 512 hidden,
+    d=100) must get a REDUCED block (the old fixed 256 exceeded the 16 MB
+    limit standalone), small shapes keep the full 256, and the derived
+    block's analytic footprint always fits the budget."""
+    from nfmc_tpu.ops.coupling_pallas import (
+        _VMEM_BUDGET_BYTES,
+        _bwd_vmem_bytes,
+        derive_bwd_block_b,
+        derive_fwd_block_b,
+    )
+
+    # wide training shape: old default was over budget (fails on real TPU),
+    # derived block is the empirically-passing 128
+    assert _bwd_vmem_bytes(256, 100, 512, 8) > _VMEM_BUDGET_BYTES
+    b_wide = derive_bwd_block_b(100, 512, 8)
+    assert b_wide == 128
+    assert _bwd_vmem_bytes(b_wide, 100, 512, 8) <= _VMEM_BUDGET_BYTES
+
+    # bench flow (4 layers x 128 hidden, d=100): full block
+    assert derive_bwd_block_b(100, 128, 4) == 256
+    # absurd width: weights alone blow the budget -> None (XLA fallback)
+    assert derive_bwd_block_b(100, 4096, 8) is None
+    # forward is lighter: wide shape keeps a larger (or equal) block
+    f_wide = derive_fwd_block_b(100, 512, 8)
+    assert f_wide is not None and f_wide >= b_wide
+
+
+def test_wide_shape_grads_standalone(interpret_pallas):
+    """The wide-flow gradient compiles and runs OUTSIDE any training jit
+    (interpret mode exercises the derived-block plumbing; the real-TPU
+    standalone compile is asserted in bench run_pallas_numerics)."""
+    import numpy as np
+
+    from nfmc_tpu.flows import Flow, RealNVP
+
+    d, L, H = 100, 8, 512
+    f = Flow(RealNVP((d,), n_layers=L, hidden_size=H, use_pallas=True), seed=0)
+    f.bijection._pallas_state = True  # force the pallas route on CPU interpret
+    x = jax.random.normal(jax.random.key(1), (64, d))  # small batch: interpret is slow
+
+    def loss(p):
+        z, ld = f.bijection.forward_fn(p, x)
+        return jnp.mean(0.5 * jnp.sum(z * z, -1) - ld)
+
+    g = jax.grad(loss)(f.params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.isfinite(l).all()) for l in flat)
+    assert any(float(jnp.abs(l).max()) > 0 for l in flat)
