@@ -19,7 +19,7 @@ from .core import (
     set_seed,
 )
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "sample",

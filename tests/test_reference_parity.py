@@ -62,6 +62,16 @@ def test_mala_matches_reference_distribution():
     _ab("mala")
 
 
+def test_mh_matches_reference_distribution():
+    _ab("mh")
+
+
+def test_ula_matches_reference_distribution():
+    # unadjusted: both sides carry the SAME discretization bias, so their
+    # stationary laws must still agree with each other
+    _ab("ula")
+
+
 def test_hmc_matches_reference_distribution():
     _ab("hmc")
 
