@@ -55,7 +55,8 @@ def __getattr__(name):
 
         return getattr(registry, name)
     if name in ("profiling", "potentials", "flows", "samplers", "transport",
-                "parallel", "checkpoint", "diagnostics", "flow_training"):
+                "parallel", "checkpoint", "diagnostics", "flow_training",
+                "validation"):
         # importlib, not `from . import`: the from-import form re-enters this
         # __getattr__ through _handle_fromlist before the submodule loads
         import importlib
@@ -86,5 +87,6 @@ def __dir__():
             "checkpoint",
             "diagnostics",
             "flow_training",
+            "validation",
         }
     )

@@ -1,0 +1,128 @@
+"""Unit tests for the SHARED chunk-loop policy (core/driver.run_chunk_loop).
+
+Round 2 had three hand-synced copies of the pipelining/chunk-size/time-limit
+policy; they now all dispatch through one implementation, so these tests pin
+its contract directly:
+
+- chunk schedule growth + max-chunk caps (pipelined vs sync mode),
+- pipelined mode: no per-chunk blocking, ONE final flush,
+- progress mode: per-chunk flush + reset,
+- time limits measured via stats.elapsed_time_seconds stop the loop,
+- the returned count equals the flushed iteration total.
+"""
+import jax.numpy as jnp
+
+from nfmc_tpu.core.driver import chunk_schedule, run_chunk_loop
+
+
+class FakeStats:
+    def __init__(self):
+        self.elapsed_time_seconds = 0.0
+
+    def update_elapsed_time(self, dt):
+        self.elapsed_time_seconds += dt
+
+    def __repr__(self):
+        return f"elapsed={self.elapsed_time_seconds:.3f}"
+
+
+def test_chunk_schedule_geometric_growth_and_cap():
+    assert list(chunk_schedule(1365, max_chunk=1024)) == [1, 4, 16, 64, 256, 1024]
+    # the compiled sizes are powers of 4 up to max_chunk: for 128 the largest
+    # is 64, which then repeats (each distinct length is a fresh XLA compile)
+    assert list(chunk_schedule(341, max_chunk=128)) == [1, 4, 16, 64, 64, 64, 64, 64]
+    assert sum(chunk_schedule(12345, max_chunk=1024)) == 12345
+
+
+def test_pipelined_single_flush_and_count():
+    stats = FakeStats()
+    log = {"dispatches": [], "flushes": []}
+
+    def dispatch(chunk, iters_done):
+        log["dispatches"].append((chunk, iters_done))
+        return jnp.zeros(())
+
+    def flush(iters):
+        log["flushes"].append(iters)
+
+    done = run_chunk_loop(1365, dispatch=dispatch, stats=stats, flush=flush,
+                          time_limit_seconds=None, show_progress=False)
+    assert done == 1365
+    # pipelined default max chunk is 1024; schedule matches chunk_schedule
+    assert [c for c, _ in log["dispatches"]] == [1, 4, 16, 64, 256, 1024]
+    # iters_done passed to dispatch is the absolute pre-chunk index
+    assert [i for _, i in log["dispatches"]] == [0, 1, 5, 21, 85, 341]
+    # exactly one flush at the end covering everything
+    assert log["flushes"] == [1365]
+    assert stats.elapsed_time_seconds > 0
+
+
+def test_progress_mode_flushes_per_chunk():
+    stats = FakeStats()
+    flushes = []
+    done = run_chunk_loop(
+        21,
+        dispatch=lambda c, i: jnp.zeros(()),
+        stats=stats,
+        flush=flushes.append,
+        time_limit_seconds=None,
+        show_progress=True,
+        sync_max_chunk=16,
+    )
+    assert done == 21
+    assert flushes == [1, 4, 16]  # per-chunk flush + reset under a live bar
+    assert sum(flushes) == done
+
+
+def test_sync_max_chunk_honored_with_time_limit():
+    stats = FakeStats()
+    sizes = []
+    run_chunk_loop(
+        1365,
+        dispatch=lambda c, i: sizes.append(c) or jnp.zeros(()),
+        stats=stats,
+        flush=lambda n: None,
+        time_limit_seconds=1e9,  # limit present -> sync mode, but never trips
+        show_progress=False,
+        sync_max_chunk=128,
+    )
+    assert max(sizes) == 64  # largest power-of-4 size under sync_max_chunk
+
+
+def test_time_limit_stops_early_and_flushes_partial():
+    stats = FakeStats()
+    flushes = []
+
+    def dispatch(chunk, iters_done):
+        # pretend each chunk takes 1 wall-second (recorded via the stats
+        # object the loop updates after its block)
+        stats.elapsed_time_seconds += 1.0
+        return jnp.zeros(())
+
+    done = run_chunk_loop(
+        10_000,
+        dispatch=dispatch,
+        stats=stats,
+        flush=flushes.append,
+        time_limit_seconds=2.5,
+        show_progress=False,
+        sync_max_chunk=4,
+    )
+    # chunks 1, 4, 4: the limit check runs BEFORE each dispatch, so the
+    # chunk that crosses 2.5 elapsed (the third) still completes, then the
+    # loop stops having done 1 + 4 + 4 = 9
+    assert done == 9
+    assert flushes == [9]
+
+
+def test_explicit_max_chunk_wins():
+    sizes = []
+    run_chunk_loop(
+        100,
+        dispatch=lambda c, i: sizes.append(c) or jnp.zeros(()),
+        stats=FakeStats(),
+        flush=lambda n: None,
+        show_progress=False,
+        max_chunk=16,
+    )
+    assert max(sizes) == 16
