@@ -1261,14 +1261,18 @@ def main():
     _wd_send(json.dumps(headline).encode() + b"\n")
 
     skipped = {"skipped": "time budget (slow tunnel phase)"}
+    # Section order = deliverable priority: the scale/north-star/funnel
+    # blocks and the round-3 validation sections (pt_multimodal,
+    # reference_ab) run before the legacy extras (chees, pallas numerics,
+    # saturation), so a slow phase sheds the least-critical blocks first.
     scale = run_scale_1024() if budget(420) else skipped
     north = run_north_star() if budget(600) else skipped
     funnel = run_funnel() if budget(780) else skipped
-    chees = run_chees() if budget(840) else skipped
-    pallas = run_pallas_numerics() if budget(870) else skipped
-    saturation = run_saturation() if budget(1020) else skipped
-    pt_multimodal = run_pt_multimodal() if budget(1080) else skipped
+    pt_multimodal = run_pt_multimodal() if budget(900) else skipped
     reference_ab = run_reference_ab() if budget(1140) else skipped
+    chees = run_chees() if budget(1320) else skipped
+    pallas = run_pallas_numerics() if budget(1380) else skipped
+    saturation = run_saturation() if budget(1500) else skipped
     # normalize ESS yield per outer iteration, compare rates
     ours_eff = ours["ess_per_s"]
     base_eff = base["ess_per_s"]

@@ -11,10 +11,21 @@ tail, an HMC resonance) — so classical two-sample thresholds at estimated
 effective sizes false-alarm badly (measured: A/A comparisons of the
 REFERENCE against itself failed KS-at-ESS thresholds 5x beyond the nominal
 level). The sound unit of exchangeability is the CHAIN: chains within one
-run are independent, so under the null (both samplers target the same law)
-the two runs' chains are exchangeable, and permuting chain labels between
-the groups yields an EXACT null distribution for any statistic, with no
-autocorrelation-time estimation at all.
+run are independent, so under the null the two runs' chains are
+exchangeable, and permuting chain labels between the groups yields an
+EXACT null distribution for any statistic, with no autocorrelation-time
+estimation at all.
+
+SCOPE: the permutation null requires the full CHAIN LAW (path distribution,
+including autocorrelation structure) to match across groups — which is
+exactly the A/B situation this module exists for: the same algorithm under
+matched configs on two implementations (or two seeds). Comparing DIFFERENT
+algorithms that share only the stationary marginal (e.g. MALA vs
+slow-mixing HMC) violates chain exchangeability and the test becomes
+anti-conservative (measured: MALA-vs-default-HMC rejected in 2 of 4 seeded
+trials at alpha 0.01 despite both being exact). For cross-algorithm checks,
+match the mixing (thin each side to ~independent draws first) or use the
+moment-band tests in ``tests/test_statistical_correctness.py``.
 
 - :func:`ks_statistic` — pooled two-sample Kolmogorov–Smirnov distance.
 - :func:`energy_distance` — Székely–Rizzo energy distance.
