@@ -1134,7 +1134,8 @@ def run_reference_ab():
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-    from run_reference import reference_available, run_ours_matched, run_reference
+    from run_reference import (reference_available, run_ours_matched,
+                               run_ours_steady, run_reference)
 
     from nfmc_tpu.validation import mcmc_two_sample_report, per_dim_ess
 
@@ -1161,6 +1162,11 @@ def run_reference_ab():
         report = mcmc_two_sample_report(ref["draws"], ours["draws"], alpha=0.01)
         ref_ess = float(np.mean(per_dim_ess(ref["draws"])))
         ours_ess = float(np.mean(per_dim_ess(ours["draws"])))
+        # steady state: same sampler object, memoized driver — no per-call
+        # tracing, only dispatch + sync (what a repeated-sampling user sees)
+        steady = run_ours_steady(strat, SIGMA, n_chains=32, n_iterations=1000,
+                                 seed=2, **kw)
+        steady_ess = float(np.mean(per_dim_ess(steady["draws"])))
         results[strat] = {
             "two_sample_ok": report["ok"],
             "ks_max": report["ks_max"],
@@ -1172,13 +1178,23 @@ def run_reference_ab():
             "ours_ess_per_s": round(ours_ess / ours["wall_s"], 1),
             "ess_per_s_vs_reference": round(
                 (ours_ess / ours["wall_s"]) / max(ref_ess / ref["wall_s"], 1e-9), 1),
+            "ours_steady_ess_per_s": round(steady_ess / steady["wall_s"], 1),
+            "steady_vs_reference": round(
+                (steady_ess / steady["wall_s"]) / max(ref_ess / ref["wall_s"], 1e-9),
+                1),
         }
     results["all_ok"] = all(v["two_sample_ok"] for v in results.values()
                             if isinstance(v, dict))
     results["note"] = (
         "distribution validation at reference-native scale (32 chains, 5-d); "
-        "ESS/s here is latency-dominated on a tunneled device — the headline "
-        "sections measure throughput at real scale"
+        "ours_ess_per_s times ONE front-door call (dominated by one-time JAX "
+        "tracing + tunnel sync at this tiny scale — costs the eager reference "
+        "never pays); ours_steady_ess_per_s re-calls the same sampler with "
+        "its memoized driver (repeated-sampling amortized figure; still "
+        "tunnel-sync-bound — the identical steady path on matched CPU "
+        "hardware, tools/run_reference.run_ours_steady under "
+        "JAX_PLATFORM_NAME=cpu, measures 28x/38x the reference for "
+        "mala/imh). The headline sections measure throughput at real scale"
     )
     return results
 

@@ -164,3 +164,57 @@ def run_ours_matched(
         "n_divergences": int(out.statistics.n_divergences),
         "strategy": strategy,
     }
+
+
+def run_ours_steady(
+    strategy: str,
+    sigma: Sequence[float],
+    n_chains: int = 32,
+    n_iterations: int = 500,
+    seed: int = 0,
+    inner_iterations: Optional[int] = None,
+    reps: int = 3,
+) -> Dict:
+    """Steady-state wall for the matched config: build ONE sampler, absorb
+    the per-sampler trace/compile in an untimed call, then time ``reps``
+    repeat calls on the memoized driver and report the best.
+
+    Rationale: at the reference-native 32-chain scale a single front-door
+    ``sample()`` call's wall is dominated by one-time JAX tracing (and, on
+    the tunneled TPU, host<->device sync latency), not sampling compute —
+    the eager reference pays neither. A production user who samples
+    repeatedly (or at real scale) sees the amortized figure; the A/B block
+    reports both, labeled.
+    """
+    import jax
+
+    from nfmc_tpu.api.sample import create_sampler
+    from nfmc_tpu.potentials import DiagonalGaussian
+
+    sig = np.asarray(sigma, dtype=np.float32)
+    d = len(sig)
+    target = DiagonalGaussian(mu=np.zeros(d), sigma=sig)
+    kwargs = {}
+    if inner_iterations is not None:
+        kwargs["inner_param_kwargs"] = {"n_iterations": int(inner_iterations)}
+    if strategy in ("mh", "mala", "ula", "hmc", "uhmc", "ess") or strategy.startswith("pt_"):
+        kwargs["flow"] = "None"
+    sampler = create_sampler(
+        target=target, event_shape=(d,), strategy=strategy,
+        param_kwargs={"n_iterations": int(n_iterations)}, **kwargs,
+    )
+    x0 = jax.random.normal(jax.random.key(seed), (n_chains, d)) * sig
+    sampler.sample(x0, show_progress=False, seed=seed)  # trace + compile
+    best = None
+    out = None
+    for _ in range(max(1, int(reps))):
+        t0 = time.time()
+        out = sampler.sample(x0, show_progress=False, seed=seed)
+        wall = time.time() - t0
+        best = wall if best is None else min(best, wall)
+    return {
+        "draws": np.asarray(out.samples),
+        "wall_s": best,
+        "accept_rate": float(out.statistics.acceptance_rate),
+        "strategy": strategy,
+    }
