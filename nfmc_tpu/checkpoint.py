@@ -377,17 +377,28 @@ def sample_resumable(
                 % (path, tuple(meta["x_shape"]), tuple(x.shape))
             )
         if "save_samples" in meta:
-            if save_samples is None:
-                save_samples = bool(meta["save_samples"])
-            elif bool(save_samples) != bool(meta["save_samples"]):
-                raise ValueError(
-                    "checkpoint %s was written with save_samples=%s but this "
-                    "call passed save_samples=%s — a silent flip would drop "
-                    "whole segments from the stored draws; pass save_samples="
-                    "None to adopt the checkpoint's setting, or delete the "
-                    "checkpoint (discard_resumable_checkpoint)"
-                    % (path, bool(meta["save_samples"]), bool(save_samples))
-                )
+            saved_flag = bool(meta["save_samples"])
+            flag_src = "written with"
+        else:
+            # legacy (pre-0.4.0) meta never recorded the flag — infer it from
+            # evidence: a checkpoint only exists after >=1 completed segment,
+            # and every completed segment of a saving run with stored draws
+            # appends to ``sample_segments``. Without this, resuming a legacy
+            # saving run through the None default would silently flip to
+            # False — the exact flip the explicit check below prevents.
+            saved_flag = bool(meta.get("sample_segments"))
+            flag_src = "inferred (legacy meta, from its sidecar record) as"
+        if save_samples is None:
+            save_samples = saved_flag
+        elif bool(save_samples) != saved_flag:
+            raise ValueError(
+                "checkpoint %s was %s save_samples=%s but this "
+                "call passed save_samples=%s — a silent flip would drop "
+                "whole segments from the stored draws; pass save_samples="
+                "None to adopt the checkpoint's setting, or delete the "
+                "checkpoint (discard_resumable_checkpoint)"
+                % (path, flag_src, saved_flag, bool(save_samples))
+            )
         # tuned-but-uncontracted state next: it can change the kernel-state
         # STRUCTURE (ESS: cov None -> array), which the treedef check below
         # must see on the fresh sampler

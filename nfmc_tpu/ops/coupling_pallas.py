@@ -409,18 +409,37 @@ def fused_realnvp_inverse(params, z, d: int, n_layers: int, clamp: float,
 
 # Backward implementation switch: the fused Pallas VJP kernel by default; set
 # False to fall back to re-running the XLA reference under jax.vjp (used to
-# validate the kernel, and automatically when no xla_fn is supplied there).
+# validate the kernel, and automatically when the VMEM-budget gate rejects
+# every backward block size). Callers that supply no xla_fn get the canonical
+# Coupling implementation synthesized for them (_xla_replay).
 _PALLAS_BWD = True
+
+
+def _xla_replay(d, n_layers, clamp, inverse):
+    """Pure-XLA reference of the fused op for callers that pass no
+    ``xla_fn``: the canonical Coupling forward/inverse (lazy import — the
+    flows module imports this module lazily, so no cycle). The op's math is
+    exactly a default-mask RealNVP stack; ``_forward_flat``/``_inverse_flat``
+    read layer widths from the params pytree, so the constructor's
+    ``hidden_size`` is irrelevant to the replay."""
+    from ..flows.coupling import RealNVP
+
+    bij = RealNVP((d,), n_layers=n_layers, clamp=clamp, use_pallas=False)
+    return bij._inverse_flat if inverse else bij._forward_flat
 
 
 def _fused_dir(params, x, d, n_layers, clamp, inverse, xla_fn):
     batch_shape = x.shape[:-1]
     xf = x.reshape(-1, d)
     pack, unpack = _perm(d)
+    if xla_fn is None:
+        # Guarantees every fallback below (over-budget forward, backward
+        # vjp replay, _PALLAS_BWD=False) has a real function to call.
+        xla_fn = _xla_replay(d, n_layers, clamp, inverse)
 
     hidden = int(params[0]["w"][1].shape[0])  # shapes are static under trace
     fwd_block = derive_fwd_block_b(d, hidden, n_layers)
-    if fwd_block is None and xla_fn is not None:
+    if fwd_block is None:
         # weights alone exceed the scoped-VMEM budget: pure XLA
         y, ld = xla_fn(params, xf)
         return y.reshape(x.shape), ld.reshape(batch_shape)
@@ -429,7 +448,7 @@ def _fused_dir(params, x, d, n_layers, clamp, inverse, xla_fn):
         flat = _flatten_weights(params)
         y, ld = _fused_call(
             jnp.take(xf, pack, axis=-1), flat, n_layers, clamp, inverse,
-            block_b=fwd_block or 256,
+            block_b=fwd_block,
         )
         return jnp.take(y, unpack, axis=-1), ld
 
@@ -461,8 +480,5 @@ def _fused_dir(params, x, d, n_layers, clamp, inverse, xla_fn):
         return vjp(g)
 
     op.defvjp(op_fwd, op_bwd)
-    if xla_fn is None and not _PALLAS_BWD:
-        y, ld = pallas_impl(params, xf)  # non-differentiable fallback
-    else:
-        y, ld = op(params, xf)
+    y, ld = op(params, xf)
     return y.reshape(x.shape), ld.reshape(batch_shape)

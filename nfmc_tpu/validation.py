@@ -137,9 +137,14 @@ def chain_permutation_test(
 
     # per-chain draw matrices for KS: chains[i] -> (T', d)
     chains_ks = [a_ks[:, i] for i in range(ca)] + [b_ks[:, i] for i in range(cb)]
-    # aggressively thinned per-chain points for the energy statistic
+    # aggressively thinned per-chain points for the energy statistic; both
+    # stacks truncate to a COMMON per-chain count (ceil-based striding gives
+    # unequal counts when T_a != T_b, and the block indexing in ``en_stat``
+    # requires every chain to contribute exactly ``per`` points)
     a_en = a[:: max(1, int(np.ceil(a.shape[0] / max_points_energy)))]
     b_en = b[:: max(1, int(np.ceil(b.shape[0] / max_points_energy)))]
+    per = min(a_en.shape[0], b_en.shape[0])
+    a_en, b_en = a_en[:per], b_en[:per]
     chains_en = [a_en[:, i] for i in range(ca)] + [b_en[:, i] for i in range(cb)]
 
     def ks_stat(idx_a, idx_b):
@@ -149,8 +154,7 @@ def chain_permutation_test(
 
     # energy: precompute the full pairwise-distance matrix once over all
     # thinned points; permutations then only re-index block sums
-    pts = np.concatenate(chains_en)  # (n_chains_total * T_en, d)
-    per = chains_en[0].shape[0]
+    pts = np.concatenate(chains_en)  # (n_chains_total * per, d)
     n_pts = len(pts)
     dist = np.empty((n_pts, n_pts))
     for i in range(0, n_pts, 512):

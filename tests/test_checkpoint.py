@@ -637,3 +637,74 @@ def test_save_samples_recorded_and_validated(tmp_path):
     out = sample_resumable(fresh(), x0, path, segment_iterations=10, seed=5,
                            show_progress=False)
     assert out.running_samples.n_samples == 40
+
+
+def test_legacy_meta_save_samples_inferred(tmp_path):
+    """Pre-0.4.0 metas never recorded save_samples; resuming one through the
+    None default must infer the original setting from the sidecar record
+    instead of silently flipping to False and dropping whole segments."""
+    import json as _json
+
+    import pytest
+
+    from nfmc_tpu.checkpoint import sample_resumable
+
+    x0 = jax.random.normal(jax.random.key(0), (8, 5))
+
+    def fresh():
+        s = MALA((5,), standard_gaussian_potential)
+        s.params.n_iterations = 40
+        s.params.store_samples = True
+        return s
+
+    def strip_save_samples(path):
+        data = dict(np.load(path + ".npz", allow_pickle=False))
+        meta = _json.loads(bytes(data["__meta__"].tobytes()).decode())
+        assert "save_samples" in meta
+        del meta["save_samples"]
+        data["__meta__"] = np.frombuffer(
+            _json.dumps(meta).encode(), dtype=np.uint8
+        )
+        np.savez(path + ".npz", **data)
+        return meta
+
+    def crash_first_resume(path, save_samples):
+        crash = fresh()
+        orig = crash.sample_continue
+        n = {"v": 0}
+
+        def crashing(*args, **kw):
+            if n["v"] == 1:
+                raise RuntimeError("boom")
+            n["v"] += 1
+            return orig(*args, **kw)
+
+        crash.sample_continue = crashing
+        try:
+            sample_resumable(crash, x0, path, segment_iterations=10, seed=5,
+                             show_progress=False, save_samples=save_samples)
+        except RuntimeError:
+            pass
+
+    # legacy SAVING run: sample_segments non-empty -> inferred True,
+    # resume with the None default keeps all 40 draws
+    path = str(tmp_path / "legacy_saving")
+    crash_first_resume(path, save_samples=True)
+    meta = strip_save_samples(path)
+    assert meta.get("sample_segments")
+    out = sample_resumable(fresh(), x0, path, segment_iterations=10, seed=5,
+                           show_progress=False)
+    assert out.running_samples.n_samples == 40
+
+    # legacy NON-saving run: no sidecar record -> inferred False; an
+    # explicit contradicting True fails loudly instead of fabricating draws
+    path2 = str(tmp_path / "legacy_plain")
+    crash_first_resume(path2, save_samples=False)
+    meta2 = strip_save_samples(path2)
+    assert not meta2.get("sample_segments")
+    with pytest.raises(ValueError, match="save_samples"):
+        sample_resumable(fresh(), x0, path2, segment_iterations=10, seed=5,
+                         show_progress=False, save_samples=True)
+    out2 = sample_resumable(fresh(), x0, path2, segment_iterations=10, seed=5,
+                            show_progress=False)
+    assert out2.statistics.n_attempted_trajectories > 0

@@ -534,3 +534,50 @@ def test_wide_shape_grads_standalone(interpret_pallas):
     flat = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.isfinite(l).all()) for l in flat)
     assert any(float(jnp.abs(l).max()) > 0 for l in flat)
+
+
+def test_no_xla_fn_fallbacks_still_differentiable(interpret_pallas, monkeypatch):
+    """Public entry points default ``xla_forward``/``xla_inverse`` to None;
+    every budget-gated fallback must then synthesize the XLA replay instead
+    of calling ``jax.vjp(None, ...)`` (or running an over-budget block)."""
+    cp = interpret_pallas
+    f = _flow()
+    x = jax.random.normal(jax.random.key(11), (6, 10))
+
+    def loss_xla(params):
+        z, ld = f.bijection._forward_flat(params, x)
+        return jnp.sum(z**2) + jnp.sum(ld)
+
+    g_ref = jax.grad(loss_xla)(f.params)
+
+    # backward over budget at every block size -> vjp of the synthesized replay
+    monkeypatch.setattr(cp, "derive_bwd_block_b", lambda *a, **k: None)
+
+    def loss_pallas(params):
+        z, ld = cp.fused_realnvp_forward(params, x, 10, 3, 3.0)
+        return jnp.sum(z**2) + jnp.sum(ld)
+
+    g = jax.grad(loss_pallas)(f.params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g, g_ref
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-4
+
+    # forward over budget too -> whole op replays on XLA, values + grads
+    monkeypatch.setattr(cp, "derive_fwd_block_b", lambda *a, **k: None)
+    z, ld = cp.fused_realnvp_forward(f.params, x, 10, 3, 3.0)
+    z_ref, ld_ref = f.bijection._forward_flat(f.params, x)
+    assert float(jnp.max(jnp.abs(z - z_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(ld - ld_ref))) < 1e-5
+    g2 = jax.grad(loss_pallas)(f.params)
+    diffs2 = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g2, g_ref
+    )
+    assert max(jax.tree_util.tree_leaves(diffs2)) < 1e-4
+
+    # inverse direction with no xla_inverse
+    zin = jax.random.normal(jax.random.key(12), (5, 10))
+    xi, ldi = cp.fused_realnvp_inverse(f.params, zin, 10, 3, 3.0)
+    xi_ref, ldi_ref = f.bijection._inverse_flat(f.params, zin)
+    assert float(jnp.max(jnp.abs(xi - xi_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(ldi - ldi_ref))) < 1e-5

@@ -101,13 +101,19 @@ class Flow(nn.Module):
         x_train = x_train.reshape(-1, *self.event_shape).detach()
         if batch_size == "adaptive" or batch_size is None:
             batch_size = max(32, min(8192, len(x_train)))
-        perm = torch.randperm(len(x_train))[:batch_size]
-        xb = x_train[perm]
+
+        def loss_fn():
+            # fresh random minibatch per optimizer step — a single fixed
+            # batch would leave most of a large history unseen across all
+            # epochs and systematically weaken the reference side's fits
+            perm = torch.randperm(len(x_train))[:batch_size]
+            return -self.log_prob(x_train[perm]).mean()
+
         val = None
         if x_val is not None and len(x_val):
             val = x_val.reshape(-1, *self.event_shape).detach()
         self._run_opt(
-            loss_fn=lambda: -self.log_prob(xb).mean(),
+            loss_fn=loss_fn,
             val_loss_fn=(lambda: -self.log_prob(val).mean()) if val is not None else None,
             n_epochs=n_epochs, lr=lr, early_stopping=early_stopping,
             early_stopping_threshold=early_stopping_threshold,
