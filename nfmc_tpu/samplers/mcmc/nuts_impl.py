@@ -116,7 +116,14 @@ def make_nuts_step(
             energy = u + kinetic(r, imd)
             delta = energy - energy0
             diverged = s.diverged | (delta > max_delta_energy) | (~jnp.isfinite(delta))
-            sum_accept = s.sum_accept + jnp.minimum(1.0, jnp.exp(-delta))
+            # Finiteness mask (repo convention): a NaN potential at a
+            # divergent leaf must count as accept-prob 0, not poison
+            # sum_accept -> accept_stat -> dual averaging for the rest of
+            # warmup. (+inf delta already maps to exp(-inf)=0.)
+            leaf_accept = jnp.where(
+                jnp.isfinite(delta), jnp.minimum(1.0, jnp.exp(-delta)), 0.0
+            )
+            sum_accept = s.sum_accept + leaf_accept
 
             # progressive multinomial sampling within the subtree
             w = -delta
@@ -144,7 +151,20 @@ def make_nuts_step(
 
             def check(j, turning):
                 active = (~is_odd) & (j >= idx_min) & (j <= idx_max)
-                t = is_turning(ckpt_z[j], ckpt_r[j], z, r, imd)
+                # Trajectory-ordered endpoints: walking backward
+                # (direction=-1) the current leaf is the EARLIER point in
+                # trajectory time and the checkpoint the later one. Backward
+                # leapfrog with -eps yields true trajectory momenta (no
+                # negation), so ordering the endpoints is the whole fix;
+                # evaluating with walk-ordered endpoints inverts the
+                # Hoffman-Gelman criterion's sign for backward subtrees and
+                # terminates healthy expanding trajectories ~3x early.
+                fwd = direction > 0
+                z_lo = jnp.where(fwd, ckpt_z[j], z)
+                r_lo = jnp.where(fwd, ckpt_r[j], r)
+                z_hi = jnp.where(fwd, z, ckpt_z[j])
+                r_hi = jnp.where(fwd, r, ckpt_r[j])
+                t = is_turning(z_lo, r_lo, z_hi, r_hi, imd)
                 return turning | (active & t)
 
             turning = jax.lax.fori_loop(0, max_tree_depth + 1, check, s.turning)

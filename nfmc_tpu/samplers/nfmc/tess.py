@@ -66,8 +66,28 @@ def make_tess_step(flow, potential, event_shape: Tuple[int, ...],
     contract ((max_iter + 1) * B calls per iteration)."""
     event_ndim = len(event_shape)
 
-    def log_phi(params, inputs):
-        return flow.base_log_prob_fn(inputs)
+    if chol is None:
+        def log_phi(params, inputs):
+            return flow.base_log_prob_fn(inputs)
+    else:
+        # v is DRAWN as chol @ z ~ N(0, cov); the slice threshold and the
+        # acceptance must evaluate that same N(0, cov) density. Evaluating
+        # the flow base N(0, I) here instead would make the augmentation
+        # inconsistent with the Gibbs redraw and bias the u-marginal for any
+        # non-identity cov. Whitened quadratic form (solve_triangular + sum
+        # of squares): exact under TPU matmul precision, no dense x@P@x
+        # cancellation (docs/design.md "User-potential numerics").
+        _D = chol.shape[0]
+        _logdet_chol = jnp.sum(jnp.log(jnp.diagonal(chol)))
+        _log2pi = math.log(2.0 * math.pi)
+
+        def log_phi(params, inputs):
+            batch_shape = inputs.shape[: inputs.ndim - event_ndim]
+            flat = inputs.reshape(-1, _D)
+            zw = jax.scipy.linalg.solve_triangular(chol, flat.T, lower=True).T
+            lp = (-0.5 * jnp.sum(zw * zw, axis=-1)
+                  - _logdet_chol - 0.5 * _D * _log2pi)
+            return lp.reshape(batch_shape)
 
     def log_pi_hat(params, inputs):
         # Pullback log-density of the latent state: log pi^(u) =
@@ -214,7 +234,9 @@ class TESS(Sampler):
             ):
                 break
             t0 = time.time()
-            key, k_step, k_fit = jax.random.split(key, 3)
+            # k_perm and k_fit are distinct: the numpy split permutation and
+            # the fit's internal randomness must not consume the same key
+            key, k_step, k_perm, k_fit = jax.random.split(key, 4)
             # the flow refits every iteration, so lp/x re-derive per step
             lp_u, x_u = tess_init(flow.params, u)
             x, u, _lp, accepted = tess_step(flow.params, u, lp_u, x_u, k_step)
@@ -229,7 +251,7 @@ class TESS(Sampler):
                 n_divergences=int(not bool(jnp.all(jnp.isfinite(u)))),
             )
             x_np = np.asarray(x)
-            perm = np.random.default_rng(int(jax.random.randint(k_fit, (), 0, 2**31 - 1))).permutation(n_chains)
+            perm = np.random.default_rng(int(jax.random.randint(k_perm, (), 0, 2**31 - 1))).permutation(n_chains)
             x_np = x_np[perm]
             n_train = int(len(x_np) * self.params.train_pct)
             try:

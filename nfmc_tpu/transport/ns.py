@@ -74,7 +74,10 @@ class NestedSampling:
         log_Z = -np.inf
         log_X_prev = 0.0
         dead_points, dead_ll = [], []
-        rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+        # dedicated key for the host rng seed: the loop below keeps splitting
+        # `key`, which must stay single-use relative to this consumption
+        key, k_rng = jax.random.split(key)
+        rng = np.random.default_rng(int(jax.random.randint(k_rng, (), 0, 2**31 - 1)))
 
         iterator = tqdm(range(n_iterations), desc="NS", disable=not show_progress)
         for i in iterator:

@@ -417,3 +417,88 @@ def test_jump_flow_swap_rebuilds_fused_runner():
     s.kernel.flow = small_flow(EVENT_SHAPE, seed=9, n_layers=4)  # new architecture
     out2 = s.sample(x0, show_progress=False, seed=1)
     assert np.isfinite(out2.samples).all()
+
+
+def test_nuts_backward_subtree_uturn_direction():
+    """Round-3 review fix: the within-subtree U-turn check must use
+    trajectory-ordered endpoints. With walk-ordered endpoints, every
+    backward subtree of >=2 leaves on a non-turning trajectory flagged a
+    spurious U-turn, capping trajectories ~3x short (measured 6.5
+    leapfrogs/chain/iter on this exact config; direction-ordered gives
+    ~18, a half-period being ~31 steps at eps=0.1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nfmc_tpu.samplers.mcmc.nuts_impl import make_nuts_step
+
+    def target(x):
+        return 0.5 * jnp.sum(x**2, axis=-1)
+
+    step = jax.jit(make_nuts_step(target, (1,), max_tree_depth=8))
+    key = jax.random.key(0)
+    x = jax.random.normal(jax.random.key(1), (64, 1))
+    total = 0
+    n_iter = 60
+    for _ in range(n_iter):
+        key, k = jax.random.split(key)
+        x, _moved, _div, _acc, evals = step(x, jnp.float32(0.1), jnp.ones(1), k)
+        total += int(evals) - 64  # minus the per-chain seed evaluation
+    mean_leapfrogs = total / (n_iter * 64)
+    assert mean_leapfrogs > 12.0, mean_leapfrogs  # broken check gave ~6.5
+    assert abs(float(jnp.var(x)) - 1.0) < 0.35
+
+
+def test_nuts_nan_potential_does_not_poison_accept_stat():
+    """A NaN potential at a divergent leaf must count as accept-prob 0 (and
+    a divergence), not NaN the accept statistic that dual averaging
+    consumes during warmup."""
+    import jax
+    import jax.numpy as jnp
+
+    from nfmc_tpu.samplers.mcmc.nuts_impl import make_nuts_step
+
+    def nan_outside(x):
+        # NaN potential whenever any coordinate leaves (-1.5, 1.5)
+        u = 0.5 * jnp.sum(x**2, axis=-1)
+        bad = jnp.any(jnp.abs(x) > 1.5, axis=-1)
+        return jnp.where(bad, jnp.nan, u)
+
+    step = jax.jit(make_nuts_step(nan_outside, (2,), max_tree_depth=6))
+    key = jax.random.key(0)
+    x = 0.1 * jax.random.normal(jax.random.key(1), (32, 2))
+    saw_divergence = False
+    for _ in range(30):
+        key, k = jax.random.split(key)
+        x, _moved, div, acc, _evals = step(x, jnp.float32(0.5), jnp.ones(2), k)
+        saw_divergence = saw_divergence or bool(div)
+        assert bool(jnp.all(jnp.isfinite(acc))), acc
+    assert saw_divergence  # the large step must actually hit the NaN region
+    assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_tess_nonidentity_cov_recovers_target():
+    """Round-3 review fix: with TESSKernel.cov != I the auxiliary density in
+    the slice threshold/acceptance must be N(0, cov) — the law v is drawn
+    from — not the flow base N(0, I). With a frozen identity-init flow the
+    latent chain then targets the pullback = the target itself; wrong
+    density biases the variance."""
+    import jax
+    import jax.numpy as jnp
+
+    from nfmc_tpu.samplers.nfmc.tess import TESS, TESSKernel
+
+    d = 3
+    cov = np.diag(np.array([4.0, 0.25, 1.0], dtype=np.float32))
+
+    def gaussian(x):
+        return 0.5 * jnp.sum(x**2, axis=-1)
+
+    sampler = TESS((d,), target=gaussian, negative_log_likelihood=gaussian,
+                   kernel=TESSKernel((d,), cov=cov))
+    sampler.params.n_iterations = 600
+    sampler.params.store_samples = True
+    x0 = jax.random.normal(jax.random.key(0), (64, d))
+    out = sampler.sample(x0, show_progress=False, seed=1)
+    draws = np.asarray(out.samples)[200:]
+    var = draws.reshape(-1, d).var(axis=0)
+    assert np.all(np.abs(var - 1.0) < 0.25), var
