@@ -70,14 +70,16 @@ def ess_per_dim(x: np.ndarray) -> float:
     for j in range(c):
         for k in range(d):
             r = rho[:, j, k]
-            # Geyer: sum consecutive pairs while positive
-            s = 0.0
-            for t in range(1, n - 1, 2):
+            # Geyer pairing Gamma_m = rho_{2m} + rho_{2m+1} (Gamma_0 =
+            # 1 + rho_1), summed while positive; tau floored at 1
+            # (identical estimator to nfmc_tpu.diagnostics)
+            tau = -1.0
+            for t in range(0, n - 1, 2):
                 pair = r[t] + r[t + 1]
-                if pair < 0:
+                if pair <= 0:
                     break
-                s += pair
-            ess_sum += n / (1.0 + 2.0 * s)
+                tau += 2.0 * pair
+            ess_sum += n / max(tau, 1.0)
     return float(ess_sum / d)
 
 

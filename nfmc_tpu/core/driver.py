@@ -123,9 +123,13 @@ class StatsAccum:
 StepFn = Callable[[jax.Array, object, jax.Array], Tuple[jax.Array, object, StepInfo]]
 
 
-def chunk_schedule(n_iterations: int, max_chunk: int = 128):
-    """Yield chunk sizes growing 1, 4, 16, ... capped, tail decomposed into
-    already-seen sizes.
+def chunk_schedule(n_iterations: int, max_chunk: int = 64):
+    """Yield chunk sizes growing 1, 4, 16, ... capped at the largest power
+    of 4 <= ``max_chunk``, tail decomposed into already-seen sizes. Keeping
+    every size a power of 4 means the sync path's sizes are a subset of the
+    async path's (one warm-up covers both); pass an exact power of 4 to
+    avoid surprises (a ``max_chunk`` of 128 effectively caps at 64 —
+    round-3 review clarification).
 
     Each distinct length is a separate XLA compilation of the scan (~seconds
     on TPU), so growth is geometric with factor 4: at most
@@ -158,7 +162,7 @@ def run_chunk_loop(
     time_limit_seconds: Optional[float] = None,
     show_progress: bool = False,
     desc: str = "MCMC",
-    sync_max_chunk: int = 128,
+    sync_max_chunk: int = 64,
     max_chunk: Optional[int] = None,
     postfix: Optional[Callable[[], str]] = None,
 ) -> int:
@@ -180,7 +184,8 @@ def run_chunk_loop(
     are dispatched asynchronously (pipelined) with ONE final sync; otherwise
     each chunk blocks so elapsed-time accounting (and limits) see real work.
     Default max chunk: 1024 pipelined (amortizes per-dispatch latency),
-    ``sync_max_chunk`` otherwise (time-limit granularity).
+    ``sync_max_chunk`` = 64 otherwise (time-limit granularity; a power of 4
+    so the sync path re-uses the async path's compiled sizes).
 
     Returns the number of iterations completed (a time limit may stop early).
     """
@@ -398,7 +403,7 @@ class ChunkedScanDriver:
             time_limit_seconds=time_limit_seconds,
             show_progress=show_progress,
             desc=desc,
-            sync_max_chunk=128,
+            sync_max_chunk=64,
             max_chunk=max_chunk,
             postfix=postfix,
         )

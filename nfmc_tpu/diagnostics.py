@@ -25,19 +25,26 @@ def effective_sample_size(samples: jax.Array) -> jax.Array:
     """Per-dimension ESS summed over chains via Geyer's initial positive
     sequence. ``samples: (n_draws, n_chains, d)`` -> ``(d,)``.
 
-    Vectorized: pair sums ``P_t = rho_{2t+1} + rho_{2t+2}`` are kept while the
-    running prefix of pairs stays positive (cumulative-product mask), which is
-    exactly the sequential early-break of the classic estimator.
+    Vectorized with Geyer's pairing ``Gamma_m = rho_{2m} + rho_{2m+1}``
+    (``Gamma_0 = 1 + rho_1``): for reversible chains every ``Gamma_m`` is
+    positive until the noise floor, which is what makes the
+    keep-while-positive truncation (cumulative-product mask = the sequential
+    early-break) sound. Pairing at odd offsets ``rho_{2m+1} + rho_{2m+2}``
+    instead loses that guarantee — a chain mixing a fast antithetic mode
+    with a slow positive one gets its FIRST pair negative, truncating the
+    whole positive tail and overestimating ESS >2x (round-3 review fix).
+    ``tau = -1 + 2 * sum(kept Gamma)`` is floored at 1 (conservative: never
+    credits super-efficiency from antithetic autocorrelation).
     """
     n, c, d = samples.shape
     x = samples - jnp.mean(samples, axis=0, keepdims=True)
     acov = _autocov_fft(x)  # (n, c, d), biased
     rho = acov / jnp.maximum(acov[0:1], 1e-30)
-    n_pairs = (n - 1) // 2
-    pairs = rho[1 : 1 + 2 * n_pairs].reshape(n_pairs, 2, c, d).sum(axis=1)
+    n_pairs = n // 2
+    pairs = rho[: 2 * n_pairs].reshape(n_pairs, 2, c, d).sum(axis=1)
     keep = jnp.cumprod(pairs > 0.0, axis=0)
-    tail = jnp.sum(pairs * keep, axis=0)  # (c, d)
-    ess = n / (1.0 + 2.0 * jnp.maximum(tail, 0.0))
+    tau = -1.0 + 2.0 * jnp.sum(pairs * keep, axis=0)  # (c, d)
+    ess = n / jnp.maximum(tau, 1.0)
     return jnp.sum(ess, axis=0)  # (d,)
 
 

@@ -119,6 +119,15 @@ class Inverse(Bijection):
         return self.inner.forward_fn(params, z)
 
     @property
+    def regularization_weight(self) -> float:  # type: ignore[override]
+        # forward the wrapped bijection's training regularizer (RNODE's
+        # kinetic term would otherwise silently vanish under Inverse)
+        return float(getattr(self.inner, "regularization_weight", 0.0))
+
+    def regularization(self, params, x):
+        return self.inner.regularization(params, x)
+
+    @property
     def layers(self):
         return getattr(self.inner, "layers", [])
 
@@ -148,6 +157,36 @@ class Chain(Bijection):
             z, ld = b.inverse_fn(p, z)
             log_det = log_det + ld
         return z, log_det
+
+    @property
+    def regularization_weight(self) -> float:  # type: ignore[override]
+        # children's regularizers (RNODE kinetic energy etc.) must survive
+        # composition; per-child weights are applied inside regularization(),
+        # so the chain-level weight is just an on/off gate
+        return 1.0 if any(
+            getattr(b, "regularization_weight", 0.0) for b in self.bijections
+        ) else 0.0
+
+    def regularization(self, params, x):
+        """Weighted sum of the children's regularizers, each evaluated at its
+        own input in the forward (data -> latent) pass. Re-runs the forward
+        transforms up to the last regularized child; XLA prunes the rest."""
+        batch_shape = x.shape[: x.ndim - len(self.event_shape)]
+        total = jnp.zeros(batch_shape)
+        weights = [float(getattr(b, "regularization_weight", 0.0))
+                   for b in self.bijections]
+        last = max((i for i, w in enumerate(weights) if w), default=-1)
+        for i, (b, p) in enumerate(zip(self.bijections, params)):
+            if i > last:
+                break
+            if weights[i]:
+                r = b.regularization(p, x)
+                total = total + weights[i] * (
+                    r if getattr(r, "ndim", 0) else jnp.broadcast_to(r, batch_shape)
+                )
+            if i < last:
+                x, _ = b.forward_fn(p, x)
+        return total
 
 
 class Flow:

@@ -230,8 +230,13 @@ def fit(
     reg_weight = float(getattr(flow.bijection, "regularization_weight", 0.0))
 
     cache = flow.__dict__.setdefault("_fit_runner_cache", {})
+    # id(flow.bijection): the trainer bakes log_prob_fn/regularization_fn at
+    # first trace, so swapping a same-pytree-shaped but differently
+    # configured bijection onto the flow must miss the cache (the sampler-
+    # side caches key on the bijection identity for the same reason)
     cache_key = ("mle", bs, n_batches, val_data.shape[0], lr, keep_best_weights,
-                 shuffle, reg_weight, id(flow._base_log_prob_override),
+                 shuffle, reg_weight, id(flow.bijection),
+                 id(flow._base_log_prob_override),
                  None if mesh is None else (mesh.axis_names, mesh.devices.size))
     if cache_key not in cache:
         log_prob_fn = flow.log_prob_fn
@@ -418,19 +423,23 @@ def variational_fit(
         def body(carry, k):
             p, os, bp, bl = carry
             loss, grads = jax.value_and_grad(loss_fn)(p, k)
-            updates, os = opt.update(grads, os, p)
-            p_new = optax.apply_updates(p, updates)
             finite = jnp.isfinite(loss)
-            # skip non-finite updates entirely
-            p = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(finite, new, old), p_new, p
-            )
+            # best-weight tracking BEFORE the update: ``loss`` was measured
+            # at ``p``, so these are the params the recorded best loss
+            # belongs to (storing the post-update params paired a loss with
+            # weights one Adam step past it — round-3 review fix)
             better = finite & (loss < bl)
             bl = jnp.where(better, loss, bl)
             if keep_best_weights:
                 bp = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(better, new, old), p, bp
                 )
+            updates, os = opt.update(grads, os, p)
+            p_new = optax.apply_updates(p, updates)
+            # skip non-finite updates entirely
+            p = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), p_new, p
+            )
             return (p, os, bp, bl), loss
 
         (params, opt_state, best_params, best_loss), losses = jax.lax.scan(

@@ -94,8 +94,10 @@ def per_dim_ess(draws: np.ndarray) -> np.ndarray:
         acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=0)[:T].real
         acov /= np.arange(T, 0, -1)[:, None]
         rho = (acov / np.maximum(acov[0:1], 1e-300)).mean(axis=1)
-        tau = 1.0
-        for t in range(1, T - 1, 2):
+        # Geyer pairing Gamma_m = rho_{2m} + rho_{2m+1} (Gamma_0 = 1 + rho_1),
+        # summed while positive — identical to nfmc_tpu.diagnostics
+        tau = -1.0
+        for t in range(0, T - 1, 2):
             pair = rho[t] + rho[t + 1]
             if pair <= 0:
                 break

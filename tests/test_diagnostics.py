@@ -85,3 +85,34 @@ def test_output_diagnostics_convenience():
     rhat = np.asarray(out.potential_scale_reduction())
     assert ess.shape == (4,) and (ess > 0).all()
     assert rhat.shape == (4,) and np.isfinite(rhat).all()
+
+
+def test_ess_geyer_pairing_not_fooled_by_antithetic_mix():
+    """Round-3 review fix: pairing autocorrelations at odd offsets
+    (rho1+rho2, rho3+rho4, ...) loses Geyer's positivity guarantee — a
+    chain mixing a fast antithetic mode with a slow positive one gets its
+    first pair negative, truncating the whole positive tail and reporting
+    ESS near n*c where the true value is less than half that. Geyer pairing
+    Gamma_m = rho_{2m} + rho_{2m+1} keeps the tail."""
+    import jax.numpy as jnp
+
+    n, c = 4096, 8
+    key = jax.random.key(2)
+    k1, k2 = jax.random.split(key)
+
+    def ar(phi, eps):
+        def body(carry, e):
+            x = phi * carry + e
+            return x, x
+        _, x = jax.lax.scan(body, jnp.zeros(eps.shape[1:]), eps)
+        return x
+
+    fast = ar(-0.5, jax.random.normal(k1, (n, c, 1)))
+    slow = ar(0.9, jax.random.normal(k2, (n, c, 1)))
+    # variance mix: mostly the antithetic mode, a heavy slow tail
+    x = np.sqrt(0.88) * np.asarray(fast) / np.std(np.asarray(fast)) + \
+        np.sqrt(0.12) * np.asarray(slow) / np.std(np.asarray(slow))
+    ess = float(np.asarray(effective_sample_size(jnp.asarray(x)))[0])
+    # true tau ~ 1 + 2*sum(0.88*(-0.5)^t + 0.12*0.9^t) ~ 2.6 -> ESS ~ n*c/2.6
+    assert ess < 0.55 * n * c, ess  # broken pairing reported ~0.84 * n * c
+    assert ess > 0.2 * n * c, ess

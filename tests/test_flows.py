@@ -130,3 +130,63 @@ def test_spline_lookup_strategies_bit_exact():
                 assert float(jnp.max(jnp.abs(gg - gs))) < 1e-5
     finally:
         spl._FORCE_LOOKUP = None
+
+
+def test_chain_and_inverse_forward_child_regularization():
+    """Round-3 review fix: Chain/Inverse must surface wrapped bijections'
+    training regularizers (RNODE's kinetic term otherwise silently vanishes
+    under composition)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nfmc_tpu.flows import RealNVP
+    from nfmc_tpu.flows.base import Chain, Inverse
+
+    class Regularized(RealNVP):
+        regularization_weight = 0.5
+
+        def regularization(self, params, x):
+            return jnp.full(x.shape[:-1], 2.0)
+
+    inner = Regularized((4,), n_layers=2, hidden_size=8)
+    chain = Chain([RealNVP((4,), n_layers=2, hidden_size=8), Regularized((4,), n_layers=2, hidden_size=8)])
+    inv = Inverse(Regularized((4,), n_layers=2, hidden_size=8))
+
+    kp = jax.random.key(0)
+    chain.params = chain.init(kp)
+    inv.params = inv.init(kp)
+    x = jax.random.normal(jax.random.key(1), (6, 4))
+
+    assert float(getattr(chain, "regularization_weight")) == 1.0
+    # chain applies the CHILD's weight inside regularization()
+    r = np.asarray(chain.regularization(chain.params, x))
+    assert r.shape == (6,)
+    assert np.allclose(r, 0.5 * 2.0)
+
+    assert float(getattr(inv, "regularization_weight")) == 0.5
+    r2 = np.asarray(inv.regularization(inv.params, x))
+    assert np.allclose(r2, 2.0)
+
+    # plain chains stay regularization-free (weight gate 0 compiles it away)
+    plain = Chain([RealNVP((4,), n_layers=2, hidden_size=8)])
+    assert float(getattr(plain, "regularization_weight")) == 0.0
+
+
+def test_fit_cache_misses_on_bijection_swap():
+    """Round-3 review fix: the compiled-trainer cache must key on the
+    bijection identity — swapping a same-shaped but differently configured
+    bijection onto the flow previously reused a trainer traced against the
+    old one."""
+    import jax
+
+    from nfmc_tpu.flows import Flow, RealNVP
+
+    f = Flow(RealNVP((3,), n_layers=2, hidden_size=8, clamp=3.0), seed=0)
+    x = np.asarray(jax.random.normal(jax.random.key(0), (64, 3)))
+    f.fit(x, n_epochs=2, show_progress=False)
+    assert len(f._fit_runner_cache) == 1
+
+    f.bijection = RealNVP((3,), n_layers=2, hidden_size=8, clamp=10.0)
+    f.bijection.params = f.bijection.init(jax.random.key(1))
+    f.fit(x, n_epochs=2, show_progress=False)
+    assert len(f._fit_runner_cache) == 2  # distinct trainer for the new bijection
