@@ -183,16 +183,23 @@ def create_sampler(
     else:
         raise ValueError(f"Unknown type for normalizing flow: {type(flow)}")
 
+    # Documented deviation (round-3 review): the reference SILENTLY drops
+    # kernel_kwargs for every NFMC strategy (``sample.py:124-233`` builds the
+    # kernels bare) — here they plumb through, so e.g. DLMC's step_size and
+    # TESS's cov are front-door reachable instead of being ignored without
+    # error (docs/parity.md).
     if strategy in ("imh", "fixed_imh"):
-        return FixedIMH(event_shape, target, IMHKernel(event_shape, flow=flow_object),
+        return FixedIMH(event_shape, target,
+                        IMHKernel(event_shape, flow=flow_object, **kernel_kwargs),
                         IMHParameters(**param_kwargs))
     if strategy == "adaptive_imh":
         # Reference quirk parity: AdaptiveIMH ignores param_kwargs (``sample.py:127-130``).
-        return AdaptiveIMH(event_shape, target, IMHKernel(event_shape, flow=flow_object),
+        return AdaptiveIMH(event_shape, target,
+                           IMHKernel(event_shape, flow=flow_object, **kernel_kwargs),
                            IMHParameters())
 
     if strategy.startswith("jump_"):
-        kernel = NFMCKernel(event_shape, flow=flow_object)
+        kernel = NFMCKernel(event_shape, flow=flow_object, **kernel_kwargs)
         params = JumpNFMCParameters(**param_kwargs)
         inner = strategy[len("jump_"):]
         if inner in ("mala", "ula"):
@@ -248,23 +255,25 @@ def create_sampler(
         if negative_log_likelihood is None:
             raise ValueError("Negative log likelihood must be provided")
         return TESS(event_shape, target, negative_log_likelihood,
-                    TESSKernel(event_shape, flow=flow_object), TESSParameters(**param_kwargs))
+                    TESSKernel(event_shape, flow=flow_object, **kernel_kwargs),
+                    TESSParameters(**param_kwargs))
     if strategy == "dlmc":
         if negative_log_likelihood is None:
             raise ValueError("Negative log likelihood must be provided")
         return DLMC(event_shape, target, negative_log_likelihood,
-                    DLMCKernel(event_shape, flow=flow_object), DLMCParameters(**param_kwargs))
+                    DLMCKernel(event_shape, flow=flow_object, **kernel_kwargs),
+                    DLMCParameters(**param_kwargs))
     if strategy == "neutra_hmc":
         return NeuTraHMC(event_shape, target,
                          inner_kernel=HMCKernel(event_size=event_size, **inner_kernel_kwargs),
                          inner_params=HMCParameters(**inner_param_kwargs),
-                         kernel=NeuTraKernel(event_shape, flow=flow_object),
+                         kernel=NeuTraKernel(event_shape, flow=flow_object, **kernel_kwargs),
                          params=NeuTraParameters(**param_kwargs))
     if strategy == "neutra_mh":
         return NeuTraMH(event_shape, target,
                         inner_kernel=MHKernel(event_size=event_size, **inner_kernel_kwargs),
                         inner_params=MHParameters(**inner_param_kwargs),
-                        kernel=NeuTraKernel(event_shape, flow=flow_object),
+                        kernel=NeuTraKernel(event_shape, flow=flow_object, **kernel_kwargs),
                         params=NeuTraParameters(**param_kwargs))
     if strategy == "neutra_chees":
         # Superset (see "chees_hmc"): adaptive-trajectory HMC in the
@@ -272,7 +281,7 @@ def create_sampler(
         return NeuTraChEES(event_shape, target,
                            inner_kernel=CheesHMCKernel(event_size=event_size, **inner_kernel_kwargs),
                            inner_params=CheesHMCParameters(**inner_param_kwargs),
-                           kernel=NeuTraKernel(event_shape, flow=flow_object),
+                           kernel=NeuTraKernel(event_shape, flow=flow_object, **kernel_kwargs),
                            params=NeuTraParameters(**param_kwargs))
     raise ValueError(f"Unsupported sampling strategy: {strategy}")
 
@@ -407,6 +416,15 @@ def sample(
             x0 = jnp.asarray(warmup_output.running_samples.last_sample)
         # else: warmup produced nothing (zero iterations / immediate time
         # limit) — keep the original x0
+        if (
+            getattr(sampler, "warmup_draws_are_latent", False)
+            and getattr(sampler.params, "transport_x0", False)
+        ):
+            # NeuTra's warmup draws are LATENT; with transport_x0 the
+            # sampler will forward-map x0 as data-space, which would land
+            # chains at f(z) instead of z (round-3 review fix). Convert to
+            # data space so the transport reconstructs the warmup points.
+            x0 = sampler._latent_to_data(x0)
         if mesh is not None:
             from ..parallel import shard_chains
 

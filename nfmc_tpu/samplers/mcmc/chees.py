@@ -271,9 +271,16 @@ class CheesHMC(MCMCSampler):
 
             if tuning:
                 # accept PROBABILITY (not indicator): the standard low-variance
-                # signal for both adaptations
+                # signal for both adaptations. isfinite(log_alpha) guards a
+                # NaN h_start (NaN potential at the CURRENT state with a
+                # finite trajectory): the accept mask is NaN-safe via its
+                # comparison, but exp(min(NaN, 0)) = NaN would poison
+                # jnp.mean(alpha) -> dual averaging -> step size for the
+                # rest of warmup (round-3 review fix, cf. the nuts_impl
+                # NaN-accept fix).
                 alpha = jnp.where(
-                    finite, jnp.exp(jnp.minimum(log_alpha, 0.0)), 0.0
+                    finite & jnp.isfinite(log_alpha),
+                    jnp.exp(jnp.minimum(log_alpha, 0.0)), 0.0
                 )
                 da = cs.da
                 step_size = cs.step_size

@@ -79,6 +79,55 @@ class DLMC(Sampler):
 
         return fixed_effort_fit_config(self.params.flow_fit_kwargs)
 
+    def _make_drift_accept(self, n_chains: int):
+        """The single drift + accept implementation shared by the fused scan
+        step and the host path's jits — one copy so a fix cannot silently
+        diverge between the two (round-3 review; the parity tests compare
+        the paths statistically, this removes the hazard at the source)."""
+        flow = self.kernel.flow
+        tau = float(self.kernel.step_size)
+        target = self.target
+        latent_updates = self.params.latent_updates
+        event_ndim = len(self.event_shape)
+
+        def drift(params, x):
+            if latent_updates:
+                z, _ = flow.bijection.forward_fn(params, x)
+                g = batched_grad(target)(x)
+                z = z - tau * (g - z)
+                x_new, _ = flow.bijection.inverse_fn(params, z)
+            else:
+                g = batched_grad(lambda v: target(v) + flow.log_prob_fn(params, v))(x)
+                x_new = x - tau * g
+            return x_new
+
+        def accept(params, x, key):
+            k_prop, k_acc = jax.random.split(key)
+            x_tilde, flp_tilde = flow.sample_fn(params, k_prop, n_chains,
+                                                return_log_prob=True)
+            u_tilde = target(x_tilde)
+            log_alpha = metropolis_acceptance_log_ratio(
+                log_prob_target_curr=-target(x),
+                log_prob_target_prime=-u_tilde,
+                log_prob_proposal_curr=flow.log_prob_fn(params, x),
+                log_prob_proposal_prime=flp_tilde,
+            )
+            # Proposal-side finiteness only: a bad CURRENT state makes
+            # log_alpha=+inf = certain accept (the escape route from
+            # out-of-support inits); guarding on isfinite(log_alpha) froze
+            # such chains (round-3 review fix, cf. AbstractIMH).
+            finite = (
+                jnp.all(jnp.isfinite(x_tilde.reshape(n_chains, -1)), axis=-1)
+                & jnp.isfinite(u_tilde)
+                & jnp.isfinite(flp_tilde)
+            )
+            log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
+            mask = (log_u < log_alpha) & finite
+            bmask = mask.reshape(mask.shape + (1,) * event_ndim)
+            return jnp.where(bmask, x_tilde, x), mask, (~jnp.all(finite)).astype(jnp.int32)
+
+        return drift, accept
+
     def _make_fused_step(self, n_chains: int, fit_cfg):
         """One DLMC iteration (refit + drift + accept) as a pure scan step
         ``(x, flow_params, key) -> (x', flow_params', StepInfo)``.
@@ -105,34 +154,7 @@ class DLMC(Sampler):
             max_val_size=self.params.max_val_size,
         )
 
-        def drift(params, x):
-            if latent_updates:
-                z, _ = flow.bijection.forward_fn(params, x)
-                g = batched_grad(target)(x)
-                z = z - tau * (g - z)
-                x_new, _ = flow.bijection.inverse_fn(params, z)
-            else:
-                g = batched_grad(lambda v: target(v) + flow.log_prob_fn(params, v))(x)
-                x_new = x - tau * g
-            return x_new
-
-        def accept(params, x, key):
-            k_prop, k_acc = jax.random.split(key)
-            x_tilde = flow.sample_fn(params, k_prop, n_chains)
-            log_alpha = metropolis_acceptance_log_ratio(
-                log_prob_target_curr=-target(x),
-                log_prob_target_prime=-target(x_tilde),
-                log_prob_proposal_curr=flow.log_prob_fn(params, x),
-                log_prob_proposal_prime=flow.log_prob_fn(params, x_tilde),
-            )
-            finite = (
-                jnp.all(jnp.isfinite(x_tilde.reshape(n_chains, -1)), axis=-1)
-                & jnp.isfinite(log_alpha)
-            )
-            log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
-            mask = (log_u < log_alpha) & finite
-            bmask = mask.reshape(mask.shape + (1,) * len(event_shape))
-            return jnp.where(bmask, x_tilde, x), mask, (~jnp.all(finite)).astype(jnp.int32)
+        drift, accept = self._make_drift_accept(n_chains)
 
         def step(x, params, key):
             k_fit, k_acc = jax.random.split(key)
@@ -178,40 +200,8 @@ class DLMC(Sampler):
 
         def build_jits():
             grad_nll = jax.jit(batched_grad(self.negative_log_likelihood))
-
-            @jax.jit
-            def drift_step(params, x):
-                if latent_updates:
-                    z, _ = flow.bijection.forward_fn(params, x)
-                    g = batched_grad(target)(x)
-                    z = z - tau * (g - z)
-                    x_new, _ = flow.bijection.inverse_fn(params, z)
-                else:
-                    g = batched_grad(lambda v: target(v) + flow.log_prob_fn(params, v))(x)
-                    x_new = x - tau * g
-                return x_new
-
-            @jax.jit
-            def accept_step(params, x, key):
-                k_prop, k_acc = jax.random.split(key)
-                x_tilde = flow.sample_fn(params, k_prop, n_chains)
-                log_alpha = metropolis_acceptance_log_ratio(
-                    log_prob_target_curr=-target(x),
-                    log_prob_target_prime=-target(x_tilde),
-                    log_prob_proposal_curr=flow.log_prob_fn(params, x),
-                    log_prob_proposal_prime=flow.log_prob_fn(params, x_tilde),
-                )
-                finite = (
-                    jnp.all(jnp.isfinite(x_tilde.reshape(n_chains, -1)), axis=-1)
-                    & jnp.isfinite(log_alpha)
-                )
-                log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
-                mask = (log_u < log_alpha) & finite
-                bmask = mask.reshape(mask.shape + (1,) * len(self.event_shape))
-                diverged = (~jnp.all(finite)).astype(jnp.int32)
-                return jnp.where(bmask, x_tilde, x), mask, diverged
-
-            return grad_nll, drift_step, accept_step
+            drift, accept = self._make_drift_accept(n_chains)
+            return grad_nll, jax.jit(drift), jax.jit(accept)
 
         grad_nll, drift_step, accept_step = self._memo(
             "dlmc_jits", token, build_jits,

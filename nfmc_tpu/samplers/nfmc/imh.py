@@ -99,13 +99,16 @@ class AbstractIMH(Sampler):
                key=None, seed=None) -> MCMCOutput:
         key = self._key(key, seed)
         k_fit, k_draw = jax.random.split(key)
-        self.kernel.flow.variational_fit(
-            lambda v: -self.target(v),
+        # merge (user kwargs win) rather than passing show_progress/key
+        # twice: a user-supplied 'show_progress' in warmup_fit_kwargs must
+        # not raise TypeError (round-3 review fix, same as NeuTra.warmup)
+        fit_kwargs = {
+            "show_progress": show_progress,
+            "time_limit_seconds": time_limit_seconds,
+            "key": k_fit,
             **self.params.warmup_fit_kwargs,
-            show_progress=show_progress,
-            time_limit_seconds=time_limit_seconds,
-            key=k_fit,
-        )
+        }
+        self.kernel.flow.variational_fit(lambda v: -self.target(v), **fit_kwargs)
         out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples)
         out.running_samples.add(self.kernel.flow.sample(x0.shape[0], key=k_draw))
         return out
@@ -130,9 +133,17 @@ class AbstractIMH(Sampler):
                 log_prob_proposal_curr=flp_x,
                 log_prob_proposal_prime=flp_prime,
             )
+            # Finiteness gates the PROPOSAL side only (position, potential,
+            # flow log-prob): a bad CURRENT state (U(x)=+inf at an out-of-
+            # support init) makes log_alpha=+inf, which is accept-with-
+            # probability-1 by the MH math and is exactly how chains escape
+            # bad inits — guarding on isfinite(log_alpha) froze them forever
+            # (round-3 review fix). NaN log_alpha (both sides pathological)
+            # still rejects via the comparison below.
             finite = (
                 jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
-                & jnp.isfinite(log_alpha)
+                & jnp.isfinite(u_prime)
+                & jnp.isfinite(flp_prime)
             )
             log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
             mask = (log_u < log_alpha) & finite
@@ -426,7 +437,11 @@ class AdaptiveIMH(AbstractIMH):
 
         out = MCMCOutput(self.event_shape, store_samples=True,
                          on_device=getattr(self.params, 'store_samples_on_device', False))
-        rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+        # split FIRST: consuming `key` for the numpy seed and then splitting
+        # the same key would derive the adaptation schedule and the accept
+        # draws from identical key material (round-3 review fix, cf. DLMC)
+        key, k_sched = jax.random.split(key)
+        rng = np.random.default_rng(int(jax.random.randint(k_sched, (), 0, 2**31 - 1)))
 
         # One jitted accept step per (flow object incl. base-log-prob
         # override, target); params are an argument, so per-iteration refits
@@ -499,9 +514,10 @@ class AdaptiveIMH(AbstractIMH):
         flow = self.kernel.flow
         out = MCMCOutput(self.event_shape, store_samples=True,
                          on_device=getattr(self.params, 'store_samples_on_device', False))
-        # seed/stream order matches the host path (rng seeded from `key`
-        # before the per-iteration splits)
-        rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+        # seed/stream order matches the host path (dedicated schedule key
+        # split off before the per-iteration splits — round-3 review fix)
+        key, k_sched = jax.random.split(key)
+        rng = np.random.default_rng(int(jax.random.randint(k_sched, (), 0, 2**31 - 1)))
         runner = self._get_fused_runner(n_chains)
 
         t0 = time.time()

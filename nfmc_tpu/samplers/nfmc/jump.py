@@ -134,19 +134,24 @@ class JumpNFMC(Sampler):
         return warmup_output
 
     # ---------------------------------------------------------------- jump step
-    def _make_jump_step(self):
+    def _make_jump_accept_core(self):
+        """The single jump-accept implementation shared by the in-scan step
+        (``_make_jump_step``) and the hoisted-proposal path
+        (``_make_jump_accept``) — one copy so a fix cannot silently diverge
+        between the fused and host paths (round-3 review).
+
+        ``(params, x, k_acc, x', logq', U(x')) -> (x_new, mask)``; ``U(x')``
+        may be ``None`` when ``adjusted_jumps`` is off (it is unused there).
+        """
         flow = self.kernel.flow
         target = self.target
         adjusted = self.params.adjusted_jumps
         event_ndim = len(self.event_shape)
 
-        def jump_step(params, x, key):
+        def accept_core(params, x, k_acc, x_prime, f_x_prime, u_x_prime):
             n_chains = x.shape[0]
-            k_prop, k_acc = jax.random.split(key)
-            x_prime, f_x_prime = flow.sample_fn(params, k_prop, n_chains, return_log_prob=True)
             if adjusted:
                 u_x = target(x)
-                u_x_prime = target(x_prime)
                 f_x = flow.log_prob_fn(params, x)
                 log_alpha = metropolis_acceptance_log_ratio(
                     log_prob_target_curr=-u_x,
@@ -154,9 +159,15 @@ class JumpNFMC(Sampler):
                     log_prob_proposal_curr=f_x,
                     log_prob_proposal_prime=f_x_prime,
                 )
+                # Proposal-side finiteness only: a bad CURRENT state
+                # (U(x)=+inf) makes log_alpha=+inf = certain accept, the
+                # escape route from out-of-support inits; guarding on
+                # isfinite(log_alpha) froze such chains forever (round-3
+                # review fix, same as AbstractIMH._make_accept_core).
                 finite = (
                     jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
-                    & jnp.isfinite(log_alpha)
+                    & jnp.isfinite(u_x_prime)
+                    & jnp.isfinite(f_x_prime)
                 )
                 log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
                 mask = (log_u < log_alpha) & finite
@@ -165,6 +176,21 @@ class JumpNFMC(Sampler):
             bmask = mask.reshape(mask.shape + (1,) * event_ndim)
             x_new = jnp.where(bmask, x_prime, x)
             return x_new, mask
+
+        return accept_core
+
+    def _make_jump_step(self):
+        flow = self.kernel.flow
+        target = self.target
+        adjusted = self.params.adjusted_jumps
+        accept_core = self._make_jump_accept_core()
+
+        def jump_step(params, x, key):
+            n_chains = x.shape[0]
+            k_prop, k_acc = jax.random.split(key)
+            x_prime, f_x_prime = flow.sample_fn(params, k_prop, n_chains, return_log_prob=True)
+            u_x_prime = target(x_prime) if adjusted else None
+            return accept_core(params, x, k_acc, x_prime, f_x_prime, u_x_prime)
 
         return jump_step
 
@@ -177,34 +203,11 @@ class JumpNFMC(Sampler):
         log-prob + target eval) is hoisted to a chunk-batched precompute in
         ``_get_fused_runner``.
         """
-        flow = self.kernel.flow
-        target = self.target
-        adjusted = self.params.adjusted_jumps
-        event_ndim = len(self.event_shape)
+        accept_core = self._make_jump_accept_core()
 
         def jump_accept(params, x, k_acc, aux):
-            n_chains = x.shape[0]
             x_prime, f_x_prime, u_x_prime = aux
-            if adjusted:
-                u_x = target(x)
-                f_x = flow.log_prob_fn(params, x)
-                log_alpha = metropolis_acceptance_log_ratio(
-                    log_prob_target_curr=-u_x,
-                    log_prob_target_prime=-u_x_prime,
-                    log_prob_proposal_curr=f_x,
-                    log_prob_proposal_prime=f_x_prime,
-                )
-                finite = (
-                    jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
-                    & jnp.isfinite(log_alpha)
-                )
-                log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
-                mask = (log_u < log_alpha) & finite
-            else:
-                mask = jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
-            bmask = mask.reshape(mask.shape + (1,) * event_ndim)
-            x_new = jnp.where(bmask, x_prime, x)
-            return x_new, mask
+            return accept_core(params, x, k_acc, x_prime, f_x_prime, u_x_prime)
 
         return jump_accept
 
@@ -544,8 +547,19 @@ class JumpNFMC(Sampler):
         )
 
     def _sample_host(self, x0, out, key, inner_n, n_chains, time_limit_seconds, show_progress):
-        jump_step = jax.jit(self._make_jump_step())
         flow = self.kernel.flow
+        # memoized across sample() calls (CLAUDE.md: never build fresh jit
+        # closures per call — each one re-traces). Flow params thread as an
+        # argument; the closure bakes the flow/bijection/target identities
+        # and the adjusted_jumps flag.
+        jump_step = self._memo(
+            "host_jump_step",
+            (id(flow), id(flow.bijection), id(flow._base_log_prob_override),
+             id(self.target), bool(self.params.adjusted_jumps)),
+            lambda: jax.jit(self._make_jump_step()),
+            keepalive=(flow, flow.bijection, flow._base_log_prob_override,
+                       self.target),
+        )
         x = x0
 
         pbar = tqdm(range(self.params.n_iterations), desc=self.name, disable=not show_progress)

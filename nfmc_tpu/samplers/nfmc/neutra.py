@@ -98,9 +98,14 @@ class NeuTra(Sampler):
         flow = self.kernel.flow
         return flow.bijection.forward_fn(flow.params, jnp.asarray(x0, jnp.float32))[0]
 
+    #: NeuTra's warmup output stores LATENT draws (the inner run's space);
+    #: consumers that wire warmup draws into sample()'s x0 (the front door's
+    #: reshuffle) must account for it when ``transport_x0`` is on.
+    warmup_draws_are_latent = True
+
     def _latent_to_data(self, z):
         flow = self.kernel.flow
-        return flow.bijection.inverse_fn(flow.params, z)[0]
+        return flow.bijection.inverse_fn(flow.params, jnp.asarray(z, jnp.float32))[0]
 
     @property
     def name(self):

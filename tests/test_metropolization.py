@@ -1,6 +1,7 @@
 """Directional sanity of the MH acceptance log-ratio (mirrors reference
 ``test/test_metropolization.py``)."""
 import jax.numpy as jnp
+import numpy as np
 
 from nfmc_tpu.utils import metropolis_acceptance_log_ratio
 
@@ -25,3 +26,48 @@ def test_batched():
     )
     assert lr.shape == (4,)
     assert jnp.allclose(lr, 1.0)
+
+
+def test_imh_escapes_out_of_support_init():
+    """Round-3 review fix: a chain initialized where U(x)=+inf has
+    log_alpha=+inf against any finite proposal — certain accept by the MH
+    math. Guarding the mask on isfinite(log_alpha) froze such chains at x0
+    forever with acceptance 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from nfmc_tpu.samplers.nfmc import FixedIMH
+
+    def constrained(x):
+        # +inf outside the unit ball, quadratic inside
+        u = 0.5 * jnp.sum(x**2, axis=-1)
+        return jnp.where(jnp.sum(x**2, axis=-1) > 25.0, jnp.inf, u)
+
+    s = FixedIMH((3,), constrained)
+    s.params.n_iterations = 50
+    x0 = jnp.full((16, 3), 50.0)  # every chain far outside the support
+    out = s.sample(x0, show_progress=False, seed=0)
+    last = np.asarray(out.running_samples.last_sample)
+    # every chain escaped: the flow (near N(0, I)) proposes in-support points
+    assert np.all(np.sum(last**2, axis=-1) <= 25.0), last
+    assert out.statistics.n_accepted_trajectories > 0
+
+
+def test_jump_mala_escapes_out_of_support_init():
+    import jax
+    import jax.numpy as jnp
+
+    from nfmc_tpu.samplers.nfmc import JumpMALA
+
+    def constrained(x):
+        u = 0.5 * jnp.sum(x**2, axis=-1)
+        return jnp.where(jnp.sum(x**2, axis=-1) > 25.0, jnp.inf, u)
+
+    s = JumpMALA((3,), constrained)
+    s.params.n_iterations = 30
+    s.inner_sampler.params.n_iterations = 2
+    x0 = jnp.full((16, 3), 50.0)
+    out = s.sample(x0, show_progress=False, seed=0)
+    last = np.asarray(out.running_samples.last_sample)
+    assert np.all(np.sum(last**2, axis=-1) <= 25.0), last
+    assert out.statistics.n_accepted_jumps > 0

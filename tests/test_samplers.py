@@ -502,3 +502,56 @@ def test_tess_nonidentity_cov_recovers_target():
     draws = np.asarray(out.samples)[200:]
     var = draws.reshape(-1, d).var(axis=0)
     assert np.all(np.abs(var - 1.0) < 0.25), var
+
+
+def test_front_door_kernel_kwargs_reach_nfmc_kernels():
+    """Round-3 review fix (documented deviation): the reference silently
+    drops kernel_kwargs for every NFMC strategy; here they plumb through so
+    DLMC's step_size and TESS's cov are front-door reachable."""
+    from nfmc_tpu import create_sampler
+
+    d = create_sampler(target=standard_gaussian_potential, event_shape=EVENT_SHAPE,
+                       strategy="dlmc",
+                       negative_log_likelihood=standard_gaussian_potential,
+                       kernel_kwargs={"step_size": 0.01})
+    assert float(d.kernel.step_size) == 0.01
+
+    cov = np.eye(int(np.prod(EVENT_SHAPE))).astype(np.float32)
+    t = create_sampler(target=standard_gaussian_potential, event_shape=EVENT_SHAPE,
+                       strategy="tess",
+                       negative_log_likelihood=standard_gaussian_potential,
+                       kernel_kwargs={"cov": cov})
+    assert t.kernel.cov is cov
+
+
+def test_imh_warmup_fit_kwargs_may_carry_show_progress():
+    """Round-3 review fix: a user-supplied show_progress (the same shape as
+    NFMCParameters' default flow_fit_kwargs) must merge, not raise
+    TypeError for a duplicate keyword."""
+    from nfmc_tpu.samplers.nfmc import FixedIMH
+
+    s = FixedIMH(EVENT_SHAPE, standard_gaussian_potential)
+    s.params.warmup_fit_kwargs = {"n_epochs": 3, "show_progress": False}
+    out = s.warmup(_x0(), show_progress=False, seed=0)
+    assert np.isfinite(np.asarray(out.running_samples.last_sample)).all()
+
+
+def test_neutra_transport_x0_roundtrips_warmup_draws():
+    """Round-3 review fix: the front door reshuffles NeuTra's LATENT warmup
+    draws into x0; with transport_x0=True the sampler forward-maps x0 as
+    data-space, so the front door must convert first — the chains then start
+    at (a round-trip of) the warmup points instead of f(z)."""
+    from nfmc_tpu import sample as front_sample
+    from nfmc_tpu.potentials import DiagonalGaussian
+
+    d = int(np.prod(EVENT_SHAPE))
+    target = DiagonalGaussian(mu=np.zeros(d), sigma=np.ones(d))
+    out = front_sample(
+        target, strategy="neutra_mh", n_chains=16,
+        n_iterations=20, warmup=True, n_warmup_iterations=10,
+        show_progress=False, seed=0,
+        param_kwargs={"transport_x0": True},
+        flow_kwargs={"n_layers": 2, "hidden_size": 8},
+    )
+    assert np.isfinite(np.asarray(out.samples)).all()
+
