@@ -1201,6 +1201,72 @@ def run_reference_ab():
     return results
 
 
+def run_latent_ab():
+    """Latent-space samplers (ESS / TESS / NeuTra) against the EXECUTING
+    reference, under fixed shared transports implemented with identical math
+    on both frameworks (``tools/run_reference`` ``flow_spec``):
+
+    * ``ess``: matched A/B (nll = target minus the N(0,I) ellipse prior, so
+      both sides target the same diagonal Gaussian; redraw-x0 quirk on both).
+    * ``tess_sinh_quirk``: the documented TESS deviation (docs/parity.md)
+      demonstrated live — under x = sinh(u) transport the reference's
+      ``-log_det`` (tess.py:29-32) targets pi(x)/|J|^2 and its variances
+      collapse, while the corrected sign recovers the target for ANY fixed
+      flow. Asserted: ours' variance ratio ~1, reference's < 0.7, and the
+      chain-permutation test REJECTS ours-vs-reference.
+
+    The full matched suite (incl. affine-TESS and sinh-NeuTra exact A/Bs)
+    runs in tests/test_reference_parity.py.
+    """
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from run_reference import (reference_available, run_ours_matched,
+                               run_reference)
+
+    from nfmc_tpu.validation import mcmc_two_sample_report
+
+    if not reference_available():
+        return {"skipped": "/root/reference not present"}
+
+    out = {}
+    sig_ess = np.linspace(0.4, 0.9, 5)
+    ref = run_reference("ess", sig_ess, n_chains=32, n_iterations=600,
+                        seed=0, nll_spec="residual")
+    ours = run_ours_matched("ess", sig_ess, n_chains=32, n_iterations=600,
+                            seed=2, nll_spec="residual")
+    report = mcmc_two_sample_report(ref["draws"], ours["draws"], alpha=0.01)
+    out["ess"] = {
+        "two_sample_ok": report["ok"],
+        "ks_p_value": report["ks_p_value"],
+        "energy_p_value": report["energy_p_value"],
+    }
+
+    sig = np.linspace(1.0, 2.0, 5)
+    ref = run_reference("tess", sig, n_chains=32, n_iterations=600, seed=0,
+                        nll_spec="target", flow_spec="sinh")
+    ours = run_ours_matched("tess", sig, n_chains=32, n_iterations=600,
+                            seed=2, nll_spec="target", flow_spec="sinh")
+    keep = slice(150, None)
+    var_ours = ours["draws"][keep].var(axis=(0, 1)) / sig ** 2
+    var_ref = ref["draws"][keep].var(axis=(0, 1)) / sig ** 2
+    reject = mcmc_two_sample_report(ref["draws"][keep], ours["draws"][keep],
+                                    alpha=0.01)
+    out["tess_sinh_quirk"] = {
+        "ours_var_ratio": [round(float(v), 3) for v in var_ours],
+        "reference_var_ratio": [round(float(v), 3) for v in var_ref],
+        "two_sample_rejects": not reject["ok"],
+        "shown": bool(
+            np.all(np.abs(var_ours - 1.0) < 0.35)
+            and np.all(var_ref < 0.7)
+            and not reject["ok"]
+        ),
+    }
+    out["all_ok"] = bool(out["ess"]["two_sample_ok"]
+                         and out["tess_sinh_quirk"]["shown"])
+    return out
+
+
 def main():
     # The axon tunnel has bad phases where the first host<->device transfer
     # takes minutes and every XLA compile RPC ~15-20 s (steady-state dispatch
@@ -1297,6 +1363,7 @@ def main():
     funnel = run_funnel() if budget(780) else skipped
     pt_multimodal = run_pt_multimodal() if budget(900) else skipped
     reference_ab = run_reference_ab() if budget(1140) else skipped
+    latent_ab = run_latent_ab() if budget(1230) else skipped
     chees = run_chees() if budget(1320) else skipped
     pallas = run_pallas_numerics() if budget(1380) else skipped
     saturation = run_saturation() if budget(1500) else skipped
@@ -1341,6 +1408,7 @@ def main():
         "validation": validation,
         "pt_multimodal": pt_multimodal,
         "reference_ab": reference_ab,
+        "latent_ab": latent_ab,
         "pallas_numerics": {
             k: (round(v, 8) if isinstance(v, float) else v) for k, v in pallas.items()
         },
@@ -1385,6 +1453,8 @@ def main():
         # two-sample distribution tests against the ACTUAL reference code
         # (None if the section was skipped/unavailable this run)
         "reference_ab_ok": reference_ab.get("all_ok"),
+        # ESS A/B + live TESS sign-quirk demo vs the executing reference
+        "latent_ab_ok": latent_ab.get("all_ok"),
         # mode-balance errors (0 = both modes equally visited, 0.5 = trapped)
         "pt_multimodal": (
             {

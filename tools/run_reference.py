@@ -10,6 +10,8 @@ Used by ``bench.py``'s ``reference_ab`` block and
 matched kernel configs, different RNG streams — then distribution-level
 two-sample tests (:mod:`nfmc_tpu.validation`) and ESS/s comparison.
 """
+import contextlib
+import io
 import os
 import sys
 import time
@@ -32,6 +34,141 @@ def _ensure_paths():
             sys.path.insert(0, p)
 
 
+# ---------------------------------------------------------------------------
+# Shared fixed transports for the latent-space A/Bs (ESS/TESS/NeuTra).
+#
+# The default A/B flows are identity-initialized RealNVPs, which make the
+# latent-space samplers' transport maps trivial (log_det = 0 everywhere), so
+# they exercise the bracket/accept logic but not the pullback arithmetic.
+# These two bijections are implemented twice — once against the shim's torch
+# surface, once against nfmc_tpu's — with IDENTICAL math, so both frameworks
+# run the same fixed nonlinear (sinh) or affine transport:
+#
+# * ``sinh``: x = sinh(z), elementwise; non-constant Jacobian
+#   |dx/dz| = prod cosh(z) — triggers every log-det term in the latent
+#   samplers (and the reference TESS's documented sign quirk, tess.py:29-32).
+# * ``affine``: x = s * z with a fixed per-dim scale; CONSTANT Jacobian, so
+#   sign conventions cancel in accept ratios — a valid exact A/B for TESS.
+#
+# Convention both sides: forward = data -> latent returns log|det dz/dx|;
+# inverse = latent -> data returns log|det dx/dz|.
+# ---------------------------------------------------------------------------
+
+def _affine_scale(d: int):
+    return np.linspace(0.7, 1.6, d).astype(np.float32)
+
+
+def _make_reference_flow(flow_spec: str, d: int):
+    """Build a shim ``torchflows.Flow`` with the fixed transport."""
+    import torch
+
+    from torchflows.bijections.base import Bijection
+    from torchflows.flows import Flow
+
+    class _Sinh(Bijection):
+        def forward(self, x, context=None):
+            z = torch.asinh(x)
+            log_det = (-0.5 * torch.log1p(x ** 2)).flatten(1).sum(-1)
+            return z, log_det
+
+        def inverse(self, z, context=None):
+            x = torch.sinh(z)
+            log_det = torch.log(torch.cosh(z)).flatten(1).sum(-1)
+            return x, log_det
+
+    class _Affine(Bijection):
+        def __init__(self, event_shape, scale):
+            super().__init__(event_shape)
+            self.register_buffer("scale", torch.as_tensor(scale))
+
+        def forward(self, x, context=None):
+            z = x / self.scale
+            log_det = -torch.log(self.scale).sum().expand(x.shape[0])
+            return z, log_det
+
+        def inverse(self, z, context=None):
+            x = z * self.scale
+            log_det = torch.log(self.scale).sum().expand(z.shape[0])
+            return x, log_det
+
+    if flow_spec == "sinh":
+        return Flow(_Sinh((d,)))
+    if flow_spec == "affine":
+        return Flow(_Affine((d,), _affine_scale(d)))
+    raise ValueError(flow_spec)
+
+
+def _make_ours_flow(flow_spec: str, d: int):
+    """The nfmc_tpu side of the same fixed transport."""
+    import jax.numpy as jnp
+
+    from nfmc_tpu.flows import Bijection, Flow
+
+    class _Sinh(Bijection):
+        def init(self, key):
+            return ()
+
+        def forward_fn(self, params, x):
+            z = jnp.arcsinh(x)
+            log_det = (-0.5 * jnp.log1p(x ** 2)).reshape(*x.shape[:-1], -1).sum(-1)
+            return z, log_det
+
+        def inverse_fn(self, params, z):
+            x = jnp.sinh(z)
+            log_det = jnp.log(jnp.cosh(z)).reshape(*z.shape[:-1], -1).sum(-1)
+            return x, log_det
+
+    class _Affine(Bijection):
+        def __init__(self, event_shape, scale):
+            super().__init__(event_shape)
+            self.scale = jnp.asarray(scale)
+
+        def init(self, key):
+            return ()
+
+        def forward_fn(self, params, x):
+            z = x / self.scale
+            log_det = jnp.broadcast_to(-jnp.log(self.scale).sum(), x.shape[:-1])
+            return z, log_det
+
+        def inverse_fn(self, params, z):
+            x = z * self.scale
+            log_det = jnp.broadcast_to(jnp.log(self.scale).sum(), z.shape[:-1])
+            return x, log_det
+
+    if flow_spec == "sinh":
+        return Flow(_Sinh((d,)), seed=0)
+    if flow_spec == "affine":
+        return Flow(_Affine((d,), _affine_scale(d)), seed=0)
+    raise ValueError(flow_spec)
+
+
+def _nll_reference(nll_spec: str, sig):
+    """Auxiliary negative log-likelihood for ess/tess/dlmc (torch side).
+
+    * ``target``: the full target potential — TESS's stationary data law is
+      then exactly the diagonal Gaussian (the transport Jacobians cancel).
+    * ``residual``: target minus the standard-normal prior the ESS ellipse
+      supplies — ESS targets N(0, I) * exp(-nll) = the diagonal Gaussian.
+    """
+    if nll_spec == "target":
+        return lambda x: 0.5 * ((x / sig) ** 2).flatten(1).sum(-1)
+    if nll_spec == "residual":
+        return lambda x: 0.5 * (((x / sig) ** 2) - x ** 2).flatten(1).sum(-1)
+    raise ValueError(nll_spec)
+
+
+def _nll_ours(nll_spec: str, sig):
+    import jax.numpy as jnp
+
+    s = jnp.asarray(sig)
+    if nll_spec == "target":
+        return lambda x: 0.5 * ((x / s) ** 2).reshape(*x.shape[:-1], -1).sum(-1)
+    if nll_spec == "residual":
+        return lambda x: 0.5 * (((x / s) ** 2) - x ** 2).reshape(*x.shape[:-1], -1).sum(-1)
+    raise ValueError(nll_spec)
+
+
 def run_reference(
     strategy: str,
     sigma: Sequence[float],
@@ -42,6 +179,8 @@ def run_reference(
     param_kwargs: Optional[dict] = None,
     kernel_kwargs: Optional[dict] = None,
     x0_from_target: bool = False,
+    nll_spec: Optional[str] = None,
+    flow_spec: Optional[str] = None,
 ) -> Dict:
     """Run the reference's ``sample()`` on a diagonal-Gaussian target.
 
@@ -81,12 +220,18 @@ def run_reference(
     )
     if not needs_flow:
         kwargs["flow"] = "None"
+    if flow_spec is not None:
+        kwargs["flow"] = _make_reference_flow(flow_spec, d)
+    if nll_spec is not None:
+        kwargs["negative_log_likelihood"] = _nll_reference(nll_spec, sig)
 
     x0 = torch.randn(n_chains, d)
     if x0_from_target:
         x0 = x0 * sig
     t0 = time.time()
-    with warnings.catch_warnings():
+    with warnings.catch_warnings(), contextlib.redirect_stderr(io.StringIO()):
+        # stderr redirect: the reference's TESS ignores show_progress and
+        # unconditionally streams a tqdm bar (tess.py:164)
         warnings.simplefilter("ignore")
         out = sample(
             target,
@@ -121,6 +266,8 @@ def run_ours_matched(
     param_kwargs: Optional[dict] = None,
     kernel_kwargs: Optional[dict] = None,
     x0_from_target: bool = False,
+    nll_spec: Optional[str] = None,
+    flow_spec: Optional[str] = None,
 ) -> Dict:
     """The nfmc-tpu side of the A/B: identical target/config, JAX RNG."""
     import jax
@@ -140,6 +287,10 @@ def run_ours_matched(
         kwargs["inner_param_kwargs"] = {"n_iterations": int(inner_iterations)}
     if strategy in ("mh", "mala", "ula", "hmc", "uhmc", "ess") or strategy.startswith("pt_"):
         kwargs["flow"] = "None"
+    if flow_spec is not None:
+        kwargs["flow"] = _make_ours_flow(flow_spec, d)
+    if nll_spec is not None:
+        kwargs["negative_log_likelihood"] = _nll_ours(nll_spec, sig)
     x0 = jax.random.normal(jax.random.key(seed), (n_chains, d))
     if x0_from_target:
         x0 = x0 * sig
