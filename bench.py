@@ -1267,6 +1267,83 @@ def run_latent_ab():
     return out
 
 
+def run_transport_logz():
+    """Log-evidence accuracy of the corrected transport stack (SURVEY §2.7 —
+    the reference ships these algorithms broken/uncallable). 16-d diagonal
+    Gaussian with known log Z = 16*log(0.5): prior N(0, I), target
+    N(2, 0.25*I). Reports |log Z error| (nats) + wall for plain AIS and the
+    three flow-assisted estimators (AFT / CRAFT / PMC) at production particle
+    counts; the flow-assisted methods should beat matched plain AIS."""
+    import jax.numpy as jnp
+
+    from nfmc_tpu.potentials import DiagonalGaussian, StandardGaussian
+    from nfmc_tpu.transport import aft, craft, pmc
+    from nfmc_tpu.transport.ais import ais_base
+
+    D = 16
+    prior = StandardGaussian((D,))
+    target = DiagonalGaussian(mu=np.full(D, 2.0), sigma=np.full(D, 0.5))
+    true_log_z = D * np.log(0.5)
+    flow = 'realnvp%{"n_layers": 2, "hidden_size": 32}'
+    out = {"true_log_z": round(float(true_log_z), 4)}
+
+    def record(name, est, wall):
+        out[name] = {
+            "log_z": round(float(est), 3),
+            "abs_err_nats": round(abs(float(est) - true_log_z), 3),
+            "wall_s": round(wall, 2),
+        }
+
+    t0 = time.time()
+    x0 = np.asarray(prior.sample((4096,), key=jax.random.key(0)))
+    _, log_w = ais_base(x0, prior, target, n_steps=128, n_mcmc_steps=2,
+                        step_size=0.1, seed=0)
+    record("ais", float(jax.scipy.special.logsumexp(log_w) - np.log(4096)),
+           time.time() - t0)
+
+    t0 = time.time()
+    r = aft(prior, target, flow, n_particles=2048, n_iterations=16, seed=0,
+            n_train_epochs=60, n_train_particles=1024, n_val_particles=512)
+    record("aft", r["log_Z"], time.time() - t0)
+
+    t0 = time.time()
+    r = craft(prior, target, flow, n_particles=2048, n_iterations=25,
+              n_annealing_steps=12, seed=0)
+    record("craft", r["log_Z"], time.time() - t0)
+
+    t0 = time.time()
+    r = pmc(prior, target, flow, n_particles=2048, seed=0, n_train_epochs=20,
+            n_mcmc_steps=10)
+    record("pmc", r["log_Z"], time.time() - t0)
+
+    # FAB trains a NORMALIZED flow proposal, so its importance-sampling
+    # estimate targets the absolute evidence log(int e^-U) = true_log_z +
+    # (d/2) log(2 pi) (the AIS/AFT/CRAFT/PMC figure is relative to the
+    # unnormalized N(0,I) prior potential).
+    from nfmc_tpu.flow_training import fab
+
+    t0 = time.time()
+    trained = fab(target, flow, n_iterations=100, n_flow_training_steps=20,
+                  n_ais_particles=512, seed=0)
+    xq, log_q = trained.sample(4096, seed=7, return_log_prob=True)
+    log_w = -target(xq) - log_q
+    lse = jax.scipy.special.logsumexp
+    est = float(lse(log_w) - np.log(4096))
+    true_abs = true_log_z + D / 2 * np.log(2 * np.pi)
+    out["fab"] = {
+        "log_z": round(est, 3),
+        "abs_err_nats": round(abs(est - float(true_abs)), 3),
+        "is_ess_frac": round(float(jnp.exp(2 * lse(log_w) - lse(2 * log_w))
+                                   / 4096), 4),
+        "wall_s": round(time.time() - t0, 2),
+    }
+
+    out["max_err_nats"] = max(out[k]["abs_err_nats"]
+                              for k in ("ais", "aft", "craft", "pmc", "fab"))
+    out["all_ok"] = bool(out["max_err_nats"] < 1.0)
+    return out
+
+
 def main():
     # The axon tunnel has bad phases where the first host<->device transfer
     # takes minutes and every XLA compile RPC ~15-20 s (steady-state dispatch
@@ -1364,9 +1441,10 @@ def main():
     pt_multimodal = run_pt_multimodal() if budget(900) else skipped
     reference_ab = run_reference_ab() if budget(1140) else skipped
     latent_ab = run_latent_ab() if budget(1230) else skipped
-    chees = run_chees() if budget(1320) else skipped
-    pallas = run_pallas_numerics() if budget(1380) else skipped
-    saturation = run_saturation() if budget(1500) else skipped
+    transport_logz = run_transport_logz() if budget(1330) else skipped
+    chees = run_chees() if budget(1420) else skipped
+    pallas = run_pallas_numerics() if budget(1480) else skipped
+    saturation = run_saturation() if budget(1600) else skipped
     # normalize ESS yield per outer iteration, compare rates
     ours_eff = ours["ess_per_s"]
     base_eff = base["ess_per_s"]
@@ -1409,6 +1487,7 @@ def main():
         "pt_multimodal": pt_multimodal,
         "reference_ab": reference_ab,
         "latent_ab": latent_ab,
+        "transport_logz": transport_logz,
         "pallas_numerics": {
             k: (round(v, 8) if isinstance(v, float) else v) for k, v in pallas.items()
         },
@@ -1455,6 +1534,8 @@ def main():
         "reference_ab_ok": reference_ab.get("all_ok"),
         # ESS A/B + live TESS sign-quirk demo vs the executing reference
         "latent_ab_ok": latent_ab.get("all_ok"),
+        # corrected transport stack recovers a known log Z (max |err|, nats)
+        "transport_logz_max_err": transport_logz.get("max_err_nats"),
         # mode-balance errors (0 = both modes equally visited, 0.5 = trapped)
         "pt_multimodal": (
             {

@@ -62,6 +62,7 @@ class AnnealedFlowTransport:
         self._train_step = jax.jit(self._make_train_step())
         self._fit_level = jax.jit(self._make_fit_level())
         self._transport = jax.jit(self._make_transport())
+        self._select_transport = jax.jit(self._make_select_transport())
 
     def _loss_fn(self, params, x, w, lam):
         x_t, log_det = self.flow.bijection.forward_fn(params, x)
@@ -94,7 +95,11 @@ class AnnealedFlowTransport:
                 best_val = jnp.where(better, val, best_val)
                 return (params, opt_state, best_params, best_val), None
 
-            init = (params, opt_state, params, jnp.inf)
+            # seed best with the warm-start params' own val loss so a fit
+            # that never improves on the carry-in cannot replace it
+            init_val = self._loss_fn(params, x_val, w_val, lam)
+            init = (params, opt_state, params,
+                    jnp.where(jnp.isfinite(init_val), init_val, jnp.inf))
             (_, _, best_params, best_val), _ = jax.lax.scan(
                 body, init, None, length=self.n_train_epochs
             )
@@ -105,8 +110,10 @@ class AnnealedFlowTransport:
     def _make_transport(self):
         flow = self.flow
 
-        def transport(params, x, log_W, lam_prev, lam_next):
-            x_t, log_det = flow.bijection.forward_fn(params, x)
+        def transport(params, x, log_W, lam_prev, lam_next, use_flow):
+            x_f, log_det = flow.bijection.forward_fn(params, x)
+            x_t = jnp.where(use_flow, x_f, x)
+            log_det = jnp.where(use_flow, log_det, 0.0)
             log_G = self.u(x, lam_prev) - self.u(x_t, lam_next) + log_det
             log_w = log_W + log_G
             delta_log_Z = jax.scipy.special.logsumexp(log_w)
@@ -114,6 +121,25 @@ class AnnealedFlowTransport:
             return x_t, log_W_new, delta_log_Z, log_ess(log_w)
 
         return transport
+
+    def _make_select_transport(self):
+        """Per-level safeguard: accept the fitted transport only if it does
+        not hurt the incremental-weight ESS, measured on the VAL group (so
+        the selection is independent of the base particles whose weights
+        enter log_Z — any FIXED map keeps the SMC estimator valid, including
+        the identity, which is plain tempered SMC for that level)."""
+        flow = self.flow
+
+        def select(params, x_val, lw_val, lam_prev, lam_next):
+            x_f, log_det = flow.bijection.forward_fn(params, x_val)
+            log_G_flow = self.u(x_val, lam_prev) - self.u(x_f, lam_next) + log_det
+            log_G_id = self.u(x_val, lam_prev) - self.u(x_val, lam_next)
+            ess_flow = log_ess(lw_val + log_G_flow)
+            ess_id = log_ess(lw_val + log_G_id)
+            finite = jnp.isfinite(ess_flow)
+            return finite & (ess_flow >= ess_id)
+
+        return select
 
     def run(
         self,
@@ -157,10 +183,12 @@ class AnnealedFlowTransport:
                 params, opt_state, x_train, w_train, x_val, w_val, lam_next
             )
 
-            # 2. transport & reweight
-            x_base, lw_base, dlZ, ess_b = self._transport(params, x_base, lw_base, lam_prev, lam_next)
-            x_train, lw_train, _, ess_t = self._transport(params, x_train, lw_train, lam_prev, lam_next)
-            x_val, lw_val, _, _ = self._transport(params, x_val, lw_val, lam_prev, lam_next)
+            # 2. transport & reweight (fitted map, or identity when the fit
+            # would hurt val-group ESS — plain tempered SMC for that level)
+            use_flow = self._select_transport(params, x_val, lw_val, lam_prev, lam_next)
+            x_base, lw_base, dlZ, ess_b = self._transport(params, x_base, lw_base, lam_prev, lam_next, use_flow)
+            x_train, lw_train, _, ess_t = self._transport(params, x_train, lw_train, lam_prev, lam_next, use_flow)
+            x_val, lw_val, _, _ = self._transport(params, x_val, lw_val, lam_prev, lam_next, use_flow)
             log_Z += float(dlZ)
             # log_ess returns log of the ABSOLUTE ESS (in [0, log n])
             ess_trace.append(float(jnp.exp(ess_t)))
@@ -200,9 +228,19 @@ class AnnealedFlowTransport:
 
 
 def aft(prior, target, flow, n_particles: int = 100, n_iterations: int = 20,
-        show_progress: bool = False, seed: int = 0, **kwargs):
+        show_progress: bool = False, seed: int = 0,
+        n_train_particles: Optional[int] = None,
+        n_val_particles: Optional[int] = None, **kwargs):
     """Wrapper with the reference signature (``transport/wrappers.py:9-26``):
-    ``prior``/``target`` are Potentials, ``flow`` a registry name or Flow."""
+    ``prior``/``target`` are Potentials, ``flow`` a registry name or Flow.
+
+    ``n_train_particles``/``n_val_particles`` size the flow-fitting groups
+    (reference design: three separate groups, default 100 each). The per-level
+    fit quality is bounded by the train group size — with the 100-particle
+    default the per-level flows underfit and each level's importance
+    correction adds weight variance, which biases the log-Z estimate low
+    (Jensen); production log-Z runs should scale these with ``n_particles``.
+    """
     from ..api.registry import create_flow_object
     from ..flows import Flow as _Flow
 
@@ -211,5 +249,7 @@ def aft(prior, target, flow, n_particles: int = 100, n_iterations: int = 20,
     return algorithm.run(
         lambda batch_shape, key=None: prior.sample(batch_shape, key=key),
         n_particles=n_particles, show_progress=show_progress,
+        n_train_particles=n_train_particles or 100,
+        n_val_particles=n_val_particles or 100,
         full_output=True, seed=seed,
     )

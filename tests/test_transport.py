@@ -70,6 +70,38 @@ def test_aft():
     assert np.isfinite(out["log_Z"])
 
 
+def test_aft_identity_fallback_rejects_bad_transport():
+    """Per-level safeguard: a transport whose val-group incremental-weight
+    ESS is worse than no transport must be rejected (identity used instead);
+    the warm-start params must be accepted when they tie."""
+    import jax.numpy as jnp
+
+    from nfmc_tpu.api.registry import create_flow_object
+    from nfmc_tpu.transport.aft import AnnealedFlowTransport
+
+    flow = create_flow_object(FLOW, (3,))
+    alg = AnnealedFlowTransport(PRIOR, TARGET, flow, n_steps=4)
+    x_val = jax.random.normal(jax.random.key(0), (128, 3))
+    lw = jnp.full((128,), -np.log(128.0))
+
+    # identity-initialized RealNVP: flow ESS == identity ESS -> accepted (>=)
+    assert bool(alg._select_transport(flow.params, x_val, lw, 0.0, 0.5))
+
+    # catastrophic params (huge shifts): val ESS collapses -> rejected
+    bad = jax.tree_util.tree_map(lambda p: p + 40.0, flow.params)
+    assert not bool(alg._select_transport(bad, x_val, lw, 0.0, 0.5))
+
+    # and the full run with a sabotaged flow stays finite & sane because
+    # every level degrades to plain tempered SMC
+    flow.params = bad
+    alg2 = AnnealedFlowTransport(PRIOR, TARGET, flow, n_steps=6,
+                                 n_train_epochs=0)
+    out = alg2.run(lambda b, key=None: PRIOR.sample(b, key=key),
+                   n_particles=256, seed=0)
+    assert np.isfinite(out["log_Z"])
+    assert abs(out["log_Z"] - TRUE_LOG_Z) < 3.0
+
+
 def test_craft():
     from nfmc_tpu.transport import craft
 
