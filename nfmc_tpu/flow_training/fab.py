@@ -10,45 +10,28 @@ alpha=2 optimal target ``p^2 / q`` (potential ``2 U(x) + log q(x)``), (2) push
 particles + weights into a prioritized replay buffer, (3) take gradient steps
 on ``-E_w[ log q(x) ]`` over buffer draws with importance correction
 ``w_corr = q_old(x) / q_new(x)``, updating the buffered weights/densities.
+
+TPU-native execution: the replay buffer lives ON DEVICE and the whole run
+(AIS round + ring-buffer write + ``n_flow_training_steps`` prioritized
+replay-training steps per iteration) compiles into a single ``lax.scan`` —
+one device dispatch per run instead of ~20 host<->device round trips per
+iteration (through the axon tunnel each sync costs a ~25-30 ms round trip,
+which made the host-loop formulation ~20x slower end-to-end). Prioritized
+replay draws use ``jax.random.categorical`` over the buffered log-weights
+(the reference's ``np.random.choice(p=softmax(log_w))`` with replacement,
+``flow_annealed_bootstrap.py:9-26``); weight/density updates use
+``.at[idx].set`` with values that are identical across duplicate indices, so
+duplicate draws behave like numpy's buffered fancy assignment.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..core.rng import resolve_key
 from ..transport.ais import anneal_chain
 from ..transport.common import make_mala_sweep, tempered
-from ..utils import as_numpy
-
-from ..utils import tqdm  # shared fallback shim
-
-
-class _RingBuffer:
-    """Fixed-size ring buffer (reference ``flow_annealed_bootstrap.py:9-26``)."""
-
-    def __init__(self, shape, size: int):
-        self.data = np.zeros((size, *shape), dtype=np.float32)
-        self.index = 0
-        self.filled = 0
-
-    def add(self, x: np.ndarray):
-        x = np.asarray(x, dtype=np.float32)
-        n, size = len(x), len(self.data)
-        assert n < size
-        if self.index + n <= size:
-            self.data[self.index : self.index + n] = x
-            self.index = (self.index + n) % size
-        else:
-            head = size - self.index
-            self.data[self.index :] = x[:head]
-            self.data[: n - head] = x[head:]
-            self.index = n - head
-        self.filled = min(size, self.filled + n)
 
 
 class FAB:
@@ -58,15 +41,13 @@ class FAB:
         self.target_potential = target_potential
         self.flow = flow
         self.event_shape = flow.event_shape
-        self.buf_x = _RingBuffer(self.event_shape, buffer_size)
-        self.buf_log_w = _RingBuffer((), buffer_size)
-        self.buf_log_q = _RingBuffer((), buffer_size)
+        self.buffer_size = int(buffer_size)
         self.opt = optax.adamw(lr)
         self.n_ais_steps = n_ais_steps
         self.ais_step_size = ais_step_size
         self.n_mcmc_steps = int(n_mcmc_steps)
-        self._train_step = jax.jit(self._make_train_step())
-        self._ais_round = jax.jit(self._make_ais_round(), static_argnums=(2,))
+        # memoized compiled runs, keyed on the static loop sizes they bake in
+        self._fused_cache = {}
 
     def _make_ais_round(self):
         flow = self.flow
@@ -103,38 +84,79 @@ class FAB:
 
         return train_step
 
+    def _make_fused_run(self, n_iterations: int, n_flow_training_steps: int,
+                        n_ais_particles: int, n_training_particles: int):
+        """The full bootstrap as one compiled scan over iterations."""
+        size = self.buffer_size
+        assert n_ais_particles < size
+        ais_round = self._make_ais_round()
+        train_step = self._make_train_step()
+
+        def iteration(carry, key):
+            params, opt_state, buf_x, buf_lw, buf_lq, index, filled = carry
+            k_ais, k_train = jax.random.split(key)
+            x, log_w, log_q = ais_round(params, k_ais, n_ais_particles)
+
+            # ring-buffer write (leading-axis scatter — fine on TPU; the
+            # pathological axis is the last/lane axis, see flows/spline.py)
+            pos = (index + jnp.arange(n_ais_particles)) % size
+            buf_x = buf_x.at[pos].set(x)
+            buf_lw = buf_lw.at[pos].set(log_w)
+            buf_lq = buf_lq.at[pos].set(log_q)
+            index = (index + n_ais_particles) % size
+            filled = jnp.minimum(size, filled + n_ais_particles)
+            valid = jnp.arange(size) < filled
+
+            def t_body(tc, k):
+                params, opt_state, buf_lw, buf_lq = tc
+                logits = jnp.where(valid, buf_lw, -jnp.inf)
+                idx = jax.random.categorical(k, logits,
+                                             shape=(n_training_particles,))
+                lq_old = buf_lq[idx]
+                params, opt_state, loss, lq_new = train_step(
+                    params, opt_state, buf_x[idx], lq_old
+                )
+                # importance-correct buffered weights/densities; duplicate
+                # idx write identical values, so .set matches numpy fancy
+                # assignment semantics
+                buf_lw = buf_lw.at[idx].set(buf_lw[idx] + lq_old - lq_new)
+                buf_lq = buf_lq.at[idx].set(lq_new)
+                return (params, opt_state, buf_lw, buf_lq), loss
+
+            tkeys = jax.random.split(k_train, n_flow_training_steps)
+            (params, opt_state, buf_lw, buf_lq), losses = jax.lax.scan(
+                t_body, (params, opt_state, buf_lw, buf_lq), tkeys
+            )
+            carry = (params, opt_state, buf_x, buf_lw, buf_lq, index, filled)
+            return carry, losses.mean()
+
+        def run(params, opt_state, key):
+            buf_x = jnp.zeros((size, *self.event_shape), dtype=jnp.float32)
+            buf_lw = jnp.zeros((size,), dtype=jnp.float32)
+            buf_lq = jnp.zeros((size,), dtype=jnp.float32)
+            init = (params, opt_state, buf_x, buf_lw, buf_lq,
+                    jnp.int32(0), jnp.int32(0))
+            keys = jax.random.split(key, n_iterations)
+            (params, _, _, _, _, _, _), loss_trace = jax.lax.scan(
+                iteration, init, keys
+            )
+            return params, loss_trace
+
+        return jax.jit(run)
+
     def run(self, n_iterations: int = 50, n_flow_training_steps: int = 20,
             n_ais_particles: int = 100, n_training_particles: int = 50,
             show_progress: bool = False, key=None, seed=None):
         key = resolve_key(key, seed)
         params = self.flow.params
         opt_state = self.opt.init(params)
-        rng = np.random.default_rng(0)
-
-        for _ in tqdm(range(n_iterations), desc="FAB", disable=not show_progress):
-            key, k_ais = jax.random.split(key)
-            x, log_w, log_q = self._ais_round(params, k_ais, n_ais_particles)
-            self.buf_x.add(as_numpy(x))
-            self.buf_log_w.add(as_numpy(log_w))
-            self.buf_log_q.add(as_numpy(log_q))
-
-            filled = self.buf_x.filled
-            for _ in range(n_flow_training_steps):
-                logits = self.buf_log_w.data[:filled]
-                logits = logits - logits.max()
-                p = np.exp(logits)
-                p /= p.sum()
-                idx = rng.choice(filled, size=min(n_training_particles, filled), p=p)
-                xb = jnp.asarray(self.buf_x.data[idx])
-                log_q_old = jnp.asarray(self.buf_log_q.data[idx])
-                params, opt_state, loss, log_q_new = self._train_step(
-                    params, opt_state, xb, log_q_old
-                )
-                # importance-correct buffered weights/densities
-                log_q_new = as_numpy(log_q_new)
-                self.buf_log_w.data[idx] += self.buf_log_q.data[idx] - log_q_new
-                self.buf_log_q.data[idx] = log_q_new
-
+        sizes = (int(n_iterations), int(n_flow_training_steps),
+                 int(n_ais_particles), int(n_training_particles))
+        fused = self._fused_cache.get(sizes)
+        if fused is None:
+            fused = self._fused_cache[sizes] = self._make_fused_run(*sizes)
+        params, loss_trace = fused(params, opt_state, key)
+        self.loss_trace = loss_trace  # (n_iterations,) mean replay loss
         self.flow.params = params
         return self.flow
 
@@ -149,5 +171,7 @@ def fab(target, flow: str = "realnvp", show_progress: bool = False, seed: int = 
     from ..api.registry import create_flow_object
 
     flow_object = create_flow_object(flow, target.event_shape, seed=seed)
-    algorithm = FAB(target, flow_object)
+    ctor_keys = ("buffer_size", "n_ais_steps", "ais_step_size", "lr", "n_mcmc_steps")
+    ctor_kwargs = {k: kwargs.pop(k) for k in ctor_keys if k in kwargs}
+    algorithm = FAB(target, flow_object, **ctor_kwargs)
     return algorithm.run(show_progress=show_progress, seed=seed, **kwargs)
