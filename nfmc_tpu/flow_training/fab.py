@@ -14,9 +14,12 @@ on ``-E_w[ log q(x) ]`` over buffer draws with importance correction
 TPU-native execution: the replay buffer lives ON DEVICE and the whole run
 (AIS round + ring-buffer write + ``n_flow_training_steps`` prioritized
 replay-training steps per iteration) compiles into a single ``lax.scan`` —
-one device dispatch per run instead of ~20 host<->device round trips per
-iteration (through the axon tunnel each sync costs a ~25-30 ms round trip,
-which made the host-loop formulation ~20x slower end-to-end). Prioritized
+one device dispatch per silent run (chunked only to drive a progress bar)
+instead of ~20 host<->device round trips per iteration (through the axon
+tunnel each sync costs a ~25-30 ms round trip, which made the host-loop
+formulation ~13x slower end-to-end). The buffer state persists on the
+object across ``run()`` calls, matching the reference's object-held ring
+buffer. Prioritized
 replay draws use ``jax.random.categorical`` over the buffered log-weights
 (the reference's ``np.random.choice(p=softmax(log_w))`` with replacement,
 ``flow_annealed_bootstrap.py:9-26``); weight/density updates use
@@ -86,7 +89,8 @@ class FAB:
 
     def _make_fused_run(self, n_iterations: int, n_flow_training_steps: int,
                         n_ais_particles: int, n_training_particles: int):
-        """The full bootstrap as one compiled scan over iterations."""
+        """``n_iterations`` bootstrap iterations as one compiled scan over a
+        carried (params, opt_state, replay buffer) state."""
         size = self.buffer_size
         assert n_ais_particles < size
         ais_round = self._make_ais_round()
@@ -130,33 +134,65 @@ class FAB:
             carry = (params, opt_state, buf_x, buf_lw, buf_lq, index, filled)
             return carry, losses.mean()
 
-        def run(params, opt_state, key):
-            buf_x = jnp.zeros((size, *self.event_shape), dtype=jnp.float32)
-            buf_lw = jnp.zeros((size,), dtype=jnp.float32)
-            buf_lq = jnp.zeros((size,), dtype=jnp.float32)
-            init = (params, opt_state, buf_x, buf_lw, buf_lq,
-                    jnp.int32(0), jnp.int32(0))
+        def run(params, opt_state, buf_state, key):
             keys = jax.random.split(key, n_iterations)
-            (params, _, _, _, _, _, _), loss_trace = jax.lax.scan(
+            init = (params, opt_state, *buf_state)
+            (params, opt_state, *buf_state), loss_trace = jax.lax.scan(
                 iteration, init, keys
             )
-            return params, loss_trace
+            return params, opt_state, tuple(buf_state), loss_trace
 
         return jax.jit(run)
+
+    def _init_buffer(self):
+        size = self.buffer_size
+        return (
+            jnp.zeros((size, *self.event_shape), dtype=jnp.float32),
+            jnp.zeros((size,), dtype=jnp.float32),
+            jnp.zeros((size,), dtype=jnp.float32),
+            jnp.int32(0),
+            jnp.int32(0),
+        )
 
     def run(self, n_iterations: int = 50, n_flow_training_steps: int = 20,
             n_ais_particles: int = 100, n_training_particles: int = 50,
             show_progress: bool = False, key=None, seed=None):
+        from ..utils import tqdm  # shared fallback shim
+
         key = resolve_key(key, seed)
         params = self.flow.params
         opt_state = self.opt.init(params)
-        sizes = (int(n_iterations), int(n_flow_training_steps),
-                 int(n_ais_particles), int(n_training_particles))
-        fused = self._fused_cache.get(sizes)
-        if fused is None:
-            fused = self._fused_cache[sizes] = self._make_fused_run(*sizes)
-        params, loss_trace = fused(params, opt_state, key)
-        self.loss_trace = loss_trace  # (n_iterations,) mean replay loss
+        # replay buffer persists across run() calls (reference parity: the
+        # ring buffer lives on the object, flow_annealed_bootstrap.py:9-26)
+        buf_state = getattr(self, "_buf_state", None)
+        if buf_state is None:
+            buf_state = self._init_buffer()
+
+        # chunk the compiled scan only when a progress bar is requested;
+        # silent runs compile one scan over all iterations (single dispatch)
+        chunk = max(1, n_iterations // 20) if show_progress else n_iterations
+        losses = []
+        pbar = tqdm(total=n_iterations, desc="FAB", disable=not show_progress)
+        try:
+            done = 0
+            while done < n_iterations:
+                block = min(chunk, n_iterations - done)
+                sizes = (block, int(n_flow_training_steps),
+                         int(n_ais_particles), int(n_training_particles))
+                fused = self._fused_cache.get(sizes)
+                if fused is None:
+                    fused = self._fused_cache[sizes] = self._make_fused_run(*sizes)
+                key, sub = jax.random.split(key)
+                params, opt_state, buf_state, loss_trace = fused(
+                    params, opt_state, buf_state, sub
+                )
+                losses.append(loss_trace)
+                done += block
+                pbar.update(block)
+        finally:
+            pbar.close()
+        self._buf_state = buf_state
+        self.loss_trace = jnp.concatenate(losses)  # (n_iterations,) replay loss
         self.flow.params = params
         return self.flow
 

@@ -128,8 +128,18 @@ def make_scan_fit(flow, n_rows: int, n_epochs: int, lr: float = 0.005,
             def bstep(c, xb):
                 p, os = c
                 loss, g = jax.value_and_grad(nll_loss)(p, xb)
-                u, os = opt.update(g, os, p)
-                return (optax.apply_updates(p, u), os), loss
+                # skip non-finite batches (params AND opt state) so one bad
+                # batch doesn't NaN the rest of the compiled fit
+                finite = jnp.isfinite(loss)
+                u, os_new = opt.update(g, os, p)
+                p_new = optax.apply_updates(p, u)
+                p = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(finite, new, old), p_new, p
+                )
+                os = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(finite, new, old), os_new, os
+                )
+                return (p, os), loss
 
             (p, os), losses = jax.lax.scan(bstep, (p, os), xs)
             vl = nll_loss(p, xv) if keep_best else jnp.mean(losses)
@@ -284,8 +294,17 @@ def fit(
                     p, os = c
                     xb, wb = batch
                     loss, grads = jax.value_and_grad(loss_fn)(p, xb, wb)
-                    updates, os = opt.update(grads, os, p)
-                    p = optax.apply_updates(p, updates)
+                    # skip non-finite batches (params AND opt state) so one
+                    # bad batch doesn't NaN the rest of the compiled fit
+                    finite = jnp.isfinite(loss)
+                    updates, os_new = opt.update(grads, os, p)
+                    p_new = optax.apply_updates(p, updates)
+                    p = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(finite, new, old), p_new, p
+                    )
+                    os = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(finite, new, old), os_new, os
+                    )
                     return (p, os), loss
 
                 (p, os), losses = jax.lax.scan(batch_step, (p, os), (xs, ws))
@@ -434,11 +453,16 @@ def variational_fit(
                 bp = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(better, new, old), p, bp
                 )
-            updates, os = opt.update(grads, os, p)
+            updates, os_new = opt.update(grads, os, p)
             p_new = optax.apply_updates(p, updates)
-            # skip non-finite updates entirely
+            # skip non-finite updates entirely — params AND optimizer state
+            # (NaN grads fed to opt.update would poison Adam's moments and
+            # NaN the params on the NEXT, otherwise-finite step)
             p = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(finite, new, old), p_new, p
+            )
+            os = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), os_new, os
             )
             return (p, os, bp, bl), loss
 

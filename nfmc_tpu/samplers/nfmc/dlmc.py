@@ -35,7 +35,8 @@ import numpy as np
 
 from ...core.output import MCMCOutput
 from ...core.sampler import NFMCKernel, NFMCParameters, Sampler
-from ...utils import batched_grad, metropolis_acceptance_log_ratio
+from ...utils import (batched_grad, metropolis_acceptance_log_ratio,
+                      unevaluable_current_mask)
 
 from ...utils import tqdm  # shared fallback shim
 
@@ -106,23 +107,27 @@ class DLMC(Sampler):
             x_tilde, flp_tilde = flow.sample_fn(params, k_prop, n_chains,
                                                 return_log_prob=True)
             u_tilde = target(x_tilde)
+            u_curr = target(x)
+            flp_curr = flow.log_prob_fn(params, x)
             log_alpha = metropolis_acceptance_log_ratio(
-                log_prob_target_curr=-target(x),
+                log_prob_target_curr=-u_curr,
                 log_prob_target_prime=-u_tilde,
-                log_prob_proposal_curr=flow.log_prob_fn(params, x),
+                log_prob_proposal_curr=flp_curr,
                 log_prob_proposal_prime=flp_tilde,
             )
             # Proposal-side finiteness only: a bad CURRENT state makes
             # log_alpha=+inf = certain accept (the escape route from
             # out-of-support inits); guarding on isfinite(log_alpha) froze
-            # such chains (round-3 review fix, cf. AbstractIMH).
+            # such chains (round-3 review fix, cf. AbstractIMH). NaN /
+            # flow-zero-density current sides force-move instead of freezing.
             finite = (
                 jnp.all(jnp.isfinite(x_tilde.reshape(n_chains, -1)), axis=-1)
                 & jnp.isfinite(u_tilde)
                 & jnp.isfinite(flp_tilde)
             )
+            curr_bad = unevaluable_current_mask(u_curr, flp_curr)
             log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
-            mask = (log_u < log_alpha) & finite
+            mask = ((log_u < log_alpha) | curr_bad) & finite
             bmask = mask.reshape(mask.shape + (1,) * event_ndim)
             return jnp.where(bmask, x_tilde, x), mask, (~jnp.all(finite)).astype(jnp.int32)
 

@@ -35,7 +35,7 @@ from ...core.driver import (
 from ...core.output import MCMCOutput
 from ...core.rng import resolve_key
 from ...core.sampler import NFMCKernel, NFMCParameters, Sampler
-from ...utils import metropolis_acceptance_log_ratio
+from ...utils import metropolis_acceptance_log_ratio, unevaluable_current_mask
 
 from ...utils import tqdm  # shared fallback shim
 
@@ -138,15 +138,17 @@ class AbstractIMH(Sampler):
             # support init) makes log_alpha=+inf, which is accept-with-
             # probability-1 by the MH math and is exactly how chains escape
             # bad inits — guarding on isfinite(log_alpha) froze them forever
-            # (round-3 review fix). NaN log_alpha (both sides pathological)
-            # still rejects via the comparison below.
+            # (round-3 review fix). Other non-finite current sides (NaN
+            # potential, flow-zero-density state) can't accept through the
+            # comparison; `unevaluable_current_mask` force-moves them.
             finite = (
                 jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
                 & jnp.isfinite(u_prime)
                 & jnp.isfinite(flp_prime)
             )
+            curr_bad = unevaluable_current_mask(u_x, flp_x)
             log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
-            mask = (log_u < log_alpha) & finite
+            mask = ((log_u < log_alpha) | curr_bad) & finite
             bmask = mask.reshape(mask.shape + (1,) * event_ndim)
             x_new = jnp.where(bmask, x_prime, x)
             flp_new = jnp.where(mask, flp_prime, flp_x)

@@ -37,7 +37,7 @@ from ...core.driver import (
 from ...core.output import JumpNFMCOutput, MCMCOutput
 from ...core.sampler import MCMCKernel, MCMCParameters, NFMCKernel, NFMCParameters, Sampler
 from ...core.tuning import train_val_split
-from ...utils import metropolis_acceptance_log_ratio
+from ...utils import metropolis_acceptance_log_ratio, unevaluable_current_mask
 from ..mcmc.chees import CheesHMC
 from ..mcmc.ensemble import AIES
 from ..mcmc.ess import ESS
@@ -163,14 +163,17 @@ class JumpNFMC(Sampler):
                 # (U(x)=+inf) makes log_alpha=+inf = certain accept, the
                 # escape route from out-of-support inits; guarding on
                 # isfinite(log_alpha) froze such chains forever (round-3
-                # review fix, same as AbstractIMH._make_accept_core).
+                # review fix, same as AbstractIMH._make_accept_core). NaN /
+                # flow-zero-density current sides force-move instead of
+                # freezing (`unevaluable_current_mask`).
                 finite = (
                     jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
                     & jnp.isfinite(u_x_prime)
                     & jnp.isfinite(f_x_prime)
                 )
+                curr_bad = unevaluable_current_mask(u_x, f_x)
                 log_u = jnp.log(jax.random.uniform(k_acc, (n_chains,)))
-                mask = (log_u < log_alpha) & finite
+                mask = ((log_u < log_alpha) | curr_bad) & finite
             else:
                 mask = jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
             bmask = mask.reshape(mask.shape + (1,) * event_ndim)

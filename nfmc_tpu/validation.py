@@ -84,26 +84,26 @@ def per_dim_ess(draws: np.ndarray) -> np.ndarray:
     does NOT use it (see module docstring)."""
     T, C, d = draws.shape
     x = np.asarray(draws, dtype=np.float64)
-    ess = np.empty(d)
-    for j in range(d):
-        xc = x[:, :, j] - x[:, :, j].mean(axis=0, keepdims=True)
-        nfft = 1
-        while nfft < 2 * T:
-            nfft *= 2
-        f = np.fft.rfft(xc, n=nfft, axis=0)
-        acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=0)[:T].real
-        acov /= np.arange(T, 0, -1)[:, None]
-        rho = (acov / np.maximum(acov[0:1], 1e-300)).mean(axis=1)
-        # Geyer pairing Gamma_m = rho_{2m} + rho_{2m+1} (Gamma_0 = 1 + rho_1),
-        # summed while positive — identical to nfmc_tpu.diagnostics
-        tau = -1.0
-        for t in range(0, T - 1, 2):
-            pair = rho[t] + rho[t + 1]
-            if pair <= 0:
-                break
-            tau += 2 * pair
-        ess[j] = T * C / max(tau, 1.0)
-    return ess
+    x = x - x.mean(axis=0, keepdims=True)
+    # biased autocovariance (acov/T), PER CHAIN — matches diagnostics'
+    # _autocov_fft exactly; an unbiased acov/(T-t) + chain-averaged-rho
+    # variant differs materially on heterogeneous chains (one stuck chain
+    # inflates the shared tau and deflates every chain's ESS, where the
+    # device estimator only discounts the stuck chain)
+    nfft = 1
+    while nfft < 2 * T:
+        nfft *= 2
+    f = np.fft.rfft(x, n=nfft, axis=0)
+    acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=0)[:T].real / T
+    rho = acov / np.maximum(acov[0:1], 1e-300)  # (T, C, d)
+    # Geyer pairing Gamma_m = rho_{2m} + rho_{2m+1} (Gamma_0 = 1 + rho_1),
+    # kept while positive per chain (cumprod mask = sequential early break)
+    n_pairs = T // 2
+    pairs = rho[: 2 * n_pairs].reshape(n_pairs, 2, C, d).sum(axis=1)
+    keep = np.cumprod(pairs > 0.0, axis=0)
+    tau = -1.0 + 2.0 * np.sum(pairs * keep, axis=0)  # (C, d)
+    ess = T / np.maximum(tau, 1.0)
+    return ess.sum(axis=0)  # (d,)
 
 
 def chain_permutation_test(

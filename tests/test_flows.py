@@ -91,6 +91,32 @@ def test_variational_fit_moves_toward_target():
     assert np.all(np.abs(s.std(axis=0) - 0.7) < 0.4)
 
 
+def test_variational_fit_survives_nan_epochs():
+    """Regression: a non-finite epoch must not poison the OPTIMIZER state.
+    Before the fix, NaN grads were fed to opt.update (only params were
+    rolled back), so Adam's moments went NaN and the next, otherwise-finite
+    epoch produced all-NaN params — every epoch after the first divergence
+    was silently dead."""
+    def neg_u(x):
+        # NaN (not -inf) outside ||x|| < 3.2: the classic inf - inf
+        # potential. The target N(1, 0.3^2 I) lives WELL inside the finite
+        # region (||mean|| = 1.73), but identity-init base draws ~ N(0, I)
+        # straddle the boundary, so early epochs hit NaN losses often.
+        r2 = jnp.sum(((x - 1.0) / 0.3) ** 2, axis=-1)
+        bad = jnp.sqrt(3.2 ** 2 - jnp.sum(x ** 2, axis=-1))
+        return -0.5 * r2 + 0.0 * bad
+
+    f = Flow(RealNVP((3,), n_layers=3, hidden_size=32), seed=2)
+    f.variational_fit(neg_u, n_samples=32, n_epochs=300, lr=0.02,
+                      keep_best_weights=False)
+    leaves = jax.tree_util.tree_leaves(f.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    s = np.asarray(f.sample(1024, seed=5))
+    assert np.isfinite(s).all()
+    # training kept making progress between/after divergent epochs
+    assert np.all(np.abs(s.mean(axis=0) - 1.0) < 0.5)
+
+
 def test_divergent_fit_raises_value_error():
     f = Flow(RealNVP((3,), n_layers=2, hidden_size=16), seed=0)
     with pytest.raises(ValueError):

@@ -71,3 +71,28 @@ def test_jump_mala_escapes_out_of_support_init():
     last = np.asarray(out.running_samples.last_sample)
     assert np.all(np.sum(last**2, axis=-1) <= 25.0), last
     assert out.statistics.n_accepted_jumps > 0
+
+
+def test_imh_escapes_nan_potential_init():
+    """Follow-up to the +inf escape fix: a NaN current potential (the
+    classic inf - inf arithmetic in clipped/log-barrier targets) makes
+    log_alpha NaN, and `log_u < NaN` is False — before the
+    `unevaluable_current_mask` clause such chains froze at x0 with
+    acceptance 0 for the whole run."""
+    import jax.numpy as jnp
+
+    from nfmc_tpu.samplers.nfmc import FixedIMH
+
+    def nan_outside(x):
+        r2 = jnp.sum(x**2, axis=-1)
+        u = 0.5 * r2
+        # sqrt of a negative number outside the ball: U = NaN, not +inf
+        return u + 0.0 * jnp.sqrt(25.0 - r2)
+
+    s = FixedIMH((3,), nan_outside)
+    s.params.n_iterations = 50
+    x0 = jnp.full((16, 3), 50.0)  # NaN potential at every chain's init
+    out = s.sample(x0, show_progress=False, seed=0)
+    last = np.asarray(out.running_samples.last_sample)
+    assert np.all(np.sum(last**2, axis=-1) <= 25.0), last
+    assert out.statistics.n_accepted_trajectories > 0

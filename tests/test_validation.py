@@ -48,3 +48,28 @@ def test_per_dim_ess_iid_near_total():
     ess = per_dim_ess(draws)
     assert ess.shape == (4,)
     assert np.all(ess > 0.25 * 500 * 8)
+
+
+def test_per_dim_ess_mirrors_device_estimator():
+    """per_dim_ess must be the SAME estimator as
+    nfmc_tpu.diagnostics.effective_sample_size (biased per-chain autocov,
+    per-chain Geyer pairing, per-chain tau floor, summed), so bench A/B
+    ESS/s figures are comparable to the headline's device-computed ESS.
+    Exercise a heterogeneous stack (one near-constant 'stuck' chain) where
+    a chain-averaged-rho variant diverges by large factors."""
+    import jax.numpy as jnp
+
+    from nfmc_tpu.diagnostics import effective_sample_size
+
+    rng = np.random.default_rng(7)
+    T, C, d = 400, 6, 3
+    # AR(1) chains with per-chain mixing speeds + one stuck chain
+    phis = np.array([0.0, 0.3, 0.6, 0.9, 0.97, 0.999])
+    draws = np.empty((T, C, d))
+    x = rng.normal(size=(C, d))
+    for t in range(T):
+        x = phis[:, None] * x + np.sqrt(1 - phis[:, None] ** 2) * rng.normal(size=(C, d))
+        draws[t] = x
+    host = per_dim_ess(draws)
+    device = np.asarray(effective_sample_size(jnp.asarray(draws, jnp.float32)))
+    np.testing.assert_allclose(host, device, rtol=2e-3)
