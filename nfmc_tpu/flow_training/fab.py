@@ -82,8 +82,22 @@ class FAB:
                 return -jnp.mean(w_corr * log_q_new), log_q_new
 
             (loss, log_q_new), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = self.opt.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss, log_q_new
+            # skip non-finite updates (params AND opt state): inside the
+            # fused scan a single bad replay batch must not poison every
+            # remaining compiled iteration (the host-loop formulation this
+            # replaced failed loudly via np.random.choice on NaN weights)
+            finite = jnp.isfinite(loss) & jnp.stack(
+                [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+            ).all()
+            updates, os_new = self.opt.update(grads, opt_state, params)
+            p_new = optax.apply_updates(params, updates)
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), p_new, params
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), os_new, opt_state
+            )
+            return params, opt_state, loss, log_q_new
 
         return train_step
 
@@ -100,6 +114,21 @@ class FAB:
             params, opt_state, buf_x, buf_lw, buf_lq, index, filled = carry
             k_ais, k_train = jax.random.split(key)
             x, log_w, log_q = ais_round(params, k_ais, n_ais_particles)
+
+            # sanitize BEFORE the buffer write: a divergent AIS round (NaN
+            # weight/position/density) would otherwise poison the categorical
+            # logits — jax.random.categorical over NaN logits returns garbage
+            # indices without error. Bad rows get weight -inf (never drawn)
+            # and zeroed positions/densities.
+            row_ok = (
+                jnp.all(jnp.isfinite(x.reshape(n_ais_particles, -1)), axis=-1)
+                & jnp.isfinite(log_w) & jnp.isfinite(log_q)
+            )
+            x = jnp.where(
+                row_ok.reshape((-1,) + (1,) * len(self.event_shape)), x, 0.0
+            )
+            log_w = jnp.where(row_ok, log_w, -jnp.inf)
+            log_q = jnp.where(row_ok, log_q, 0.0)
 
             # ring-buffer write (leading-axis scatter — fine on TPU; the
             # pathological axis is the last/lane axis, see flows/spline.py)
@@ -192,7 +221,9 @@ class FAB:
         finally:
             pbar.close()
         self._buf_state = buf_state
-        self.loss_trace = jnp.concatenate(losses)  # (n_iterations,) replay loss
+        # (n_iterations,) replay loss; n_iterations=0 is legal (no-op run)
+        self.loss_trace = (jnp.concatenate(losses) if losses
+                           else jnp.zeros((0,), jnp.float32))
         self.flow.params = params
         return self.flow
 

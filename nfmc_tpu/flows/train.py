@@ -29,6 +29,16 @@ from ..core.rng import resolve_key
 from ..utils import tqdm  # shared fallback shim
 
 
+def _finite_update(loss, grads):
+    """True iff the loss AND every gradient leaf are finite. A finite loss
+    does not imply finite grads (boundary sqrt/log/where gradients, overflow
+    only in the backward pass) — gating a skip-this-update guard on the loss
+    alone still lets NaN grads reach ``opt.update`` and poison the Adam
+    moments."""
+    leaves_ok = [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+    return jnp.isfinite(loss) & jnp.stack(leaves_ok).all()
+
+
 def _adaptive_batch_size(n_train: int) -> int:
     """'adaptive' rule: ~n/10 clamped to [32, 4096], rounded to a power of two."""
     if n_train <= 32:
@@ -130,7 +140,7 @@ def make_scan_fit(flow, n_rows: int, n_epochs: int, lr: float = 0.005,
                 loss, g = jax.value_and_grad(nll_loss)(p, xb)
                 # skip non-finite batches (params AND opt state) so one bad
                 # batch doesn't NaN the rest of the compiled fit
-                finite = jnp.isfinite(loss)
+                finite = _finite_update(loss, g)
                 u, os_new = opt.update(g, os, p)
                 p_new = optax.apply_updates(p, u)
                 p = jax.tree_util.tree_map(
@@ -296,7 +306,7 @@ def fit(
                     loss, grads = jax.value_and_grad(loss_fn)(p, xb, wb)
                     # skip non-finite batches (params AND opt state) so one
                     # bad batch doesn't NaN the rest of the compiled fit
-                    finite = jnp.isfinite(loss)
+                    finite = _finite_update(loss, grads)
                     updates, os_new = opt.update(grads, os, p)
                     p_new = optax.apply_updates(p, updates)
                     p = jax.tree_util.tree_map(
@@ -442,12 +452,14 @@ def variational_fit(
         def body(carry, k):
             p, os, bp, bl = carry
             loss, grads = jax.value_and_grad(loss_fn)(p, k)
-            finite = jnp.isfinite(loss)
+            finite = _finite_update(loss, grads)
             # best-weight tracking BEFORE the update: ``loss`` was measured
             # at ``p``, so these are the params the recorded best loss
             # belongs to (storing the post-update params paired a loss with
-            # weights one Adam step past it — round-3 review fix)
-            better = finite & (loss < bl)
+            # weights one Adam step past it — round-3 review fix). Gated on
+            # the LOSS only: a finite loss at p is a valid best candidate
+            # even when the grads at p are not finite.
+            better = jnp.isfinite(loss) & (loss < bl)
             bl = jnp.where(better, loss, bl)
             if keep_best_weights:
                 bp = jax.tree_util.tree_map(

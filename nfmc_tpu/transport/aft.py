@@ -123,23 +123,37 @@ class AnnealedFlowTransport:
         return transport
 
     def _make_select_transport(self):
-        """Per-level safeguard: accept the fitted transport only if it does
-        not hurt the incremental-weight ESS, measured on the VAL group (so
-        the selection is independent of the base particles whose weights
-        enter log_Z — any FIXED map keeps the SMC estimator valid, including
-        the identity, which is plain tempered SMC for that level)."""
+        """Per-level safeguard fused with the val-group transport: accept the
+        fitted map only if it does not hurt the incremental-weight ESS,
+        measured on the VAL group (so the selection is independent of the
+        base particles whose weights enter log_Z — any FIXED map keeps the
+        SMC estimator valid, including the identity, which is plain tempered
+        SMC for that level). Returns ``(use_flow, transported val group)`` in
+        ONE device dispatch — the val forward pass / potential evals are
+        shared between the selection and the transport (each extra dispatch
+        costs a full tunnel round trip, see CLAUDE.md)."""
         flow = self.flow
 
-        def select(params, x_val, lw_val, lam_prev, lam_next):
+        def select_and_transport_val(params, x_val, lw_val, lam_prev, lam_next):
             x_f, log_det = flow.bijection.forward_fn(params, x_val)
-            log_G_flow = self.u(x_val, lam_prev) - self.u(x_f, lam_next) + log_det
-            log_G_id = self.u(x_val, lam_prev) - self.u(x_val, lam_next)
+            u_prev = self.u(x_val, lam_prev)
+            log_G_flow = u_prev - self.u(x_f, lam_next) + log_det
+            log_G_id = u_prev - self.u(x_val, lam_next)
             ess_flow = log_ess(lw_val + log_G_flow)
             ess_id = log_ess(lw_val + log_G_id)
-            finite = jnp.isfinite(ess_flow)
-            return finite & (ess_flow >= ess_id)
+            # a non-finite ess_id (e.g. every val particle at U=+inf under a
+            # hard-support target, log_G_id all -inf) must NOT veto a finite
+            # fitted transport — identity would be the catastrophic choice
+            use_flow = jnp.isfinite(ess_flow) & (
+                (ess_flow >= ess_id) | ~jnp.isfinite(ess_id)
+            )
+            x_t = jnp.where(use_flow, x_f, x_val)
+            log_G = jnp.where(use_flow, log_G_flow, log_G_id)
+            log_w = lw_val + log_G
+            lw_new = log_w - jax.scipy.special.logsumexp(log_w)
+            return use_flow, x_t, lw_new
 
-        return select
+        return select_and_transport_val
 
     def run(
         self,
@@ -184,11 +198,13 @@ class AnnealedFlowTransport:
             )
 
             # 2. transport & reweight (fitted map, or identity when the fit
-            # would hurt val-group ESS — plain tempered SMC for that level)
-            use_flow = self._select_transport(params, x_val, lw_val, lam_prev, lam_next)
+            # would hurt val-group ESS — plain tempered SMC for that level);
+            # the val group's own transport is fused into the selection call
+            use_flow, x_val, lw_val = self._select_transport(
+                params, x_val, lw_val, lam_prev, lam_next
+            )
             x_base, lw_base, dlZ, ess_b = self._transport(params, x_base, lw_base, lam_prev, lam_next, use_flow)
             x_train, lw_train, _, ess_t = self._transport(params, x_train, lw_train, lam_prev, lam_next, use_flow)
-            x_val, lw_val, _, _ = self._transport(params, x_val, lw_val, lam_prev, lam_next, use_flow)
             log_Z += float(dlZ)
             # log_ess returns log of the ABSOLUTE ESS (in [0, log n])
             ess_trace.append(float(jnp.exp(ess_t)))

@@ -13,10 +13,21 @@ from ..utils import value_and_batched_grad
 
 
 def tempered(prior_potential: Callable, target_potential: Callable):
-    """u(x, lam) = (1-lam) * prior + lam * target."""
+    """u(x, lam) = (1-lam) * prior + lam * target.
+
+    Endpoint-safe for hard-support potentials: at ``lam = 0`` (or 1) a
+    ``U = +inf`` value on the switched-OFF side would give ``0 * inf = NaN``
+    and poison the first annealing level of every SMC/AIS loop (they all
+    start at ``lam_prev = 0``); the zero-weight side is masked out instead,
+    so ``u(x, 0) = prior`` and ``u(x, 1) = target`` exactly.
+    """
 
     def u(x, lam):
-        return (1.0 - lam) * prior_potential(x) + lam * target_potential(x)
+        up = prior_potential(x)
+        ut = target_potential(x)
+        a = jnp.where(lam < 1.0, (1.0 - lam) * up, 0.0)
+        b = jnp.where(lam > 0.0, lam * ut, 0.0)
+        return a + b
 
     return u
 

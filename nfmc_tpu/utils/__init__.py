@@ -101,23 +101,26 @@ def metropolis_acceptance_log_ratio(
     )
 
 
-def unevaluable_current_mask(*current_side_terms):
-    """Per-chain mask: True where ANY current-side accept-ratio term is
-    non-finite. Used by the flow-proposal accept guards (IMH / jump / DLMC):
+def unevaluable_current_mask(u_curr, logq_curr):
+    """Per-chain mask: True where the current side of a flow-proposal MH
+    ratio is UNEVALUABLE. Used by the accept guards (IMH / jump / DLMC):
     against a FINITE proposal side, ``log_alpha`` is non-finite iff a
     current-side term is, and the comparison ``log_u < log_alpha`` then
-    freezes the chain for every non-finite value except ``+inf`` — a NaN
-    current potential (``inf - inf`` arithmetic in clipped/log-barrier
+    freezes the chain for every non-finite value except ``U(x) = +inf`` — a
+    NaN current potential (``inf - inf`` arithmetic in clipped/log-barrier
     targets) or a current state of flow density zero (``log q(x) = -inf``,
     where the MH ratio is formally undefined for an independence proposal)
     would pin the chain at ``x0`` for the whole run. The accept guards OR
     this mask into the accept decision: an unevaluable current state always
     moves to a finite proposal.
+
+    Deliberately NOT triggered by ``U(x) = -inf`` (an integrable density
+    singularity, e.g. Beta(1/2,1/2)-like targets): ``log_alpha = -inf`` is
+    then the CORRECT accept probability (0) for any finite proposal, and
+    force-moving would bias samples away from the singularity.
+    (``U(x) = +inf`` needs no clause: ``log_alpha = +inf`` already accepts.)
     """
-    bad = jnp.zeros(jnp.shape(current_side_terms[0]), dtype=bool)
-    for t in current_side_terms:
-        bad = bad | ~jnp.isfinite(t)
-    return bad
+    return jnp.isnan(u_curr) | ~jnp.isfinite(logq_curr)
 
 
 def batched_grad(fn_batched: Callable[[jax.Array], jax.Array]) -> Callable[[jax.Array], jax.Array]:

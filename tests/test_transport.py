@@ -85,11 +85,11 @@ def test_aft_identity_fallback_rejects_bad_transport():
     lw = jnp.full((128,), -np.log(128.0))
 
     # identity-initialized RealNVP: flow ESS == identity ESS -> accepted (>=)
-    assert bool(alg._select_transport(flow.params, x_val, lw, 0.0, 0.5))
+    assert bool(alg._select_transport(flow.params, x_val, lw, 0.0, 0.5)[0])
 
     # catastrophic params (huge shifts): val ESS collapses -> rejected
     bad = jax.tree_util.tree_map(lambda p: p + 40.0, flow.params)
-    assert not bool(alg._select_transport(bad, x_val, lw, 0.0, 0.5))
+    assert not bool(alg._select_transport(bad, x_val, lw, 0.0, 0.5)[0])
 
     # and the full run with a sabotaged flow stays finite & sane because
     # every level degrades to plain tempered SMC
@@ -100,6 +100,73 @@ def test_aft_identity_fallback_rejects_bad_transport():
                    n_particles=256, seed=0)
     assert np.isfinite(out["log_Z"])
     assert abs(out["log_Z"] - TRUE_LOG_Z) < 3.0
+
+
+def test_aft_select_prefers_flow_when_identity_ess_is_nan():
+    """A non-finite identity ESS (hard-support target: every val particle at
+    U=+inf makes log_G_id all -inf, log_ess NaN) must not veto a finite
+    fitted transport — identity would be the catastrophic choice there."""
+    import jax.numpy as jnp
+
+    from nfmc_tpu.flows import Bijection, Flow
+    from nfmc_tpu.transport.aft import AnnealedFlowTransport
+
+    class _Contract(Bijection):
+        # forward = data -> latent here plays the transport role T(x) = x/50
+        def init(self, key):
+            return ()
+
+        def forward_fn(self, params, x):
+            return x / 50.0, jnp.full(x.shape[:-1], -3 * np.log(50.0))
+
+        def inverse_fn(self, params, z):
+            return z * 50.0, jnp.full(z.shape[:-1], 3 * np.log(50.0))
+
+    def hard_target(x):
+        r2 = jnp.sum(x ** 2, axis=-1)
+        return jnp.where(r2 > 0.25, jnp.inf, 0.5 * r2)
+
+    flow = Flow(_Contract((3,)), seed=0)
+    alg = AnnealedFlowTransport(PRIOR, hard_target, flow, n_steps=4)
+    x_val = 2.0 + jax.random.normal(jax.random.key(0), (64, 3))  # all outside
+    lw = jnp.full((64,), -np.log(64.0))
+    use_flow, x_t, lw_new = alg._select_transport(flow.params, x_val, lw, 0.0, 0.5)
+    assert bool(use_flow)  # the contraction rescues the particles
+    assert np.isfinite(np.asarray(x_t)).all()
+    assert np.isfinite(np.asarray(lw_new)).all()
+
+
+def test_fab_survives_divergent_ais_round():
+    """A divergent AIS sweep (absurd step size on a quartic target) writes
+    non-finite weights; sanitized buffer rows + the train step's finite
+    guard must keep the fused scan's params finite (the host loop this
+    replaced crashed loudly in np.random.choice; silent NaN corruption is
+    the failure mode this pins)."""
+    import jax.numpy as jnp
+
+    from nfmc_tpu.api.registry import create_flow_object
+    from nfmc_tpu.flow_training.fab import FAB
+
+    quartic = lambda x: jnp.sum(x ** 4, axis=-1)
+    f = create_flow_object(FLOW, (3,), seed=0)
+    alg = FAB(quartic, f, ais_step_size=1e6)
+    flow = alg.run(n_iterations=6, n_flow_training_steps=5,
+                   n_ais_particles=64, seed=0)
+    leaves = jax.tree_util.tree_leaves(flow.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    s = np.asarray(flow.sample(128, seed=3))
+    assert np.isfinite(s).all()
+
+
+def test_fab_zero_iterations_noop():
+    from nfmc_tpu.api.registry import create_flow_object
+    from nfmc_tpu.flow_training.fab import FAB
+
+    f = create_flow_object(FLOW, (3,), seed=0)
+    alg = FAB(TARGET, f)
+    flow = alg.run(n_iterations=0)
+    assert flow is f
+    assert alg.loss_trace.shape == (0,)
 
 
 def test_craft():
