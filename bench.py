@@ -1194,12 +1194,38 @@ def run_reference_ab():
         "tracing + tunnel sync at this tiny scale — costs the eager reference "
         "never pays); ours_steady_ess_per_s re-calls the same sampler with "
         "its memoized driver (repeated-sampling amortized figure; still "
-        "tunnel-sync-bound — the identical steady path on matched CPU "
-        "hardware, tools/run_reference.run_ours_steady under "
-        "JAX_PLATFORM_NAME=cpu, measures 28x/38x the reference for "
-        "mala/imh). The headline sections measure throughput at real scale"
+        "tunnel-sync-bound). For the hardware-matched comparison — both "
+        "sides on the host CPU — see the matched_cpu_ab block. The headline "
+        "sections measure throughput at real scale"
     )
     return results
+
+
+def run_matched_cpu_ab():
+    """Hardware-matched steady-state A/B: the reference's eager torch loop
+    vs nfmc-tpu's compiled steady path, BOTH on the host CPU — removes the
+    tunnel-sync asymmetry that dominates ``reference_ab``'s small-scale
+    ESS/s ratios. Runs ``tools/matched_cpu_ab.py`` in a subprocess (JAX's
+    platform choice is process-global; this process owns the TPU)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    script = os.path.join(here, "tools", "matched_cpu_ab.py")
+    try:
+        proc = subprocess.run(
+            [sys.executable, script], capture_output=True, text=True,
+            timeout=840, cwd=here,
+        )
+    except subprocess.TimeoutExpired:
+        return {"skipped": "matched-CPU subprocess exceeded 840s"}
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    if proc.returncode != 0 or not lines:
+        return {"skipped": f"subprocess rc={proc.returncode}: "
+                           f"{proc.stderr.strip()[-300:]}"}
+    try:
+        return json.loads(lines[-1])
+    except json.JSONDecodeError:
+        return {"skipped": f"unparseable output: {lines[-1][:300]}"}
 
 
 def run_latent_ab():
@@ -1458,6 +1484,7 @@ def main():
     # of a full run) padded ~2x for slow-phase compile RPCs; the persistent
     # XLA cache keeps repeat runs well under them.
     reference_ab = gated("reference_ab", run_reference_ab, 420)
+    matched_cpu = gated("matched_cpu_ab", run_matched_cpu_ab, 300)
     pt_multimodal = gated("pt_multimodal", run_pt_multimodal, 240)
     north = gated("north_star", run_north_star, 300)
     latent_ab = gated("latent_ab", run_latent_ab, 150)
@@ -1508,6 +1535,7 @@ def main():
         "validation": validation,
         "pt_multimodal": pt_multimodal,
         "reference_ab": reference_ab,
+        "matched_cpu_ab": matched_cpu,
         "latent_ab": latent_ab,
         "transport_logz": transport_logz,
         "pallas_numerics": {
@@ -1554,6 +1582,14 @@ def main():
         # two-sample distribution tests against the ACTUAL reference code
         # (None if the section was skipped/unavailable this run)
         "reference_ab_ok": reference_ab.get("all_ok"),
+        # hardware-matched (both on host CPU) steady ESS/s vs the reference:
+        # worst strategy's ratio (None if the section was skipped)
+        "matched_cpu_min_speedup": (
+            min(v["steady_vs_reference"] for v in matched_cpu.values()
+                if isinstance(v, dict) and "steady_vs_reference" in v)
+            if any(isinstance(v, dict) and "steady_vs_reference" in v
+                   for v in matched_cpu.values()) else None
+        ),
         # ESS A/B + live TESS sign-quirk demo vs the executing reference
         "latent_ab_ok": latent_ab.get("all_ok"),
         # corrected transport stack recovers a known log Z (max |err|, nats)
