@@ -201,26 +201,38 @@ def test_sharded_aft_matches_unsharded():
     flow = 'realnvp%{"n_layers": 2, "hidden_size": 16}'
     mesh = chain_mesh()
 
-    out_plain = aft(prior, target_pot, flow, n_particles=64, n_iterations=4,
-                    seed=0, n_train_epochs=3)
-
-    # shard the initial particles; everything downstream follows the placement
-    flow_obj = create_flow_object(flow, prior.event_shape)
-    algorithm = AnnealedFlowTransport(prior, target_pot, flow_obj,
-                                      n_steps=4, n_train_epochs=3)
     def sharded_prior_sample(batch_shape, key=None):
         x = prior.sample(batch_shape, key=key)
         # AFT also draws auxiliary batches whose size need not tile the mesh
         return shard_chains(x, mesh) if x.shape[0] % mesh.devices.size == 0 else x
 
-    out_sharded = algorithm.run(
-        sharded_prior_sample,
-        n_particles=64, show_progress=False, full_output=True, seed=0,
-    )
+    def run_sharded(n_train_epochs):
+        flow_obj = create_flow_object(flow, prior.event_shape)
+        algorithm = AnnealedFlowTransport(prior, target_pot, flow_obj,
+                                          n_steps=4, n_train_epochs=n_train_epochs)
+        return algorithm.run(
+            sharded_prior_sample,
+            n_particles=64, show_progress=False, full_output=True, seed=0,
+        )
+
+    # (a) fits disabled: the transports are deterministic (identity), so the
+    # sharded SMC arithmetic must agree with the unsharded run to float
+    # reduction-order tolerance — an EXACT check of the GSPMD placement.
+    out_plain0 = aft(prior, target_pot, flow, n_particles=64, n_iterations=4,
+                     seed=0, n_train_epochs=0)
+    out_sharded0 = run_sharded(0)
+    assert abs(out_sharded0["log_Z"] - out_plain0["log_Z"]) < 1e-3
+
+    # (b) fits enabled: Adam trajectories are chaotic and the per-level
+    # val-selected identity-vs-fitted transport CHOICE can flip between the
+    # two runs on reduction-order float noise, so log_Z agreement is only
+    # statistical — both estimates must be finite and close, and the particle
+    # clouds must match in distribution.
+    out_plain = aft(prior, target_pot, flow, n_particles=64, n_iterations=4,
+                    seed=0, n_train_epochs=3)
+    out_sharded = run_sharded(3)
     assert np.isfinite(out_sharded["log_Z"])
-    assert abs(out_sharded["log_Z"] - out_plain["log_Z"]) < 0.2
-    # flow fits amplify reduction-order float differences (Adam trajectories
-    # are chaotic), so compare distributions rather than elementwise particles
+    assert abs(out_sharded["log_Z"] - out_plain["log_Z"]) < 0.75
     assert np.isfinite(out_sharded["particles"]).all()
     assert np.allclose(
         out_plain["particles"].mean(0), out_sharded["particles"].mean(0), atol=0.15
