@@ -40,7 +40,7 @@ SIGMA = np.linspace(1.0, 3.0, 5)
 ALPHA = 0.01
 
 
-def _ab(strategy, n_iterations=1000, **kw):
+def _ab(strategy, n_iterations=1000, accept_tol=0.05, **kw):
     ref = run_reference(strategy, SIGMA, n_chains=32,
                         n_iterations=n_iterations, seed=0,
                         x0_from_target=True, **kw)
@@ -53,8 +53,13 @@ def _ab(strategy, n_iterations=1000, **kw):
         f"(ks={report['ks_max']}, ks_p={report['ks_p_value']}, "
         f"energy_p={report['energy_p_value']})"
     )
-    # acceptance rates must also agree — same kernel, same tuning state
-    assert abs(ref["accept_rate"] - ours["accept_rate"]) < 0.05, (
+    # acceptance rates must also agree — same kernel, same tuning state.
+    # accept_tol is calibrated per target: 0.05 fits the Gaussian runs'
+    # seed-to-seed spread; on the funnel each chain's acceptance is pinned by
+    # its slow-mixing v-coordinate, so 32-chain mean acceptance is far
+    # noisier (reference A/A across 4 seeds: mala 0.296-0.422, mh
+    # 0.249-0.320 — measured 2026-08-19).
+    assert abs(ref["accept_rate"] - ours["accept_rate"]) < accept_tol, (
         ref["accept_rate"], ours["accept_rate"])
 
 
@@ -82,6 +87,19 @@ def test_imh_matches_reference_distribution():
 
 def test_jump_mala_matches_reference_distribution():
     _ab("jump_mala", inner_iterations=5)
+
+
+def test_mala_funnel_matches_reference_distribution():
+    """Second target family (Neal's funnel, the paper's hard geometry):
+    identical closed-form potential on both sides (`run_reference`
+    target_spec="funnel"), chains started exactly in stationarity via the
+    funnel's closed-form sampler. Validates the kernel parity holds beyond
+    Gaussian targets (curvature-varying gradients, heavy tails)."""
+    _ab("mala", n_iterations=1500, target_spec="funnel", accept_tol=0.15)
+
+
+def test_mh_funnel_matches_reference_distribution():
+    _ab("mh", n_iterations=1500, target_spec="funnel", accept_tol=0.15)
 
 
 # ---------------------------------------------------------------------------

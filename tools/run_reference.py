@@ -169,6 +169,9 @@ def _nll_ours(nll_spec: str, sig):
     raise ValueError(nll_spec)
 
 
+_FUNNEL_SCALE = 3.0
+
+
 def run_reference(
     strategy: str,
     sigma: Sequence[float],
@@ -181,21 +184,27 @@ def run_reference(
     x0_from_target: bool = False,
     nll_spec: Optional[str] = None,
     flow_spec: Optional[str] = None,
+    target_spec: str = "diag",
 ) -> Dict:
-    """Run the reference's ``sample()`` on a diagonal-Gaussian target.
+    """Run the reference's ``sample()`` on a closed-form target.
 
-    Target: ``U(x) = 0.5 * sum((x_i / sigma_i)^2)`` — the same closed form
-    the matched nfmc-tpu run uses (``nfmc_tpu.potentials.DiagonalGaussian``).
+    ``target_spec="diag"`` (default): ``U(x) = 0.5 * sum((x_i / sigma_i)^2)``
+    — the same closed form the matched nfmc-tpu run uses
+    (``nfmc_tpu.potentials.DiagonalGaussian``). ``target_spec="funnel"``:
+    Neal's funnel with ``len(sigma)`` dims, the exact formula of
+    ``nfmc_tpu.potentials.Funnel`` (``sigma`` then only sets the dimension).
     Returns draws ``(T, C, d)`` (host NumPy), wall seconds for the sampling
     call, and the reference's own statistics counters.
 
     ``x0_from_target``: draw the initial states exactly from the target
-    (possible in closed form for a diagonal Gaussian) so every chain starts
+    (possible in closed form for both targets) so every chain starts
     IN stationarity — the two-sample parity tests then measure kernel bias
     alone, with no burn-in transient to confound them (slow-mixing defaults
     like HMC's otherwise need thousands of discard iterations).
     """
     _ensure_paths()
+    import math
+
     import torch
 
     from nfmc import sample  # the reference package, via the shim
@@ -204,8 +213,22 @@ def run_reference(
     sig = torch.tensor(np.asarray(sigma, dtype=np.float32))
     d = int(sig.numel())
 
-    def target(x):
-        return 0.5 * ((x / sig) ** 2).flatten(1).sum(-1)
+    if target_spec == "funnel":
+        log_2pi = math.log(2.0 * math.pi)
+
+        def target(x):
+            v = x[:, 0]
+            rest = x[:, 1:]
+            log_p_v = (-0.5 * (v / _FUNNEL_SCALE) ** 2 - 0.5 * log_2pi
+                       - math.log(_FUNNEL_SCALE))
+            log_p_rest = (-0.5 * (rest ** 2).sum(-1) * torch.exp(-v)
+                          - 0.5 * (d - 1) * (log_2pi + v))
+            return -(log_p_v + log_p_rest)
+    elif target_spec == "diag":
+        def target(x):
+            return 0.5 * ((x / sig) ** 2).flatten(1).sum(-1)
+    else:
+        raise ValueError(target_spec)
 
     kwargs = {}
     if param_kwargs:
@@ -227,7 +250,12 @@ def run_reference(
 
     x0 = torch.randn(n_chains, d)
     if x0_from_target:
-        x0 = x0 * sig
+        if target_spec == "funnel":
+            v = _FUNNEL_SCALE * torch.randn(n_chains, 1)
+            rest = torch.randn(n_chains, d - 1) * torch.exp(0.5 * v)
+            x0 = torch.cat([v, rest], dim=-1)
+        else:
+            x0 = x0 * sig
     t0 = time.time()
     with warnings.catch_warnings(), contextlib.redirect_stderr(io.StringIO()):
         # stderr redirect: the reference's TESS ignores show_progress and
@@ -268,16 +296,22 @@ def run_ours_matched(
     x0_from_target: bool = False,
     nll_spec: Optional[str] = None,
     flow_spec: Optional[str] = None,
+    target_spec: str = "diag",
 ) -> Dict:
     """The nfmc-tpu side of the A/B: identical target/config, JAX RNG."""
     import jax
 
     import nfmc_tpu
-    from nfmc_tpu.potentials import DiagonalGaussian
+    from nfmc_tpu.potentials import DiagonalGaussian, Funnel
 
     sig = np.asarray(sigma, dtype=np.float32)
     d = len(sig)
-    target = DiagonalGaussian(mu=np.zeros(d), sigma=sig)
+    if target_spec == "funnel":
+        target = Funnel(n_dim=d, scale=_FUNNEL_SCALE)
+    elif target_spec == "diag":
+        target = DiagonalGaussian(mu=np.zeros(d), sigma=sig)
+    else:
+        raise ValueError(target_spec)
     kwargs = {}
     if param_kwargs:
         kwargs["param_kwargs"] = dict(param_kwargs)
@@ -293,7 +327,10 @@ def run_ours_matched(
         kwargs["negative_log_likelihood"] = _nll_ours(nll_spec, sig)
     x0 = jax.random.normal(jax.random.key(seed), (n_chains, d))
     if x0_from_target:
-        x0 = x0 * sig
+        if target_spec == "funnel":
+            x0 = target.sample((n_chains,), key=jax.random.key(seed))
+        else:
+            x0 = x0 * sig
     t0 = time.time()
     out = nfmc_tpu.sample(
         target,
