@@ -73,7 +73,11 @@ class FAB:
     def _make_train_step(self):
         flow = self.flow
 
-        def train_step(params, opt_state, x, log_q_old):
+        def train_step(params, opt_state, x, log_q_old, enabled):
+            """``enabled=False`` vetoes the update outright (used when the
+            replay buffer holds no finite-weight row to draw from)."""
+            from ..flows.train import _finite_update
+
             def loss_fn(p):
                 log_q_new = flow.log_prob_fn(p, x)
                 w_corr = jnp.exp(
@@ -86,9 +90,7 @@ class FAB:
             # fused scan a single bad replay batch must not poison every
             # remaining compiled iteration (the host-loop formulation this
             # replaced failed loudly via np.random.choice on NaN weights)
-            finite = jnp.isfinite(loss) & jnp.stack(
-                [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
-            ).all()
+            finite = _finite_update(loss, grads) & enabled
             updates, os_new = self.opt.update(grads, opt_state, params)
             p_new = optax.apply_updates(params, updates)
             params = jax.tree_util.tree_map(
@@ -143,17 +145,32 @@ class FAB:
             def t_body(tc, k):
                 params, opt_state, buf_lw, buf_lq = tc
                 logits = jnp.where(valid, buf_lw, -jnp.inf)
+                # no finite-weight row to draw from (e.g. a fully divergent
+                # first AIS round): jax.random.categorical over all--inf
+                # logits silently degenerates to index 0 — the zeroed
+                # placeholder row — and training would drag the flow toward
+                # a point mass at the origin. Veto the whole step instead.
+                any_valid = jnp.any(logits > -jnp.inf)
                 idx = jax.random.categorical(k, logits,
                                              shape=(n_training_particles,))
                 lq_old = buf_lq[idx]
                 params, opt_state, loss, lq_new = train_step(
-                    params, opt_state, buf_x[idx], lq_old
+                    params, opt_state, buf_x[idx], lq_old, any_valid
                 )
                 # importance-correct buffered weights/densities; duplicate
                 # idx write identical values, so .set matches numpy fancy
-                # assignment semantics
-                buf_lw = buf_lw.at[idx].set(buf_lw[idx] + lq_old - lq_new)
-                buf_lq = buf_lq.at[idx].set(lq_new)
+                # assignment semantics. Rows whose density under the NEW
+                # params is non-finite (flow lost that region) get weight
+                # -inf — never drawn again; writing the raw +inf/NaN weight
+                # would permanently poison the categorical logits.
+                upd_ok = any_valid & jnp.isfinite(lq_new)
+                new_lw = jnp.where(upd_ok, buf_lw[idx] + lq_old - lq_new,
+                                   jnp.where(any_valid, -jnp.inf, buf_lw[idx]))
+                new_lq = jnp.where(upd_ok, lq_new,
+                                   jnp.where(any_valid, 0.0, buf_lq[idx]))
+                buf_lw = buf_lw.at[idx].set(new_lw)
+                buf_lq = buf_lq.at[idx].set(new_lq)
+                loss = jnp.where(any_valid, loss, jnp.nan)  # mark skipped
                 return (params, opt_state, buf_lw, buf_lq), loss
 
             tkeys = jax.random.split(k_train, n_flow_training_steps)
@@ -161,7 +178,13 @@ class FAB:
                 t_body, (params, opt_state, buf_lw, buf_lq), tkeys
             )
             carry = (params, opt_state, buf_x, buf_lw, buf_lq, index, filled)
-            return carry, losses.mean()
+            # nanmean: skipped (vetoed) steps are NaN-marked above and drop
+            # out of the iteration's reported loss; all-skipped iterations
+            # report NaN honestly. Empty scan (n_flow_training_steps=0, a
+            # pure buffer-fill run) reports 0 — np-semantics mean would NaN.
+            loss_rep = (jnp.nanmean(losses) if n_flow_training_steps > 0
+                        else jnp.float32(0.0))
+            return carry, loss_rep
 
         def run(params, opt_state, buf_state, key):
             keys = jax.random.split(key, n_iterations)
@@ -228,8 +251,16 @@ class FAB:
         return self.flow
 
 
+_CTOR_KEYS = ("buffer_size", "n_ais_steps", "ais_step_size", "lr", "n_mcmc_steps")
+
+
+def _split_ctor_kwargs(kwargs):
+    return {k: kwargs.pop(k) for k in _CTOR_KEYS if k in kwargs}
+
+
 def flow_annealed_importance_sampling_bootstrap_base(target_potential, flow, **kwargs):
-    return FAB(target_potential, flow).run(**kwargs)
+    ctor_kwargs = _split_ctor_kwargs(kwargs)
+    return FAB(target_potential, flow, **ctor_kwargs).run(**kwargs)
 
 
 def fab(target, flow: str = "realnvp", show_progress: bool = False, seed: int = 0, **kwargs):
@@ -238,7 +269,5 @@ def fab(target, flow: str = "realnvp", show_progress: bool = False, seed: int = 
     from ..api.registry import create_flow_object
 
     flow_object = create_flow_object(flow, target.event_shape, seed=seed)
-    ctor_keys = ("buffer_size", "n_ais_steps", "ais_step_size", "lr", "n_mcmc_steps")
-    ctor_kwargs = {k: kwargs.pop(k) for k in ctor_keys if k in kwargs}
-    algorithm = FAB(target, flow_object, **ctor_kwargs)
+    algorithm = FAB(target, flow_object, **_split_ctor_kwargs(kwargs))
     return algorithm.run(show_progress=show_progress, seed=seed, **kwargs)

@@ -150,7 +150,20 @@ class AnnealedFlowTransport:
             x_t = jnp.where(use_flow, x_f, x_val)
             log_G = jnp.where(use_flow, log_G_flow, log_G_id)
             log_w = lw_val + log_G
-            lw_new = log_w - jax.scipy.special.logsumexp(log_w)
+            norm = jax.scipy.special.logsumexp(log_w)
+            lw_new = log_w - norm
+            # degenerate level (BOTH maps unevaluable on every val particle,
+            # norm = -inf/NaN): reset to uniform rather than write NaN
+            # weights — a NaN val-weight vector makes every later level's
+            # ess_flow NaN (selection locked to identity with no recovery)
+            # and feeds garbage cdf values to the val resample. Per-row NaNs
+            # under a finite norm degrade to -inf (never resampled).
+            uniform = jnp.full_like(log_w, -jnp.log(log_w.shape[0]))
+            lw_new = jnp.where(
+                jnp.isfinite(norm),
+                jnp.where(jnp.isfinite(lw_new), lw_new, -jnp.inf),
+                uniform,
+            )
             return use_flow, x_t, lw_new
 
         return select_and_transport_val

@@ -87,10 +87,17 @@ class PreconditionedMonteCarlo:
 
         self._delta_u = jax.jit(_delta_u)
 
-        def loss_fn(params, x):
-            return -jnp.mean(flow_.log_prob_fn(params, x))
+        def weighted_loss(params, x, log_w):
+            """Self-normalized weighted negative log-likelihood: an estimate
+            of ``-E_{pi_beta_new}[log q]`` from the PRE-resample weighted
+            cloud. Training on the weighted cloud instead of resampled
+            particles keeps every point unique, so the val split below is a
+            real holdout (resampled duplicates straddle any split and let a
+            memorizing fit ace its own val loss)."""
+            w = jax.nn.softmax(log_w)
+            return -jnp.sum(w * flow_.log_prob_fn(params, x))
 
-        def train_scan(params, x, key):
+        def train_scan(params, x, log_w, key):
             """Per-level preconditioner fit: full-batch Adam epochs inside one
             scan, VAL-SELECTED best weights (cf. ``aft``'s per-level fit) and
             finite-guarded updates. Val selection is load-bearing, not a
@@ -100,29 +107,32 @@ class PreconditionedMonteCarlo:
             log Z by -10 to -35 nats; val-best holds it within +-0.3). The
             tracker seeds with the warm-start params' own val loss, so a
             non-improving fit keeps the previous level's preconditioner."""
+            from ..flows.train import _finite_update
+
             n = x.shape[0]
             n_val = max(n // 5, 1)
-            x = x[jax.random.permutation(key, n)]
+            perm = jax.random.permutation(key, n)
+            x, log_w = x[perm], log_w[perm]
             x_val, x_train = x[:n_val], x[n_val:]
+            lw_val, lw_train = log_w[:n_val], log_w[n_val:]
 
             def tree_select(flag, a, b):
                 return jax.tree_util.tree_map(
                     lambda u, v: jnp.where(flag, u, v), a, b)
 
-            init_val = loss_fn(params, x_val)
+            init_val = weighted_loss(params, x_val, lw_val)
             init_val = jnp.where(jnp.isfinite(init_val), init_val, jnp.inf)
             opt_state = self.opt.init(params)
 
             def body(carry, _):
                 params, opt_state, best_params, best_val = carry
-                loss, grads = jax.value_and_grad(loss_fn)(params, x_train)
-                finite = jnp.isfinite(loss) & jnp.all(jnp.asarray([
-                    jnp.all(jnp.isfinite(g))
-                    for g in jax.tree_util.tree_leaves(grads)]))
+                loss, grads = jax.value_and_grad(weighted_loss)(
+                    params, x_train, lw_train)
+                finite = _finite_update(loss, grads)
                 updates, opt_state_new = self.opt.update(grads, opt_state, params)
                 params = tree_select(finite, optax.apply_updates(params, updates), params)
                 opt_state = tree_select(finite, opt_state_new, opt_state)
-                val = loss_fn(params, x_val)
+                val = weighted_loss(params, x_val, lw_val)
                 better = jnp.isfinite(val) & (val < best_val)
                 best_params = tree_select(better, params, best_params)
                 best_val = jnp.where(better, val, best_val)
@@ -157,10 +167,16 @@ class PreconditionedMonteCarlo:
                 # pCN accept: proposal reversible wrt N(0,I), so only the
                 # residual Phi(z) = u_lat(z) - ||z||^2/2 enters the ratio
                 log_alpha = (uz - _half_sumsq(z)) - (uzp - _half_sumsq(z_prime))
-                finite = jnp.isfinite(log_alpha)
+                # accept-guard semantics per utils.unevaluable_current_mask:
+                # a NaN current potential would freeze the particle forever
+                # (log_u < NaN is False) — force-move it to any evaluable
+                # proposal; a +inf current already auto-accepts through
+                # log_alpha = +inf. Non-finite PROPOSALS always reject.
+                log_alpha = jnp.where(jnp.isnan(uz), jnp.inf, log_alpha)
+                log_alpha = jnp.where(jnp.isfinite(uzp), log_alpha, -jnp.inf)
                 accept = (
                     jnp.log(jax.random.uniform(k_acc, log_alpha.shape)) < log_alpha
-                ) & finite
+                )
                 mask = accept.reshape(accept.shape + (1,) * (z.ndim - 1))
                 z = jnp.where(mask, z_prime, z)
                 uz = jnp.where(accept, uzp, uz)
@@ -234,13 +250,16 @@ class PreconditionedMonteCarlo:
             ess_trace.append(_ess_np(log_w))
             log_w -= np.logaddexp.reduce(log_w)
             key, k_res = jax.random.split(key)
+            x_prev, lw_prev = x, jnp.asarray(log_w, dtype=jnp.float32)
             idx = systematic_resample(k_res, jnp.asarray(log_w), n_particles)
             x = x[idx]
             log_W = np.full((n_particles,), -math.log(n_particles))
 
-            # 3. fit the preconditioner to the current particles
+            # 3. fit the preconditioner on the PRE-resample weighted cloud
+            # (unique points -> the fit's val holdout is a real holdout;
+            # resampled duplicates would straddle the split)
             key, k_fit = jax.random.split(key)
-            params, _losses = self._train(params, x, k_fit)
+            params, _losses = self._train(params, x_prev, lw_prev, k_fit)
 
             # 4. latent-space pCN Metropolis sweep at beta_new
             key, k_sweep = jax.random.split(key)

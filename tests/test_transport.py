@@ -149,6 +149,7 @@ def test_fab_survives_divergent_ais_round():
 
     quartic = lambda x: jnp.sum(x ** 4, axis=-1)
     f = create_flow_object(FLOW, (3,), seed=0)
+    init_leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(f.params)]
     alg = FAB(quartic, f, ais_step_size=1e6)
     flow = alg.run(n_iterations=6, n_flow_training_steps=5,
                    n_ais_particles=64, seed=0)
@@ -156,6 +157,15 @@ def test_fab_survives_divergent_ais_round():
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     s = np.asarray(flow.sample(128, seed=3))
     assert np.isfinite(s).all()
+    # with EVERY buffer row divergence-sanitized to weight -inf there is no
+    # valid replay row: the training steps must be vetoed outright, not run
+    # on the zeroed placeholder rows (jax.random.categorical over all--inf
+    # logits silently returns index 0, which would drag the flow toward a
+    # point mass at the origin)
+    if all(not np.isfinite(w) for w in np.asarray(alg._buf_state[1])):
+        assert all(np.array_equal(a, np.asarray(b))
+                   for a, b in zip(init_leaves, leaves)), \
+            "params changed despite no valid replay row"
 
 
 def test_fab_zero_iterations_noop():
