@@ -29,6 +29,10 @@ def anneal_chain(u: Callable, sweep: Callable, n_steps: int):
             x, log_w = carry
             lam_prev, lam_next, k = inputs
             log_w = log_w + u(x, lam_prev) - u(x, lam_next)
+            # out-of-support at BOTH levels gives inf - inf = NaN; the
+            # particle's weight is genuinely zero — pin it to -inf so one
+            # such particle cannot NaN every logsumexp-based log-Z estimate
+            log_w = jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
             x = sweep(x, lam_next, k)
             return (x, log_w), None
 

@@ -73,8 +73,20 @@ def make_mala_sweep(u_tempered: Callable, n_steps: int = 5, step_size: float = 0
             return jnp.sum(term * term, axis=-1) / (4.0 * step_size)
 
         log_alpha = (-u_xp) - (-u_x) + (-qpot(x, x_prime, g_xp)) - (-qpot(x_prime, x, g_x))
-        finite = jnp.isfinite(log_alpha)
-        accept = (jnp.log(jax.random.uniform(k_acc, log_alpha.shape)) < log_alpha) & finite
+        # accept-guard semantics as the samplers' (utils.unevaluable_current_
+        # mask): a current state with U = +inf or NaN has an unevaluable
+        # gradient, so qpot makes log_alpha NaN and a blanket isfinite veto
+        # froze the particle at a zero-density state for every sweep of
+        # every level — force-move it to any evaluable proposal instead
+        # (its density under pi_lam is zero, so the stationary law is
+        # unaffected). U = -inf currents keep log_alpha = -inf (stay at the
+        # singularity, correct). Non-finite PROPOSALS always reject.
+        cur_bad = jnp.isnan(u_x) | (u_x == jnp.inf)
+        prop_ok = jnp.isfinite(u_xp) & jnp.all(
+            jnp.isfinite(x_prime.reshape(x_prime.shape[0], -1)), axis=-1)
+        log_alpha = jnp.where(cur_bad, jnp.inf, log_alpha)
+        log_alpha = jnp.where(prop_ok, log_alpha, -jnp.inf)
+        accept = jnp.log(jax.random.uniform(k_acc, log_alpha.shape)) < log_alpha
         mask = accept.reshape(accept.shape + (1,) * (x.ndim - 1))
         return jnp.where(mask, x_prime, x)
 

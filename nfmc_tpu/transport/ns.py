@@ -84,14 +84,6 @@ class NestedSampling:
             worst = int(np.argmin(ll))
             l_worst = float(ll[worst])
 
-            # evidence increment: w_i = (X_{i-1} - X_i) L_worst
-            log_X = -(i + 1) / self.n_live
-            log_w = np.log(math.exp(log_X_prev) - math.exp(log_X) + 1e-300) + l_worst
-            log_Z = np.logaddexp(log_Z, log_w)
-            log_X_prev = log_X
-            dead_points.append(x[worst].copy())
-            dead_ll.append(l_worst)
-
             replacement = None
             if i >= n_rs_iterations:
                 # flow population + SIR to the constrained prior: restrict to
@@ -123,7 +115,21 @@ class NestedSampling:
                         )
                         break
             if replacement is None:
-                break  # cannot improve the worst point; terminate
+                # cannot improve the worst point; terminate WITHOUT counting
+                # it dead — its shell increment must not be added (it stays
+                # live for the final X/n_live contribution below; counting
+                # it in both places double-counted one shell weight and
+                # shrank the volume despite no replacement happening)
+                break
+
+            # evidence increment: w_i = (X_{i-1} - X_i) L_worst — recorded
+            # only once the point actually leaves the live set
+            log_X = -(i + 1) / self.n_live
+            log_w = np.log(math.exp(log_X_prev) - math.exp(log_X) + 1e-300) + l_worst
+            log_Z = np.logaddexp(log_Z, log_w)
+            log_X_prev = log_X
+            dead_points.append(x[worst].copy())
+            dead_ll.append(l_worst)
 
             x[worst], ll[worst] = replacement
 

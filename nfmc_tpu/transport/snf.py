@@ -27,6 +27,7 @@ import optax
 
 from ..core.rng import resolve_key
 from ..utils import as_numpy, batched_grad, sum_except_batch, value_and_batched_grad
+from .common import tempered
 
 from ..utils import tqdm  # shared fallback shim
 
@@ -170,9 +171,14 @@ class SNF:
         x = z
         keys = jax.random.split(key, n_layers)
         history = [x]
+        # endpoint-safe tempered potential (common.tempered): the LAST layer
+        # sits at lam = 1.0 exactly (linspace endpoint is exact in f32), so
+        # the inline (1-lam)*prior form would give 0 * inf = NaN there for
+        # hard-support priors
+        u = tempered(self.prior_potential, self.target_potential)
         for i, layer in enumerate(self.layers):
             lam = lambdas[i]
-            pot = lambda v: (1.0 - lam) * self.prior_potential(v) + lam * self.target_potential(v)
+            pot = lambda v, _lam=lam: u(v, _lam)
             x, delta_s = layer.apply(params[i], x, pot, keys[i])
             log_det = log_det + delta_s
             history.append(x)
@@ -188,6 +194,8 @@ class SNF:
         return -jnp.mean(log_w)
 
     def fit(self, z, n_epochs: int = 10, show_progress: bool = False, key=None, seed=None):
+        from ..flows.train import _finite_update
+
         key = resolve_key(key, seed)
         z = jnp.asarray(z, dtype=jnp.float32)
         opt_state = self.opt.init(self.params)
@@ -195,6 +203,10 @@ class SNF:
         for _ in tqdm(range(n_epochs), desc="SNF", disable=not show_progress):
             key, k = jax.random.split(key)
             loss, grads = self._loss_and_grad(params, z, k)
+            # skip non-finite epochs (a divergent HMC leapfrog / barrier
+            # overflow would otherwise NaN params AND Adam moments forever)
+            if not bool(_finite_update(loss, grads)):
+                continue
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
         self.params = params
@@ -221,7 +233,10 @@ def snf(prior, target, flow: str = "realnvp", n_particles: int = 100,
     )
     z = prior.sample((n_particles,), key=jax.random.key(seed + 1))
     model.fit(z, n_epochs=n_epochs, show_progress=show_progress, seed=seed + 2)
-    history, x, log_w = model.inverse(z, seed=seed + 3)
+    # evaluate on FRESH prior draws: the training batch's weights are
+    # optimistically biased (the loss maximized E[log w] on exactly that z)
+    z_eval = prior.sample((n_particles,), key=jax.random.key(seed + 4))
+    history, x, log_w = model.inverse(z_eval, seed=seed + 3)
     return {
         "history": as_numpy(history),
         "particles": as_numpy(x),
