@@ -1474,7 +1474,15 @@ def main():
             print(f"[bench] SKIP {name}: {msg}", file=sys.stderr, flush=True)
             return {"skipped": msg}
         t0 = time.time()
-        res = fn()
+        try:
+            res = fn()
+        except Exception as e:  # one flaky section must not lose the rest
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            print(f"[bench] ERROR {name} after {time.time() - t0:.1f}s: {e}",
+                  file=sys.stderr, flush=True)
+            return {"error": f"{type(e).__name__}: {str(e)[:300]}"}
         print(f"[bench] {name} done in {time.time() - t0:.1f}s "
               f"(elapsed {time.time() - t_start:.0f}s)",
               file=sys.stderr, flush=True)

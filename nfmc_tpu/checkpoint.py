@@ -42,32 +42,81 @@ def _tree_signature(state: Any) -> str:
     return json.dumps(paths, separators=(",", ":"))
 
 
+def _save_state_npz(
+    path: str,
+    state: Any,
+    metadata: Optional[Dict] = None,
+    extra_arrays: Optional[Dict[str, np.ndarray]] = None,
+) -> None:
+    """THE on-disk format — one writer shared by :func:`save_checkpoint` and
+    :func:`sample_resumable` so the leaf naming / signature / meta encoding
+    cannot silently diverge (round-3 review). Layout: ``leaf_{i}`` arrays in
+    flatten order, optional extra arrays, the key-path tree signature both as
+    a ``__tree_signature__`` byte array and a ``tree_signature`` meta field,
+    and ``__meta__`` as JSON bytes. Written atomically (tmp + ``os.replace``).
+    """
+    import os
+
+    path = str(path)
+    if not path.endswith(".npz"):
+        path += ".npz"
+    leaves, _ = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(jax.device_get(l)) for i, l in enumerate(leaves)}
+    if extra_arrays:
+        arrays.update(extra_arrays)
+    sig = _tree_signature(state)
+    arrays["__tree_signature__"] = np.frombuffer(sig.encode(), dtype=np.uint8)
+    meta = dict(metadata or {})
+    meta.setdefault("tree_signature", sig)
+    arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)  # atomic: a crash mid-save keeps the old file
+
+
+def _saved_signature(data, meta: Dict) -> Optional[str]:
+    if "__tree_signature__" in getattr(data, "files", []):
+        return bytes(data["__tree_signature__"].tobytes()).decode()
+    return meta.get("tree_signature")
+
+
 def save_checkpoint(path: str, state: Any, metadata: Optional[Dict] = None) -> None:
     """Save a pytree of arrays (+ JSON metadata) to ``path`` (.npz)."""
-    leaves, treedef = jax.tree_util.tree_flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(jax.device_get(l)) for i, l in enumerate(leaves)}
-    arrays["__tree_signature__"] = np.frombuffer(
-        _tree_signature(state).encode(), dtype=np.uint8
-    )
-    arrays["__meta__"] = np.frombuffer(
-        json.dumps(metadata or {}).encode(), dtype=np.uint8
-    )
-    np.savez(path, **arrays)
+    _save_state_npz(path, state, metadata)
 
 
 def load_checkpoint(path: str, like: Any) -> Tuple[Any, Dict]:
     """Load a checkpoint written by :func:`save_checkpoint`.
 
     ``like`` is a pytree with the same structure (e.g. a freshly built state);
-    its structure is used to rebuild the tree, its leaves are replaced.
+    its structure is used to rebuild the tree, its leaves are replaced. The
+    saved key-path signature is validated against ``like`` — without this, a
+    structurally different ``like`` with fewer leaves would silently load
+    saved arrays into the wrong slots (round-3 review).
     """
     if not str(path).endswith(".npz"):
         path = str(path) + ".npz"
     data = np.load(path)
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
-    n = len(leaves_like)
-    leaves = [data[f"leaf_{i}"] for i in range(n)]
     meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
+    saved_sig = _saved_signature(data, meta)
+    n_saved = sum(1 for k in data.files if k.startswith("leaf_"))
+    if saved_sig is not None:
+        sig = _tree_signature(like)
+        if saved_sig != sig:
+            raise ValueError(
+                "checkpoint %s does not match `like`'s pytree structure "
+                "(saved leaf paths %s, like %s) — same-shaped leaves would "
+                "load into the wrong slots" % (path, saved_sig, sig)
+            )
+    elif n_saved != len(leaves_like):
+        # legacy file without a signature: the leaf count is the only check
+        raise ValueError(
+            "checkpoint %s holds %d leaves but `like` has %d — structure "
+            "mismatch" % (path, n_saved, len(leaves_like))
+        )
+    leaves = [data[f"leaf_{i}"] for i in range(len(leaves_like))]
+    meta.pop("tree_signature", None)  # writer-internal; caller metadata round-trips
     return jax.tree_util.tree_unflatten(treedef, leaves), meta
 
 
@@ -229,6 +278,10 @@ def discard_resumable_checkpoint(path: str) -> None:
         path += ".npz"
     for f in _glob.glob(_glob.escape(path) + ".seg*.npy"):
         _os.remove(f)
+    # a crash between np.savez(tmp) and os.replace leaves the tmp behind —
+    # it holds full sampler state (possibly draws), so clean it too
+    if _os.path.exists(path + ".tmp.npz"):
+        _os.remove(path + ".tmp.npz")
     if _os.path.exists(path):
         _os.remove(path)
 
@@ -388,6 +441,19 @@ def sample_resumable(
             # False — the exact flip the explicit check below prevents.
             saved_flag = bool(meta.get("sample_segments"))
             flag_src = "inferred (legacy meta, from its sidecar record) as"
+        if meta.get("sampler_store_samples") is not None and (
+            bool(meta["sampler_store_samples"])
+            != bool(sampler.params.store_samples)
+        ):
+            raise ValueError(
+                "checkpoint %s was written by a sampler with "
+                "params.store_samples=%s but this sampler has %s — resumed "
+                "segments would silently contribute no (or unexpected) "
+                "stored draws; rebuild the sampler to match or delete the "
+                "checkpoint (discard_resumable_checkpoint)"
+                % (path, meta["sampler_store_samples"],
+                   bool(sampler.params.store_samples))
+            )
         if save_samples is None:
             save_samples = saved_flag
         elif bool(save_samples) != saved_flag:
@@ -502,45 +568,40 @@ def sample_resumable(
                 last_seg_draws = np.asarray(jax.device_get(rs.as_tensor()))
 
         state = sampler_state(sampler, x, base_key)
-        leaves, treedef = jax.tree_util.tree_flatten(state)
-        arrays = {
-            f"leaf_{j}": np.asarray(jax.device_get(l)) for j, l in enumerate(leaves)
+        extra_arrays = {
+            f"extra__{k}": v for k, v in _collect_extras(sampler).items()
         }
-        for k, v in _collect_extras(sampler).items():
-            arrays[f"extra__{k}"] = v
-        arrays["fm"] = combined["fm"]
-        arrays["sm"] = combined["sm"]
+        extra_arrays["fm"] = combined["fm"]
+        extra_arrays["sm"] = combined["sm"]
         if last_seg_draws is not None:
-            arrays["last_seg_samples"] = last_seg_draws
-        arrays["__meta__"] = np.frombuffer(
-            json.dumps(
-                {
-                    "segment": i + 1,
-                    "n_segments": n_segments,
-                    "n_total": n_total,
-                    "segment_iterations": segment_iterations,
-                    "x_shape": list(x.shape),
-                    "tree_signature": _tree_signature(state),
-                    "save_samples": save_samples,
-                    "counters": combined["counters"],
-                    "n_seen": combined["n_seen"],
-                    "stats_class": combined["stats_class"],
-                    "sample_segments": sample_segments,
-                }
-            ).encode(),
-            dtype=np.uint8,
+            extra_arrays["last_seg_samples"] = last_seg_draws
+        _save_state_npz(
+            path,
+            state,
+            metadata={
+                "segment": i + 1,
+                "n_segments": n_segments,
+                "n_total": n_total,
+                "segment_iterations": segment_iterations,
+                "x_shape": list(x.shape),
+                "save_samples": save_samples,
+                "sampler_store_samples": bool(sampler.params.store_samples),
+                "counters": combined["counters"],
+                "n_seen": combined["n_seen"],
+                "stats_class": combined["stats_class"],
+                "sample_segments": sample_segments,
+            },
+            extra_arrays=extra_arrays,
         )
-        tmp = path + ".tmp.npz"
-        np.savez(tmp, **arrays)
-        _os.replace(tmp, path)  # atomic: a crash mid-save keeps the old file
 
     _load_combined_into(out.statistics, combined)
     if save_samples and sample_segments:
         rs = out.running_samples
         blocks = _load_segment_blocks(path, sample_segments, mem_blocks)
-        allb = np.concatenate(blocks, axis=0)
-        rs._running = [jnp.asarray(allb)] if rs.on_device else list(allb)
-        rs.n_samples = len(allb)
+        if blocks:  # every sidecar may be missing — degrade, don't crash
+            allb = np.concatenate(blocks, axis=0)
+            rs._running = [jnp.asarray(allb)] if rs.on_device else list(allb)
+            rs.n_samples = len(allb)
     return out
 
 

@@ -76,8 +76,29 @@ class StepInfo(NamedTuple):
 
     n_accepted: jax.Array  # i32 scalar: chains accepted this iteration
     diverged: jax.Array  # i32 scalar: 1 if this iteration diverged (batch-wide)
-    n_calls: jax.Array = jnp.zeros((), dtype=jnp.int32)
-    n_grads: jax.Array = jnp.zeros((), dtype=jnp.int32)
+    # Plain-int defaults on purpose: a `jnp.zeros` class-level default would
+    # initialize the JAX backend (and commit the platform) the moment
+    # `import nfmc_tpu` runs — before user code can apply the
+    # `jax.config.update("jax_platforms", ...)` override CLAUDE.md requires.
+    # Weakly-typed 0 adds fine inside jit (StatsAccum.add).
+    n_calls: "jax.Array | int" = 0
+    n_grads: "jax.Array | int" = 0
+
+
+def _compensated_add(s, c, v):
+    """Neumaier compensated add: returns ``(s', c')`` with ``s' + c'``
+    tracking the exact ``s + c + v``.
+
+    The scan-carried f32 moment accumulators are flushed only ONCE per run in
+    pipelined mode, so a plain running sum drifts O(n*eps) over ~1e6-iteration
+    runs (and the variance ``E[x^2]-E[x]^2`` cancellation amplifies it). XLA's
+    default flags do not reassociate float arithmetic, so the compensation
+    survives compilation (pinned by ``tests/test_chunk_loop.py``'s long-sum
+    test).
+    """
+    t = s + v
+    comp = jnp.where(jnp.abs(s) >= jnp.abs(v), (s - t) + v, (v - t) + s)
+    return t, c + comp
 
 
 @jax.tree_util.register_dataclass
@@ -96,28 +117,49 @@ class StatsAccum:
     n_grads_dyn: jax.Array
     sum_x: jax.Array  # (*event,) running sum of transformed states
     sum_x2: jax.Array  # (*event,)
+    c_x: jax.Array  # (*event,) Neumaier compensation for sum_x
+    c_x2: jax.Array  # (*event,) compensation for sum_x2
 
     @staticmethod
     def zeros(event_shape: Tuple[int, ...]) -> "StatsAccum":
+        # each field gets its OWN buffer: the chunk runners donate the
+        # accumulator, and donating one shared zeros buffer twice is an error
+        def z():
+            return jnp.zeros(event_shape, dtype=jnp.float32)
+
         return StatsAccum(
             n_accepted=jnp.zeros((), dtype=jnp.int32),
             n_divergences=jnp.zeros((), dtype=jnp.int32),
             n_calls_dyn=jnp.zeros((), dtype=jnp.int32),
             n_grads_dyn=jnp.zeros((), dtype=jnp.int32),
-            sum_x=jnp.zeros(event_shape, dtype=jnp.float32),
-            sum_x2=jnp.zeros(event_shape, dtype=jnp.float32),
+            sum_x=z(),
+            sum_x2=z(),
+            c_x=z(),
+            c_x2=z(),
         )
 
     def add(self, info: StepInfo, x_transformed: jax.Array) -> "StatsAccum":
         xt = x_transformed.astype(jnp.float32)
+        sum_x, c_x = _compensated_add(self.sum_x, self.c_x, jnp.sum(xt, axis=0))
+        sum_x2, c_x2 = _compensated_add(
+            self.sum_x2, self.c_x2, jnp.sum(xt * xt, axis=0)
+        )
         return StatsAccum(
             n_accepted=self.n_accepted + info.n_accepted,
             n_divergences=self.n_divergences + info.diverged,
             n_calls_dyn=self.n_calls_dyn + info.n_calls,
             n_grads_dyn=self.n_grads_dyn + info.n_grads,
-            sum_x=self.sum_x + jnp.sum(xt, axis=0),
-            sum_x2=self.sum_x2 + jnp.sum(xt * xt, axis=0),
+            sum_x=sum_x,
+            sum_x2=sum_x2,
+            c_x=c_x,
+            c_x2=c_x2,
         )
+
+    def moment_sums(self):
+        """Compensated totals ``(sum_x, sum_x2)`` — what flushes must fold
+        into host statistics (works on the device pytree or its
+        ``device_get`` numpy image alike)."""
+        return self.sum_x + self.c_x, self.sum_x2 + self.c_x2
 
 
 StepFn = Callable[[jax.Array, object, jax.Array], Tuple[jax.Array, object, StepInfo]]
@@ -368,13 +410,13 @@ class ChunkedScanDriver:
         def dispatch(chunk, _iters_done):
             x, ks, acc, k, ys = runner(st["x"], st["kstate"], st["acc"], st["key"], chunk)
             st.update(x=x, kstate=ks, acc=acc, key=k)
-            if samples is not None:
-                if collect:
-                    samples.add(ys)
-                elif self.emit_transform is not None:
-                    samples.add(self.emit_transform(x))
-                else:
-                    samples.add(x)
+            if samples is not None and collect:
+                samples.add(ys)
+            # collect=False: NO per-chunk add — MCMCSamples.add fetches to
+            # host before its store check, and only the final state's
+            # last_sample is ever consumed; the run-end add below covers it
+            # (per-chunk adds would serialize the pipelined no-storage path
+            # with one D2H round trip per chunk over the tunnel).
             return x
 
         def flush(iters):
@@ -387,7 +429,8 @@ class ChunkedScanDriver:
                 n_target_calls=iters * calls_per_iter + int(acc_host.n_calls_dyn),
                 n_target_gradient_calls=iters * grads_per_iter + int(acc_host.n_grads_dyn),
             )
-            stats.update_moments_from_sums(acc_host.sum_x, acc_host.sum_x2, iters * n_chains)
+            sum_x, sum_x2 = acc_host.moment_sums()
+            stats.update_moments_from_sums(sum_x, sum_x2, iters * n_chains)
 
         def postfix():
             s = f"{stats}"
@@ -395,7 +438,7 @@ class ChunkedScanDriver:
                 s += f" | {kernel_repr(st['kstate'])}"
             return s
 
-        run_chunk_loop(
+        iters_done = run_chunk_loop(
             n_iterations,
             dispatch=dispatch,
             stats=stats,
@@ -407,4 +450,9 @@ class ChunkedScanDriver:
             max_chunk=max_chunk,
             postfix=postfix,
         )
+        if samples is not None and not collect and iters_done > 0:
+            # single run-end fetch keeps last_sample semantics without the
+            # per-chunk D2H the no-storage path used to pay
+            x = st["x"]
+            samples.add(self.emit_transform(x) if self.emit_transform else x)
         return st["x"], st["kstate"]

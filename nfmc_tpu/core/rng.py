@@ -13,13 +13,22 @@ import jax
 
 
 class _GlobalKeyStream:
+    """Lazy: the key materializes on FIRST use, not at import — a module-level
+    ``jax.random.key`` would initialize the JAX backend (and lock the
+    platform) the moment ``import nfmc_tpu`` runs, before user code can apply
+    the ``jax.config.update("jax_platforms", ...)`` override (CLAUDE.md)."""
+
     def __init__(self, seed: int = 0):
-        self._key = jax.random.key(seed)
+        self._seed = seed
+        self._key = None
 
     def set_seed(self, seed: int) -> None:
-        self._key = jax.random.key(seed)
+        self._seed = seed
+        self._key = None
 
     def next_key(self) -> jax.Array:
+        if self._key is None:
+            self._key = jax.random.key(self._seed)
         self._key, sub = jax.random.split(self._key)
         return sub
 

@@ -3,8 +3,10 @@
 Field-for-field parity with reference ``nfmc/algorithms/sampling/base.py:64-212``
 (``MCMCExpectation``, ``MCMCExpectationDict``, ``MCMCStatistics``), with one
 TPU-native difference: per-iteration values are accumulated *inside* the jitted
-scan as chunk-local sums and folded into these host objects once per chunk in
-float64, instead of a Python-level update per iteration.
+scan as Neumaier-compensated f32 sums carried on device (so precision stays
+O(eps) even when a pipelined run flushes only once at the end) and folded into
+these host objects in float64 at each flush — per chunk under a live progress
+bar, once per run otherwise — instead of a Python-level update per iteration.
 """
 from __future__ import annotations
 

@@ -562,9 +562,8 @@ class AdaptiveIMH(AbstractIMH):
                 # gradient calls (``imh.py:146``).
                 n_target_gradient_calls=2 * n_chains * iters,
             )
-            out.statistics.update_moments_from_sums(
-                acc_host.sum_x, acc_host.sum_x2, iters * n_chains
-            )
+            sum_x, sum_x2 = acc_host.moment_sums()
+            out.statistics.update_moments_from_sums(sum_x, sum_x2, iters * n_chains)
 
         iters_done = run_chunk_loop(
             n_total,

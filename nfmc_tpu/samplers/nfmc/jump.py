@@ -475,10 +475,10 @@ class JumpNFMC(Sampler):
             n_accepted_jumps=int(jump_acc.n_accepted),
             n_attempted_jumps=n_outer * n_chains,
         )
+        a_x, a_x2 = acc.moment_sums()
+        j_x, j_x2 = jump_acc.moment_sums()
         out.statistics.update_moments_from_sums(
-            acc.sum_x + jump_acc.sum_x,
-            acc.sum_x2 + jump_acc.sum_x2,
-            n_outer * (inner_n + 1) * n_chains,
+            a_x + j_x, a_x2 + j_x2, n_outer * (inner_n + 1) * n_chains,
         )
 
     def _sample_fused(self, x0, out, key, inner_n, n_chains, time_limit_seconds,
@@ -523,8 +523,10 @@ class JumpNFMC(Sampler):
                 out.running_samples.add(
                     ys.reshape(chunk * (inner_n + 1), n_chains, *self.event_shape)
                 )
-            else:
-                out.running_samples.add(x)
+            # store_samples=False: last_sample is set ONCE after the loop —
+            # a per-chunk add here would block on a D2H fetch per chunk
+            # (MCMCSamples.add converts before its store check), serializing
+            # the pipelined path.
             return x
 
         def flush(iters):
@@ -533,7 +535,7 @@ class JumpNFMC(Sampler):
             st["acc"] = StatsAccum.zeros(self.event_shape)
             st["jump_acc"] = _JumpAccum.zeros(self.event_shape)
 
-        run_chunk_loop(
+        iters_done = run_chunk_loop(
             self.params.n_iterations,
             dispatch=dispatch,
             stats=out.statistics,
@@ -543,6 +545,8 @@ class JumpNFMC(Sampler):
             desc=self.name,
             sync_max_chunk=256,
         )
+        if not self.params.store_samples and iters_done > 0:
+            out.running_samples.add(st["x"])  # single run-end fetch
         if fit_nf_cfg is not None:
             self.kernel.flow.params = st["flow_params"]
         self.inner_sampler.kernel.sync_from_state(
@@ -626,22 +630,35 @@ class _JumpAccum:
     n_accepted: jax.Array
     sum_x: jax.Array
     sum_x2: jax.Array
+    c_x: jax.Array  # Neumaier compensations (see core.driver._compensated_add)
+    c_x2: jax.Array
 
     @staticmethod
     def zeros(event_shape):
+        # distinct buffers per field: donated accumulators must not alias
+        def z():
+            return jnp.zeros(event_shape, dtype=jnp.float32)
+
         return _JumpAccum(
             n_accepted=jnp.zeros((), dtype=jnp.int32),
-            sum_x=jnp.zeros(event_shape, dtype=jnp.float32),
-            sum_x2=jnp.zeros(event_shape, dtype=jnp.float32),
+            sum_x=z(), sum_x2=z(), c_x=z(), c_x2=z(),
         )
 
     def add_jump(self, mask, x):
+        from ...core.driver import _compensated_add
+
         xf = x.astype(jnp.float32)
+        sum_x, c_x = _compensated_add(self.sum_x, self.c_x, jnp.sum(xf, axis=0))
+        sum_x2, c_x2 = _compensated_add(
+            self.sum_x2, self.c_x2, jnp.sum(xf * xf, axis=0)
+        )
         return _JumpAccum(
             n_accepted=self.n_accepted + jnp.sum(mask).astype(jnp.int32),
-            sum_x=self.sum_x + jnp.sum(xf, axis=0),
-            sum_x2=self.sum_x2 + jnp.sum(xf * xf, axis=0),
+            sum_x=sum_x, sum_x2=sum_x2, c_x=c_x, c_x2=c_x2,
         )
+
+    def moment_sums(self):
+        return self.sum_x + self.c_x, self.sum_x2 + self.c_x2
 
 
 class JumpHMC(JumpNFMC):

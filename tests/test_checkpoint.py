@@ -708,3 +708,83 @@ def test_legacy_meta_save_samples_inferred(tmp_path):
     out2 = sample_resumable(fresh(), x0, path2, segment_iterations=10, seed=5,
                             show_progress=False)
     assert out2.statistics.n_attempted_trajectories > 0
+
+
+def test_load_checkpoint_rejects_structure_mismatch(tmp_path):
+    """round-3 review: load_checkpoint used to ignore the saved signature —
+    a structurally different `like` silently loaded leaves into wrong slots."""
+    import pytest
+
+    from nfmc_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    state = {"a": np.zeros(3), "b": {"c": np.ones(3), "d": np.full(3, 2.0)}}
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, state)
+
+    # fewer leaves: must raise, not shift-load
+    with pytest.raises(ValueError, match="structure"):
+        load_checkpoint(p, {"a": np.zeros(3), "b": {"c": np.ones(3)}})
+    # same leaf count, different key paths: must also raise
+    with pytest.raises(ValueError, match="structure"):
+        load_checkpoint(p, {"a": np.zeros(3), "b": {"c": np.ones(3), "e": np.ones(3)}})
+    # matching structure still round-trips
+    restored, _ = load_checkpoint(p, jax.tree_util.tree_map(np.zeros_like, state))
+    np.testing.assert_array_equal(restored["b"]["d"], state["b"]["d"])
+
+
+def test_discard_cleans_crash_window_tmp_npz(tmp_path):
+    """A crash between np.savez(tmp) and os.replace leaves `<ckpt>.npz.tmp.npz`
+    (full sampler state, possibly draws) — discard must remove it too."""
+    from nfmc_tpu.checkpoint import discard_resumable_checkpoint
+
+    path = str(tmp_path / "ck.npz")
+    for f in (path, path + ".tmp.npz", path + ".seg0.npy", path + ".seg0.npy.tmp.npy"):
+        np.save(f + "__raw", np.zeros(1))  # np.save appends .npy
+        import os
+        os.replace(f + "__raw.npy", f)
+    discard_resumable_checkpoint(path)
+    import glob
+    assert glob.glob(str(tmp_path / "*")) == []
+
+
+def test_resume_rejects_flipped_sampler_store_samples(tmp_path):
+    """The checkpoint records the SAMPLER's own store_samples; resuming with
+    a sampler whose store flag was flipped would contribute no (or extra)
+    draws for the remaining segments — fail loudly instead."""
+    import pytest
+
+    from nfmc_tpu.checkpoint import sample_resumable
+
+    x0 = jax.random.normal(jax.random.key(0), (8, 5))
+
+    def fresh(store):
+        s = MALA((5,), standard_gaussian_potential)
+        s.params.n_iterations = 40
+        s.params.store_samples = store
+        return s
+
+    path = str(tmp_path / "flip")
+    crash = fresh(True)
+    orig = crash.sample_continue
+    n = {"v": 0}
+
+    def crashing(*args, **kw):
+        if n["v"] == 1:
+            raise RuntimeError("boom")
+        n["v"] += 1
+        return orig(*args, **kw)
+
+    crash.sample_continue = crashing
+    try:
+        sample_resumable(crash, x0, path, segment_iterations=10, seed=5,
+                         show_progress=False, save_samples=True)
+    except RuntimeError:
+        pass
+
+    with pytest.raises(ValueError, match="store_samples"):
+        sample_resumable(fresh(False), x0, path, segment_iterations=10, seed=5,
+                         show_progress=False)
+    # matching sampler resumes fine
+    out = sample_resumable(fresh(True), x0, path, segment_iterations=10, seed=5,
+                           show_progress=False)
+    assert out.running_samples.n_samples == 40

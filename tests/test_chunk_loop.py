@@ -126,3 +126,45 @@ def test_explicit_max_chunk_wins():
         max_chunk=16,
     )
     assert max(sizes) == 16
+
+
+def test_stats_accum_compensated_long_sum():
+    """The scan-carried f32 moment sums are flushed once per pipelined run;
+    StatsAccum's Neumaier compensation must keep them O(eps)-accurate over
+    long runs. This also guards against XLA optimizing the compensation away
+    (it must not reassociate float arithmetic under default flags)."""
+    import jax
+    import numpy as np
+
+    from nfmc_tpu.core.driver import StatsAccum, StepInfo
+
+    n = 200_000
+    v = jnp.full((4, 3), 0.1, dtype=jnp.float32)  # (chains=4, event=(3,))
+    zero = jnp.zeros((), dtype=jnp.int32)
+
+    def body(acc, _):
+        return acc.add(StepInfo(n_accepted=zero, diverged=zero), v), None
+
+    run = jax.jit(lambda a: jax.lax.scan(body, a, None, length=n)[0])
+    acc = jax.device_get(run(StatsAccum.zeros((3,))))
+    sum_x, sum_x2 = acc.moment_sums()
+
+    per_add = 4 * float(np.float32(0.1))  # exact in f32 (power-of-2 multiple)
+    exact = n * per_add
+    rel = abs(float(sum_x[0]) - exact) / exact
+    # a plain f32 running sum lands around 1e-4..1e-3 relative error here;
+    # the compensated total must be at the f32-representation floor
+    assert rel < 1e-6, rel
+    exact2 = n * 4 * float(np.float32(0.1)) ** 2
+    rel2 = abs(float(sum_x2[0]) - exact2) / exact2
+    assert rel2 < 1e-5, rel2
+
+
+def test_step_info_defaults_are_plain_ints():
+    """`jnp.zeros` class-level defaults would initialize the JAX backend at
+    import time (before the platform override tests/CLAUDE.md rely on)."""
+    from nfmc_tpu.core.driver import StepInfo
+
+    info = StepInfo(n_accepted=jnp.zeros((), jnp.int32), diverged=jnp.zeros((), jnp.int32))
+    assert type(info.n_calls) is int and info.n_calls == 0
+    assert type(info.n_grads) is int and info.n_grads == 0
