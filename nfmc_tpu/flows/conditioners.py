@@ -44,8 +44,9 @@ def mlp_apply(params, x: jax.Array) -> jax.Array:
 # MADE: masked dense network for autoregressive conditioners (MAF/IAF).
 # ---------------------------------------------------------------------------
 
-def made_masks(d: int, hidden: Sequence[int], n_params_per_dim: int, rng: np.random.Generator):
+def made_masks(d: int, hidden: Sequence[int], n_params_per_dim: int):
     """Binary masks enforcing output_i depends only on inputs < i.
+    Fully deterministic (fixed cyclic degrees, no random degree assignment).
 
     Degrees: inputs 1..d; hidden units cycle 1..d-1 (or 1 when d == 1);
     outputs have degree of the unit they parameterize. The strict inequality

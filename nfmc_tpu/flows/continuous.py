@@ -87,7 +87,9 @@ class ContinuousFlow(Bijection):
         back to classic CNF practice: integrate the instantaneous trace and
         run the dynamics backward (O(h^p) consistency)."""
         batch_shape = x.shape[: x.ndim - len(self.event_shape)]
-        v = x.reshape(*batch_shape, self.event_size)
+        # collapse ALL batch dims: the vmapped per-sample dynamics below
+        # assume one batch axis (Bijection contract allows any batch shape)
+        v = x.reshape(-1, self.event_size)
         h = 1.0 / self.n_steps
         d = self.event_size
 
@@ -117,11 +119,11 @@ class ContinuousFlow(Bijection):
                     v = u
                 return (v, ld), None
 
-            ld0 = jnp.zeros(batch_shape)
+            ld0 = jnp.zeros(v.shape[0])
             (v, ld), _ = jax.lax.scan(
                 step, (v, ld0), jnp.arange(self.n_steps, dtype=jnp.float32)
             )
-            return v.reshape(x.shape), ld
+            return v.reshape(x.shape), ld.reshape(batch_shape)
 
         # large-d fallback: instantaneous-trace integration
         sign = -1.0 if reverse else 1.0
@@ -150,9 +152,9 @@ class ContinuousFlow(Bijection):
                 ld = ld + sign * h / 6.0 * (tr1 + 2 * tr2 + 2 * tr3 + tr4)
             return (v, ld), None
 
-        ld0 = jnp.zeros(batch_shape)
+        ld0 = jnp.zeros(v.shape[0])
         (v, ld), _ = jax.lax.scan(step, (v, ld0), jnp.arange(self.n_steps, dtype=jnp.float32))
-        return v.reshape(x.shape), ld
+        return v.reshape(x.shape), ld.reshape(batch_shape)
 
     def forward_fn(self, params, x):
         return self._integrate(params, x, reverse=False)
@@ -164,12 +166,12 @@ class ContinuousFlow(Bijection):
         """Per-sample kinetic-energy regularizer E_t[|f|^2] (RNODE; Finlay et
         al. 2020); shape ``(batch,)`` so training can weight padded rows."""
         batch_shape = x.shape[: x.ndim - len(self.event_shape)]
-        v = x.reshape(*batch_shape, self.event_size)
+        v = x.reshape(-1, self.event_size)  # any batch shape -> one axis
         ts = jnp.linspace(0.0, 1.0, 4)
         f = jax.vmap(
             lambda t: jax.vmap(self._f_single, in_axes=(None, 0, None))(params, v, t)
         )(ts)
-        return jnp.mean(jnp.sum(f * f, axis=-1), axis=0)
+        return jnp.mean(jnp.sum(f * f, axis=-1), axis=0).reshape(batch_shape)
 
 
 class FFJORD(ContinuousFlow):

@@ -22,28 +22,6 @@ from .conditioners import made_apply, made_init, made_masks
 from .transforms import AffineTransform, LRSplineTransform, RQSplineTransform
 
 
-class _Reverse(Bijection):
-    """Static order-reversing permutation (between autoregressive layers)."""
-
-    def __init__(self, event_shape):
-        super().__init__(event_shape)
-
-    def init(self, key):
-        return ()
-
-    def _rev(self, v):
-        batch = v.shape[: v.ndim - len(self.event_shape)]
-        flat = v.reshape(*batch, self.event_size)
-        out = flat[..., ::-1]
-        return out.reshape(v.shape), jnp.zeros(batch)
-
-    def forward_fn(self, params, x):
-        return self._rev(x)
-
-    def inverse_fn(self, params, z):
-        return self._rev(z)
-
-
 class MaskedAutoregressive(Bijection):
     """Stack of MADE-conditioned autoregressive layers with order reversal.
 
@@ -74,7 +52,6 @@ class MaskedAutoregressive(Bijection):
             np.asarray(m)
             for m in made_masks(
                 self.event_size, self.hidden, transform.n_params_per_dim,
-                np.random.default_rng(0),
             )
         ]
 

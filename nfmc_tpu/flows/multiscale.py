@@ -365,16 +365,20 @@ class _ConvResidual(Bijection):
         flat = w.reshape(w.shape[0], -1)
         u = jnp.ones((flat.shape[1],)) / np.sqrt(flat.shape[1])
 
+        # grad-safe norms: w2 is zero-initialized, and jnp.linalg.norm's vjp
+        # at zero is NaN — see flows/residual.py _safe_norm
+        from .residual import _safe_norm
+
         def body(_, u):
             v = flat @ u
-            v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+            v = v / _safe_norm(v)
             u = flat.T @ v
-            return u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+            return u / _safe_norm(u)
 
         u = jax.lax.fori_loop(0, 5, body, u)
         # conv operator norm <= sqrt(kh*kw) * sigma(reshaped matrix)
         kernel_area = float(np.prod(w.shape[2:]))
-        sigma = jnp.linalg.norm(flat @ u) * np.sqrt(kernel_area)
+        sigma = _safe_norm(flat @ u) * np.sqrt(kernel_area)
         return w * (c / jnp.maximum(sigma, c))
 
     def _g(self, p, x):

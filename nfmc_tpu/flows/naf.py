@@ -20,6 +20,11 @@ from .masked import MaskedAutoregressive
 _EPS = 1e-6
 _BRACKET = 60.0
 _BISECT_ITERS = 50
+# 16 doublings take the bracket to ~4e6: with slopes clamped at exp(-6) the
+# pre-activation needs |x| ~ (logit(1-eps) + |b|) / exp(-6), so any
+# realistically-trained preimage is covered (round-3 review: the fixed +-60
+# bracket silently clamped inverses for small learned slopes)
+_EXPAND_ITERS = 16
 
 
 def _logit(p):
@@ -46,9 +51,28 @@ class _MonotoneSigmoidTransform:
         def f(x):
             return self.forward(x, raw)[0]
 
-        # bisection on a fixed bracket (the logit clamp bounds the range)
+        # bracket expansion, then bisection: small learned slopes (a as low
+        # as exp(-6)) put true preimages far outside any fixed bracket, and a
+        # clamped inverse silently returns the bracket edge — wrong samples
+        # with inconsistent log-probs, and in masked-autoregressive variants
+        # the bad dim poisons all later dims
         lo = jnp.full_like(y, -_BRACKET)
         hi = jnp.full_like(y, _BRACKET)
+
+        def expand(_, carry):
+            lo, hi = carry
+            lo = jnp.where(f(lo) >= y, lo * 2.0, lo)
+            hi = jnp.where(f(hi) <= y, hi * 2.0, hi)
+            return lo, hi
+
+        lo, hi = jax.lax.fori_loop(0, _EXPAND_ITERS, expand, (lo, hi))
+        # bracket bounds for the final safety clamp: captured BEFORE the
+        # bisection narrows [lo, hi] to a ~2^-50-wide cell (clipping into
+        # that cell would undo the Newton polish), and as constants so the
+        # rare clipped point gets zero grad rather than grads routed through
+        # the bisection's where-chain
+        b_lo = jax.lax.stop_gradient(lo)
+        b_hi = jax.lax.stop_gradient(hi)
 
         def body(_, carry):
             lo, hi = carry
@@ -68,7 +92,7 @@ class _MonotoneSigmoidTransform:
         y0, ld0 = self.forward(x0, raw)
         dydx = jnp.exp(ld0)
         x = x0 - jnp.clip((y0 - y) / jnp.maximum(dydx, 1e-30), -1.0, 1.0)
-        x = jnp.clip(x, -_BRACKET, _BRACKET)
+        x = jnp.clip(x, b_lo, b_hi)  # the EXPANDED bracket, not the fixed seed one
         # evaluate at the DIFFERENTIABLE x: the log-det's gradient needs the
         # d(ld)/dx * dx/d(y,raw) chain term (x carries exact first-order
         # implicit gradients from the Newton step); a stop_gradient here

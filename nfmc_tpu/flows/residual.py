@@ -25,8 +25,13 @@ from .base import Bijection, hutchinson_probes
 
 
 def _flatten(v, event_shape):
+    """Flatten to ``(B, d)`` with B the product of ALL batch dims: the layer
+    math below indexes ``h[:, None]`` etc. assuming one batch axis, so
+    multi-dim batches (e.g. chains x walkers) must collapse here to honor the
+    Bijection contract of arbitrary batch shapes (round-3 review)."""
     batch = v.shape[: v.ndim - len(event_shape)]
-    return v.reshape(*batch, -1), batch
+    n = int(np.prod(batch)) if batch else 1
+    return v.reshape(n, -1), batch
 
 
 # ---------------------------------------------------------------------------
@@ -98,19 +103,19 @@ class PlanarFlow(Bijection):
 
     def forward_fn(self, params, x):
         v, batch = _flatten(x, self.event_shape)
-        ld = jnp.zeros(batch)
+        ld = jnp.zeros(v.shape[0])
         for p in params:
             v, l = self._layer_forward(p, v)
             ld = ld + l
-        return v.reshape(x.shape), ld
+        return v.reshape(x.shape), ld.reshape(batch)
 
     def inverse_fn(self, params, z):
         v, batch = _flatten(z, self.event_shape)
-        ld = jnp.zeros(batch)
+        ld = jnp.zeros(v.shape[0])
         for p in reversed(params):
             v, l = self._layer_inverse(p, v)
             ld = ld + l
-        return v.reshape(z.shape), ld
+        return v.reshape(z.shape), ld.reshape(batch)
 
 
 # ---------------------------------------------------------------------------
@@ -272,18 +277,29 @@ class SylvesterFlow(Bijection):
 # Contractive residual blocks (i-ResNet / ResFlow / proximal)
 # ---------------------------------------------------------------------------
 
+def _safe_norm(v):
+    """L2 norm with a finite gradient at v = 0.
+
+    ``jnp.linalg.norm``'s vjp at the zero vector is 0/0 = NaN, and the
+    residual blocks zero-initialize their output weights (identity-map
+    start) — with a plain norm every training gradient at init is NaN, the
+    finite-update guard in ``flows/train.py`` rejects every step, and the
+    flow silently never trains (round-3 review finding)."""
+    return jnp.sqrt(jnp.sum(v * v) + 1e-24)
+
+
 def _spectral_normalize(w, lipschitz: float, n_iter: int = 5):
     """Scale w so its spectral norm is <= lipschitz (deterministic power iteration)."""
     u = jnp.ones((w.shape[1],)) / np.sqrt(w.shape[1])
 
     def body(_, u):
         v = w @ u
-        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+        v = v / _safe_norm(v)
         u = w.T @ v
-        return u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+        return u / _safe_norm(u)
 
     u = jax.lax.fori_loop(0, n_iter, body, u)
-    sigma = jnp.linalg.norm(w @ u)
+    sigma = _safe_norm(w @ u)
     return w * (lipschitz / jnp.maximum(sigma, lipschitz))
 
 
@@ -354,15 +370,15 @@ class _ContractiveResidual(Bijection):
 
     def forward_fn(self, params, x):
         v, batch = _flatten(x, self.event_shape)
-        ld = jnp.zeros(batch)
+        ld = jnp.zeros(v.shape[0])
         for p in params:
             ld = ld + self._logdet(p, v)
             v = v + self._g(p, v)
-        return v.reshape(x.shape), ld
+        return v.reshape(x.shape), ld.reshape(batch)
 
     def inverse_fn(self, params, z):
         v, batch = _flatten(z, self.event_shape)
-        ld = jnp.zeros(batch)
+        ld = jnp.zeros(v.shape[0])
         for p in reversed(params):
             def body(_, u):
                 return v - self._g(p, u)
@@ -370,7 +386,7 @@ class _ContractiveResidual(Bijection):
             u = jax.lax.fori_loop(0, 40, body, v)
             ld = ld - self._logdet(p, u)
             v = u
-        return v.reshape(z.shape), ld
+        return v.reshape(z.shape), ld.reshape(batch)
 
 
 class InvertibleResNet(_ContractiveResidual):

@@ -337,10 +337,14 @@ def fit(
             )
             return params, opt_state, best_params, best_loss, vls
 
-        # keepalive: the override object backs an id() in the key — hold a
-        # reference so a freed lambda's recycled id can't collide with a
-        # trainer compiled against the OLD base log-prob
-        cache[cache_key] = (jax.jit(run_block), flow._base_log_prob_override)
+        # keepalive: BOTH objects backing id()s in the key — hold references
+        # so a freed object's recycled id can't collide with a trainer
+        # compiled against the OLD base log-prob / OLD bijection config
+        # (id(bijection) without a keepalive had the exact collision the
+        # override keepalive was added for — round-3 review)
+        cache[cache_key] = (
+            jax.jit(run_block), flow._base_log_prob_override, flow.bijection,
+        )
     run_block_fn = cache[cache_key][0]
 
     def run_block(params, opt_state, best_params, best_loss, keys):
@@ -438,52 +442,64 @@ def variational_fit(
 
     reg_weight = float(getattr(bijection, "regularization_weight", 0.0))
 
-    def loss_fn(p, k):
-        z = jax.random.normal(k, (n_samples, *event_shape))
-        if z_sharding is not None:
-            z = jax.lax.with_sharding_constraint(z, z_sharding)
-        x, log_det_inv = bijection.inverse_fn(p, z)
-        loss = jnp.mean(-target_log_prob(x) - log_det_inv)
-        if reg_weight:
-            loss = loss + reg_weight * jnp.mean(bijection.regularization(p, x))
-        return loss
+    # Memoize the compiled trainer on the Flow (same reason as fit()'s cache:
+    # samplers that refit per warmup round — NeuTra, TESS — must not pay a
+    # full re-trace each call). Keyed on everything the closure bakes in;
+    # id()-keyed objects are kept alive in the cache entry so a recycled id
+    # cannot hit a trainer compiled against a freed object.
+    cache = flow.__dict__.setdefault("_vfit_runner_cache", {})
+    cache_key = ("rkl", n_samples, lr, keep_best_weights, reg_weight,
+                 id(bijection), id(target_log_prob),
+                 None if mesh is None else (mesh.axis_names, mesh.devices.size))
+    if cache_key not in cache:
+        def loss_fn(p, k):
+            z = jax.random.normal(k, (n_samples, *event_shape))
+            if z_sharding is not None:
+                z = jax.lax.with_sharding_constraint(z, z_sharding)
+            x, log_det_inv = bijection.inverse_fn(p, z)
+            loss = jnp.mean(-target_log_prob(x) - log_det_inv)
+            if reg_weight:
+                loss = loss + reg_weight * jnp.mean(bijection.regularization(p, x))
+            return loss
 
-    def run_block(params, opt_state, best_params, best_loss, keys):
-        def body(carry, k):
-            p, os, bp, bl = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p, k)
-            finite = _finite_update(loss, grads)
-            # best-weight tracking BEFORE the update: ``loss`` was measured
-            # at ``p``, so these are the params the recorded best loss
-            # belongs to (storing the post-update params paired a loss with
-            # weights one Adam step past it — round-3 review fix). Gated on
-            # the LOSS only: a finite loss at p is a valid best candidate
-            # even when the grads at p are not finite.
-            better = jnp.isfinite(loss) & (loss < bl)
-            bl = jnp.where(better, loss, bl)
-            if keep_best_weights:
-                bp = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(better, new, old), p, bp
+        def run_block(params, opt_state, best_params, best_loss, keys):
+            def body(carry, k):
+                p, os, bp, bl = carry
+                loss, grads = jax.value_and_grad(loss_fn)(p, k)
+                finite = _finite_update(loss, grads)
+                # best-weight tracking BEFORE the update: ``loss`` was
+                # measured at ``p``, so these are the params the recorded
+                # best loss belongs to (storing the post-update params paired
+                # a loss with weights one Adam step past it — round-3 review
+                # fix). Gated on the LOSS only: a finite loss at p is a valid
+                # best candidate even when the grads at p are not finite.
+                better = jnp.isfinite(loss) & (loss < bl)
+                bl = jnp.where(better, loss, bl)
+                if keep_best_weights:
+                    bp = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(better, new, old), p, bp
+                    )
+                updates, os_new = opt.update(grads, os, p)
+                p_new = optax.apply_updates(p, updates)
+                # skip non-finite updates entirely — params AND optimizer
+                # state (NaN grads fed to opt.update would poison Adam's
+                # moments and NaN the params on the NEXT, otherwise-finite
+                # step)
+                p = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(finite, new, old), p_new, p
                 )
-            updates, os_new = opt.update(grads, os, p)
-            p_new = optax.apply_updates(p, updates)
-            # skip non-finite updates entirely — params AND optimizer state
-            # (NaN grads fed to opt.update would poison Adam's moments and
-            # NaN the params on the NEXT, otherwise-finite step)
-            p = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(finite, new, old), p_new, p
-            )
-            os = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(finite, new, old), os_new, os
-            )
-            return (p, os, bp, bl), loss
+                os = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(finite, new, old), os_new, os
+                )
+                return (p, os, bp, bl), loss
 
-        (params, opt_state, best_params, best_loss), losses = jax.lax.scan(
-            body, (params, opt_state, best_params, best_loss), keys
-        )
-        return params, opt_state, best_params, best_loss, losses
+            (params, opt_state, best_params, best_loss), losses = jax.lax.scan(
+                body, (params, opt_state, best_params, best_loss), keys
+            )
+            return params, opt_state, best_params, best_loss, losses
 
-    run_block = jax.jit(run_block)
+        cache[cache_key] = (jax.jit(run_block), bijection, target_log_prob)
+    run_block = cache[cache_key][0]
 
     check_every = max(1, min(128, n_epochs))
     best_params = params

@@ -216,3 +216,96 @@ def test_fit_cache_misses_on_bijection_swap():
     f.bijection.params = f.bijection.init(jax.random.key(1))
     f.fit(x, n_epochs=2, show_progress=False)
     assert len(f._fit_runner_cache) == 2  # distinct trainer for the new bijection
+
+
+# ---------------------------------------------------------------------------
+# round-3 flows review regressions
+# ---------------------------------------------------------------------------
+
+def test_residual_flows_have_finite_grads_at_init_and_train():
+    """jnp.linalg.norm's vjp at the zero vector is NaN and the contractive
+    residual blocks zero-init w2 — before the grad-safe norms every fit()
+    rejected every update and the flows silently never trained."""
+    from nfmc_tpu.flows import Flow
+    from nfmc_tpu.flows.residual import InvertibleResNet
+
+    flow = Flow(InvertibleResNet((4,), n_layers=2, hidden_size=16), seed=0)
+    x = jax.random.normal(jax.random.key(1), (64, 4)) * 1.5 + 0.5
+    g = jax.grad(lambda p: -jnp.mean(flow.log_prob_fn(p, x)))(flow.params)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree_util.tree_leaves(g))
+    p0 = jax.tree_util.tree_map(np.asarray, flow.params)
+    flow.fit(x, n_epochs=5, show_progress=False)
+    moved = max(
+        float(np.max(np.abs(np.asarray(a) - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(flow.params),
+                        jax.tree_util.tree_leaves(p0))
+    )
+    assert moved > 0.0
+
+
+def test_conv_residual_finite_grads_at_init():
+    from nfmc_tpu.flows import Flow
+    from nfmc_tpu.flows.multiscale import ConvolutionalInvertibleResNet
+
+    flow = Flow(ConvolutionalInvertibleResNet((4, 4), n_layers=1), seed=0)
+    x = jax.random.normal(jax.random.key(2), (8, 4, 4))
+    g = jax.grad(lambda p: -jnp.mean(flow.log_prob_fn(p, x)))(flow.params)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree_util.tree_leaves(g))
+
+
+def test_naf_inverse_expands_bracket_for_far_preimages():
+    """Small learned slopes (a = exp(-6), the clamp floor) put true preimages
+    far outside the fixed +-60 seed bracket; the inverse used to silently
+    return the bracket edge (wrong samples, inconsistent log-probs)."""
+    from nfmc_tpu.flows.naf import DeepSigmoidTransform
+
+    t = DeepSigmoidTransform(8)
+    K = 8
+    raw = jnp.concatenate(
+        [jnp.full((3, K), -6.0), jnp.zeros((3, K)), jnp.zeros((3, K))], axis=-1
+    )
+    x_true = jnp.array([200.0, 1500.0, -900.0])
+    y, _ = t.forward(x_true, raw)
+    x_rec, _ = t.inverse(y, raw)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x_true), atol=1e-2)
+    # implicit-function gradients stay finite through the expansion
+    g = jax.grad(lambda r: jnp.sum(t.inverse(y, r)[0]))(raw)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+@pytest.mark.parametrize("cls_name", ["PlanarFlow", "RadialFlow", "SylvesterFlow",
+                                      "InvertibleResNet", "FFJORD"])
+def test_multi_dim_batch_shapes(cls_name):
+    """Bijection contract: forward/inverse accept ANY batch shape with
+    log_det shaped like the batch — these families used to assume one axis."""
+    import nfmc_tpu.flows.continuous as cont
+    import nfmc_tpu.flows.residual as res
+
+    cls = getattr(res, cls_name, None) or getattr(cont, cls_name)
+    kwargs = {"n_layers": 2} if cls_name != "FFJORD" else {"n_steps": 4}
+    b = cls((5,), **kwargs)
+    p = b.init(jax.random.key(4))
+    xb = jax.random.normal(jax.random.key(5), (2, 3, 5))
+    z, ld = b.forward_fn(p, xb)
+    assert z.shape == (2, 3, 5) and ld.shape == (2, 3)
+    z1, ld1 = b.forward_fn(p, xb.reshape(6, 5))
+    np.testing.assert_allclose(np.asarray(z).reshape(6, 5), np.asarray(z1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld).reshape(6), np.asarray(ld1),
+                               rtol=1e-5, atol=1e-5)
+    xr, ldr = b.inverse_fn(p, z)
+    assert xr.shape == (2, 3, 5) and ldr.shape == (2, 3)
+
+
+def test_variational_fit_reuses_compiled_trainer():
+    """Repeated reverse-KL fits on one flow (NeuTra/TESS warmup pattern) must
+    hit the memoized trainer, not re-trace per call."""
+    from nfmc_tpu.flows import Flow, RealNVP
+    from nfmc_tpu.flows.train import variational_fit
+
+    flow = Flow(RealNVP((4,), n_layers=2, hidden_size=8), seed=0)
+    tlp = lambda x: -0.5 * jnp.sum(x * x, axis=-1)
+    variational_fit(flow, tlp, n_samples=16, n_epochs=4, show_progress=False, seed=1)
+    first = list(flow._vfit_runner_cache.values())[0][0]
+    variational_fit(flow, tlp, n_samples=16, n_epochs=4, show_progress=False, seed=2)
+    assert len(flow._vfit_runner_cache) == 1
+    assert list(flow._vfit_runner_cache.values())[0][0] is first
