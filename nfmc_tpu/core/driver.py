@@ -66,6 +66,32 @@ def flow_proposal_footprint_per_draw(flow, event_size: int) -> int:
     return 3 * event_size + hidden
 
 
+def hoisted_flow_proposals(flow, params, k_props, n_chains, event_shape, target=None):
+    """Batched flow proposals for a whole scan chunk: one vmapped base draw
+    per key + ONE ``(chunk * n_chains)``-batched coupling inverse + proposal
+    log-prob (+ optional target eval), shaped to tile onto the MXU.
+
+    RNG-parity-critical: each key draws exactly one ``flow.sample_base_fn``
+    call, matching the in-scan step's derivation bit-for-bit. FixedIMH's
+    proposal precompute and JumpNFMC's fused runner both hoist through this
+    helper so the key discipline is pinned in one place (cf.
+    :func:`flow_proposal_footprint_per_draw` for the matching HBM guard).
+
+    Returns ``(x', flow_log_prob', u')`` with leading ``(chunk, n_chains)``;
+    ``u'`` is zeros when ``target`` is None (unadjusted jumps never read it).
+    """
+    chunk = k_props.shape[0]
+    z = jax.vmap(lambda k: flow.sample_base_fn(k, n_chains))(k_props)
+    zf = z.reshape(chunk * n_chains, *event_shape)
+    xf, log_det_inv = flow.bijection.inverse_fn(params, zf)
+    flp = (flow.base_log_prob_fn(zf) - log_det_inv).reshape(chunk, n_chains)
+    if target is None:
+        u = jnp.zeros((chunk, n_chains), dtype=jnp.float32)
+    else:
+        u = target(xf).reshape(chunk, n_chains)
+    return xf.reshape(chunk, n_chains, *event_shape), flp, u
+
+
 class StepInfo(NamedTuple):
     """Per-iteration dynamic outputs of a kernel step.
 

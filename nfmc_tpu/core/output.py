@@ -36,15 +36,20 @@ class MCMCOutput:
 
     @property
     def samples(self) -> Optional[np.ndarray]:
-        """(n_stored, n_chains, *event); None when not storing (reference ``base.py:293-297``)."""
-        if not self.store_samples:
+        """(n_stored, n_chains, *event); None when not storing (reference ``base.py:293-297``)
+        or when zero draws were stored (e.g. a time limit expired before the
+        first chunk) — callers uniformly guard with ``is not None``."""
+        if not self.store_samples or self.running_samples.n_samples == 0:
             return None
         return self.running_samples.as_tensor()
 
     def resample(self, n: int, seed: int = 0) -> np.ndarray:
         samples = self.samples
         if samples is None:
-            raise ValueError("no stored samples (store_samples=False) — resample needs the chain history")
+            raise ValueError(
+                "no stored samples (store_samples=False or empty run) — "
+                "resample needs the chain history"
+            )
         flat = samples.reshape(-1, *self.event_shape)
         rng = np.random.default_rng(seed)
         idx = rng.integers(low=0, high=len(flat), size=(n,))

@@ -42,7 +42,13 @@ class MCMCSamples:
         # The last-ADDED state equals the last STORED sample only without
         # thinning (with thinning the final state of a block may be dropped,
         # and last_sample would disagree with as_tensor()[-1]).
-        if self.thinning == 1 and (index == -1 or index == self.n_samples - 1):
+        # ``last_sample is not None`` guard: on an empty store (zero
+        # iterations ran) -1 must raise IndexError, not return None.
+        if (
+            self.thinning == 1
+            and self.last_sample is not None
+            and (index == -1 or (self.n_samples > 0 and index == self.n_samples - 1))
+        ):
             return self.last_sample
         if not self.on_device:
             return self._running[index]
@@ -88,7 +94,10 @@ class MCMCSamples:
             return
 
         if self.on_device:
-            self._running.append(x[kept_idx])
+            # With thinning=1 every row is kept — appending the block directly
+            # avoids a full-chunk device gather (transient 2x HBM + one extra
+            # host-issued op per chunk through the tunnel).
+            self._running.append(x if len(kept_idx) == len(x) else x[kept_idx])
             self.n_samples += len(kept_idx)
             if self.max_samples is not None:
                 while self.n_samples > self.max_samples:

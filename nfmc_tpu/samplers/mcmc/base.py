@@ -140,6 +140,14 @@ class MCMCSampler(Sampler):
     # this the precompute declines and iterations derive RNG in-scan.
     rng_hoist_element_limit: int = RNG_HOIST_ELEMENT_LIMIT
 
+    def hoisted_elements_per_iter(self, x) -> int:
+        """f32 elements one iteration's hoisted draws occupy. Default assumes
+        the draws are dominated by one state-shaped array (MH/Langevin/HMC
+        noise); samplers whose draws materially exceed ``x.size`` (ESS's
+        per-iteration shrink uniforms) override so the footprint cap tracks
+        the real HBM cost."""
+        return x.size
+
     def calls_per_iter(self, n_chains: int) -> int:
         raise NotImplementedError
 
@@ -253,10 +261,11 @@ class MCMCSampler(Sampler):
         if draws is None or self._make_step_aux(False) is None:
             return None
         limit = self.rng_hoist_element_limit
+        per_iter = self.hoisted_elements_per_iter
 
         def make_precompute(tuning):
             def precompute(x, kstate, keys):
-                if keys.shape[0] * x.size > limit:  # static under jit
+                if keys.shape[0] * per_iter(x) > limit:  # static under jit
                     return None
                 return jax.vmap(lambda k: draws(k, x.shape[0]))(keys)
 

@@ -231,6 +231,14 @@ class ESS(MCMCSampler):
 
         return draws
 
+    def hoisted_elements_per_iter(self, x) -> int:
+        # z (C*d) + u (C) + theta0 (C) + shrink (max_iter*C): for small d the
+        # shrink uniforms dominate, so the base x.size estimate would let the
+        # hoisted buffer blow past the cap by ~(max_iter + 2)/d.
+        n_chains = int(x.shape[0])
+        d = int(x.size) // max(n_chains, 1)
+        return n_chains * (d + 2 + int(self.params.max_ess_step_iterations))
+
     def _make_step(self, tuning: bool):
         step_aux = self._make_step_aux(tuning)
         draws = self.make_draws()
@@ -437,16 +445,7 @@ class ESS(MCMCSampler):
         """Quirk parity (reference ``ess.py:121-127``): redraw x0 from the prior."""
         key = self._key(key, seed)
         k0, krun = jax.random.split(key)
-        n_chains = jnp.asarray(x0).shape[0]
-        state = self.kernel.make_state()
-        if state.chol is None:
-            x0 = jax.random.normal(k0, (n_chains, *self.event_shape))
-        else:
-            d = state.chol.shape[0]
-            z = jax.random.normal(k0, (n_chains, d))
-            x0 = jnp.matmul(z, state.chol.T, precision="highest").reshape(
-                n_chains, *self.event_shape
-            )
+        x0 = self.resample_x0_fn(k0, jnp.asarray(x0))
         return super().sample(
             x0, show_progress=show_progress,
             time_limit_seconds=time_limit_seconds, key=krun,

@@ -183,8 +183,12 @@ class Langevin(MetropolisSampler):
             x_prime = xp_flat.reshape(x.shape)
 
             finite_prop = jnp.all(jnp.isfinite(xp_flat), axis=-1)
+            # Both branches evaluate U(x') and guard on its finiteness —
+            # identical semantics to the live carried-gradient step
+            # (_make_step_aux): ULA refuses moves into non-finite-potential
+            # states and counts them as divergences.
+            u_xp, grad_u_xp = u_and_grad(x_prime)
             if adjustment:
-                u_xp, grad_u_xp = u_and_grad(x_prime)
                 gp_flat = flatten_event(grad_u_xp, event_shape)
                 a_diag = 1.0 / inv_mass**2
                 log_ratio = metropolis_acceptance_log_ratio(
@@ -199,6 +203,7 @@ class Langevin(MetropolisSampler):
                 finite_prop = finite_prop & jnp.isfinite(u_xp)
                 mask = (log_u < log_ratio) & finite_prop
             else:
+                finite_prop = finite_prop & jnp.isfinite(u_xp)
                 mask = finite_prop
             diverged = (~jnp.all(finite_prop)).astype(jnp.int32)
             return x_prime, mask, diverged

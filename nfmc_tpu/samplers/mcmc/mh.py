@@ -76,9 +76,14 @@ class MH(MetropolisSampler):
 
             finite_prop = jnp.all(jnp.isfinite(x_prime.reshape(n_chains, -1)), axis=-1)
             if adjustment:
+                # Same accept guard as the live carried-potential step
+                # (_make_step_aux): a non-finite U(x') is a rejected
+                # divergence, never an accept via log_ratio=+inf.
+                u_prime = target(x_prime)
                 log_ratio = metropolis_acceptance_log_ratio(
-                    -target(x), -target(x_prime), 0.0, 0.0
+                    -target(x), -u_prime, 0.0, 0.0
                 )
+                finite_prop = finite_prop & jnp.isfinite(u_prime)
                 mask = (log_u < log_ratio) & finite_prop
             else:
                 mask = finite_prop

@@ -31,6 +31,7 @@ from ...core.driver import (
     ChunkedScanDriver,
     StepInfo,
     flow_proposal_footprint_per_draw,
+    hoisted_flow_proposals,
 )
 from ...core.output import MCMCOutput
 from ...core.rng import resolve_key
@@ -212,15 +213,8 @@ class FixedIMH(AbstractIMH):
                 if chunk * n_chains * per_draw > hoist_limit:
                     return None
                 k_props = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
-                z = jax.vmap(lambda k: flow.sample_base_fn(k, n_chains))(k_props)
-                zf = z.reshape(chunk * n_chains, *event_shape)
-                xf, log_det_inv = flow.bijection.inverse_fn(params, zf)
-                flp = flow.base_log_prob_fn(zf) - log_det_inv
-                u = target(xf)
-                return (
-                    xf.reshape(chunk, n_chains, *event_shape),
-                    flp.reshape(chunk, n_chains),
-                    u.reshape(chunk, n_chains),
+                return hoisted_flow_proposals(
+                    flow, params, k_props, n_chains, event_shape, target=target
                 )
 
             return precompute

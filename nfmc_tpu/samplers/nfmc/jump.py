@@ -33,6 +33,7 @@ from ...core.driver import (
     RNG_HOIST_ELEMENT_LIMIT,
     StatsAccum,
     flow_proposal_footprint_per_draw,
+    hoisted_flow_proposals,
 )
 from ...core.output import JumpNFMCOutput, MCMCOutput
 from ...core.sampler import MCMCKernel, MCMCParameters, NFMCKernel, NFMCParameters, Sampler
@@ -307,16 +308,10 @@ class JumpNFMC(Sampler):
             if use_proposal_aux:
                 k_jumps = jax.vmap(lambda k: jax.random.split(k, 3)[1])(keys)
                 k_props = jax.vmap(lambda k: jax.random.split(k)[0])(k_jumps)
-                z = jax.vmap(lambda k: flow.sample_base_fn(k, n_chains))(k_props)
-                zf = z.reshape(chunk * n_chains, *event_shape)
-                xpf, log_det_inv = flow.bijection.inverse_fn(flow_params, zf)
-                f_prime = (flow.base_log_prob_fn(zf) - log_det_inv).reshape(chunk, n_chains)
-                u_prime = (
-                    target(xpf).reshape(chunk, n_chains)
-                    if adjusted
-                    else jnp.zeros((chunk, n_chains), dtype=jnp.float32)
+                proposals = hoisted_flow_proposals(
+                    flow, flow_params, k_props, n_chains, event_shape,
+                    target=target if adjusted else None,
                 )
-                proposals = (xpf.reshape(chunk, n_chains, *event_shape), f_prime, u_prime)
             else:
                 proposals = jnp.zeros((chunk, 0))  # placeholder scan input
 

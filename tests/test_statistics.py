@@ -91,6 +91,54 @@ def test_samples_block_vs_single_equivalence():
     assert np.allclose(a.last_sample, b.last_sample)
 
 
+def test_empty_store_getitem_raises():
+    # Regression (round-3 review): [-1] on a never-added store must raise,
+    # not silently return last_sample=None.
+    import pytest
+
+    for on_device in (False, True):
+        store = MCMCSamples((3,), on_device=on_device)
+        with pytest.raises(IndexError):
+            store[-1]
+        with pytest.raises(IndexError):
+            store[0]
+
+
+def test_no_store_last_sample_shortcut():
+    # store_samples=False: [-1] returns the live final state (feature used by
+    # consumers that only need the end of the chain).
+    store = MCMCSamples((2,), store_samples=False)
+    block = np.arange(6, dtype=np.float64).reshape(3, 1, 2)
+    store.add(block)
+    assert store.n_samples == 0
+    assert np.all(store[-1] == block[-1])
+
+
+def test_empty_output_samples_is_none():
+    # Regression (round-3 review): zero stored draws (time limit before the
+    # first chunk) must yield samples=None, not np.stack([]) ValueError.
+    from nfmc_tpu.core.output import MCMCOutput
+
+    out = MCMCOutput((3,), store_samples=True)
+    assert out.samples is None
+    import pytest
+
+    with pytest.raises(ValueError, match="empty run"):
+        out.resample(4)
+
+
+def test_thinning_one_device_store_appends_block_unchanged():
+    # thinning=1 device mode must keep the block (no gather copy) and still
+    # index correctly across blocks.
+    store = MCMCSamples((2,), on_device=True)
+    data = np.random.default_rng(1).normal(size=(5, 3, 2))
+    store.add(data[:3])
+    store.add(data[3:])
+    assert np.allclose(np.asarray(store.as_tensor()), data)
+    assert np.allclose(np.asarray(store[2]), data[2])
+    assert np.allclose(np.asarray(store[-1]), data[-1])
+
+
 def test_acceptance_rate_nan_when_no_attempts():
     stats = MCMCStatistics((2,))
     assert np.isnan(stats.acceptance_rate)
