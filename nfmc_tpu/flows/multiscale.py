@@ -30,7 +30,10 @@ from .naf import DeepSigmoidTransform, DenseSigmoidTransform, DeepDenseSigmoidTr
 def conv_init(key, in_ch, hidden_ch, out_ch, kernel=3):
     k1, k2, k3 = jax.random.split(key, 3)
     scale1 = 1.0 / np.sqrt(in_ch * kernel * kernel)
-    scale2 = 1.0 / np.sqrt(hidden_ch * kernel * kernel)
+    # w2 is a 1x1 conv: its fan-in is hidden_ch, not hidden_ch * kernel^2
+    # (the old scale started the middle layer's activations 3x too small
+    # through the tanh; round-3 review fix)
+    scale2 = 1.0 / np.sqrt(hidden_ch)
     return {
         "w1": scale1 * jax.random.normal(k1, (hidden_ch, in_ch, kernel, kernel)),
         "b1": jnp.zeros((hidden_ch,)),
@@ -99,6 +102,13 @@ class MultiscaleFlow(Bijection):
             while hh % 2 == 0 and ww % 2 == 0 and min(hh, ww) >= 4 and n_levels < 3:
                 n_levels += 1
                 hh, ww = hh // 2, ww // 2
+        elif h % (2 ** int(n_levels)) or w % (2 ** int(n_levels)):
+            # Fail at construction, not with a cryptic reshape error at trace
+            # time: every level squeezes 2x in each spatial dim.
+            raise ValueError(
+                f"n_levels={n_levels} needs spatial dims divisible by "
+                f"{2 ** int(n_levels)}, got ({h}, {w})"
+            )
         self.n_levels = int(n_levels)
         self.n_steps = int(n_steps_per_level)
         self.hidden_channels = int(hidden_channels)
@@ -456,8 +466,12 @@ class _ConvContinuous(Bijection):
         super().__init__(event_shape)
         if len(event_shape) == 2:
             self.chw = (1, int(event_shape[0]), int(event_shape[1]))
-        else:
+        elif len(event_shape) == 3:
             self.chw = tuple(int(s) for s in event_shape)
+        else:
+            raise ValueError(
+                f"conv flows need (H, W) or (C, H, W) events, got {event_shape}"
+            )
         self.hidden_channels = int(hidden_channels)
         self.n_steps = int(n_steps)
         self.n_probes = int(n_probes)

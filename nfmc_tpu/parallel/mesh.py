@@ -58,10 +58,16 @@ def sharded_sample(sampler, x0, mesh: Optional[Mesh] = None, **kwargs):
     """
     if mesh is None:
         mesh = chain_mesh()
+    # Chains shard over the mesh's FIRST axis (whatever its name): check
+    # divisibility against that axis size, not the total device count — a
+    # (2, 4) ('chains', 'data') mesh accepts n_chains=6.
+    axis_name = mesh.axis_names[0]
+    axis_size = mesh.shape[axis_name]
     n_chains = np.asarray(x0).shape[0]
-    if n_chains % mesh.devices.size != 0:
+    if n_chains % axis_size != 0:
         raise ValueError(
-            f"n_chains={n_chains} must be divisible by mesh size {mesh.devices.size}"
+            f"n_chains={n_chains} must be divisible by the '{axis_name}' "
+            f"mesh axis size {axis_size}"
         )
-    x0_sharded = shard_chains(x0, mesh)
+    x0_sharded = shard_chains(x0, mesh, axis_name=axis_name)
     return sampler.sample(x0_sharded, **kwargs)

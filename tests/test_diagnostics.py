@@ -116,3 +116,54 @@ def test_ess_geyer_pairing_not_fooled_by_antithetic_mix():
     # true tau ~ 1 + 2*sum(0.88*(-0.5)^t + 0.12*0.9^t) ~ 2.6 -> ESS ~ n*c/2.6
     assert ess < 0.55 * n * c, ess  # broken pairing reported ~0.84 * n * c
     assert ess > 0.2 * n * c, ess
+
+
+def test_ess_stuck_chain_reports_zero():
+    """Round-3 review fix: a zero-variance (never-moved) chain must report
+    ESS 0, not maximal ESS (eager) or FFT-roundoff junk (jit)."""
+    import jax.numpy as jnp
+
+    x = jnp.ones((1000, 2, 1)) * 3.0
+    ess = np.asarray(effective_sample_size(x))
+    assert ess[0] == 0.0, ess
+    # mixed case: one stuck chain among healthy ones only loses its share
+    healthy = jax.random.normal(jax.random.key(7), (1000, 3, 1))
+    mixed = jnp.concatenate([healthy, jnp.full((1000, 1, 1), 3.0)], axis=1)
+    ess_mixed = float(np.asarray(effective_sample_size(mixed))[0])
+    ess_healthy = float(np.asarray(effective_sample_size(healthy))[0])
+    assert abs(ess_mixed - ess_healthy) < 0.25 * ess_healthy
+
+
+def test_rhat_needs_four_draws():
+    import pytest
+
+    with pytest.raises(ValueError, match="at least 4 draws"):
+        potential_scale_reduction(jax.random.normal(jax.random.key(0), (3, 4, 2)))
+
+
+def test_rhat_stuck_chains():
+    """All chains stuck at the same point -> 1.0; at different points -> inf."""
+    import jax.numpy as jnp
+
+    same = jnp.full((64, 4, 1), 2.0)
+    assert np.asarray(potential_scale_reduction(same))[0] == 1.0
+    apart = jnp.tile(jnp.arange(4.0)[None, :, None], (64, 1, 1))
+    assert np.isinf(np.asarray(potential_scale_reduction(apart))[0])
+
+
+def test_summarize_windows_long_histories():
+    """The public entries window to max_window draws so the TPU FFT compile
+    blow-up at nfft >= 64k can't be reached; the windowed estimate
+    extrapolates linearly in n."""
+    x = jax.random.normal(jax.random.key(5), (4096, 2, 1))
+    full = float(np.asarray(effective_sample_size(x, max_window=None))[0])
+    windowed = float(np.asarray(effective_sample_size(x, max_window=1024))[0])
+    assert abs(windowed - full) < 0.35 * full
+    s = summarize(x, max_window=1024)
+    assert np.isfinite(s["ess_mean"]) and s["rhat_max"] is not None
+
+
+def test_summarize_tiny_run_rhat_none():
+    s = summarize(jax.random.normal(jax.random.key(6), (2, 4, 3)))
+    assert s["rhat_max"] is None
+    assert np.isfinite(s["ess_mean"])

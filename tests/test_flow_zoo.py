@@ -295,3 +295,38 @@ def test_hutchinson_logdet_unbiased_vs_exact():
     # give ~0.000 at n=2048 with per-sample std ~0.27).
     assert abs(float(jnp.mean(est - exact))) < 0.02
     assert float(jnp.std(est - exact)) < 1.0
+
+
+def test_multiscale_rejects_unsqueezable_n_levels():
+    """Round-3 review fix: explicit n_levels implying odd intermediate dims
+    must fail at construction, not with a reshape error at trace time."""
+    import pytest
+
+    from nfmc_tpu.flows.multiscale import MultiscaleRealNVP
+
+    with pytest.raises(ValueError, match="divisible"):
+        MultiscaleRealNVP((1, 6, 6), n_levels=2)
+    # one level on 6x6 is fine
+    MultiscaleRealNVP((1, 6, 6), n_levels=1)
+
+
+def test_conv_continuous_rejects_bad_event_rank():
+    import pytest
+
+    from nfmc_tpu.flows.multiscale import ConvolutionalFFJORD
+
+    with pytest.raises(ValueError, match="conv flows need"):
+        ConvolutionalFFJORD((16,))
+
+
+def test_conv_init_middle_layer_fan_in():
+    """Round-3 review fix: w2 is a 1x1 conv; its init scale uses fan-in
+    hidden_ch, not hidden_ch * 9."""
+    import jax
+    import numpy as np
+
+    from nfmc_tpu.flows.multiscale import conv_init
+
+    p = conv_init(jax.random.key(0), 4, 64, 8)
+    std2 = float(np.std(np.asarray(p["w2"])))
+    assert abs(std2 - 1 / np.sqrt(64)) < 0.25 / np.sqrt(64), std2

@@ -444,3 +444,32 @@ def test_resumable_sampling_keeps_chain_sharding(tmp_path):
                            checkpoint_path=str(tmp_path / "mesh_fd"),
                            checkpoint_segment_iterations=4)
     assert np.isfinite(np.asarray(out2.samples)).all()
+
+
+def test_sharded_sample_multi_axis_mesh():
+    """Round-3 review fix: divisibility checks against the CHAINS axis size,
+    not the total device count — a (2, 4) mesh accepts n_chains=6."""
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devices, ("chains", "data"))
+    sampler = MALA(event_shape=(3,), target=standard_gaussian_potential)
+    sampler.params.n_iterations = 3
+    x0 = jax.random.normal(jax.random.key(1), (6, 3))
+    out = sharded_sample(sampler, x0, mesh=mesh, show_progress=False, seed=2)
+    assert np.isfinite(out.samples).all()
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_sample(sampler, x0[:5], mesh=mesh, show_progress=False)
+
+
+def test_sharded_sample_custom_axis_name():
+    """Round-3 review fix: sharded_sample must use the mesh's own first axis
+    name instead of hardcoding 'chains'."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()), ("shards",))
+    sampler = MALA(event_shape=(3,), target=standard_gaussian_potential)
+    sampler.params.n_iterations = 3
+    x0 = jax.random.normal(jax.random.key(2), (16, 3))
+    out = sharded_sample(sampler, x0, mesh=mesh, show_progress=False, seed=4)
+    assert np.isfinite(out.samples).all()
