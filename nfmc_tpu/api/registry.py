@@ -148,15 +148,23 @@ def get_supported_normalizing_flows(synonyms: bool = True):
     )
 
 
+def _stable_hash(s: str) -> int:
+    """Process-stable digest (builtin ``hash`` is salted per process, so it
+    must never be persisted or compared cross-process)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
+
+
 def parse_flow_string(flow_string: str) -> dict:
     """``"<name>%<json>"`` or ``"<name>"``; reference ``util.py:189-215``."""
     if flow_string is None:
-        return {"name": None, "kwargs": {}, "hash": hash("None")}
+        return {"name": None, "kwargs": {}, "hash": _stable_hash("None")}
     if "%" not in flow_string:
-        return {"name": flow_string, "kwargs": {}, "hash": hash(flow_string)}
+        return {"name": flow_string, "kwargs": {}, "hash": _stable_hash(flow_string)}
     flow_name = flow_string.split("%")[0]
     kwargs = json.loads(flow_string.split("%", 1)[1])
-    return {"name": flow_name, "kwargs": kwargs, "hash": hash(flow_name + str(kwargs))}
+    return {"name": flow_name, "kwargs": kwargs, "hash": _stable_hash(flow_name + str(kwargs))}
 
 
 def _constructors():

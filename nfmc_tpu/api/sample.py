@@ -408,16 +408,20 @@ def sample(
             time_limit_seconds=warmup_time_limit_seconds, key=k_warm,
         )
         n_stored = warmup_output.running_samples.n_samples
+        x0_is_warmup_draw = True
         if warmup_output.store_samples and n_stored > 0:
             flat = warmup_output.samples.reshape(-1, *sampler.event_shape)
             perm = np.asarray(jax.random.permutation(k_shuffle, len(flat)))
             x0 = jnp.asarray(flat[perm][: x0.shape[0]])
         elif warmup_output.running_samples.last_sample is not None:
             x0 = jnp.asarray(warmup_output.running_samples.last_sample)
-        # else: warmup produced nothing (zero iterations / immediate time
-        # limit) — keep the original x0
+        else:
+            # warmup produced nothing (zero iterations / immediate time
+            # limit) — keep the original DATA-space x0
+            x0_is_warmup_draw = False
         if (
-            getattr(sampler, "warmup_draws_are_latent", False)
+            x0_is_warmup_draw
+            and getattr(sampler, "warmup_draws_are_latent", False)
             and getattr(sampler.params, "transport_x0", False)
         ):
             # NeuTra's warmup draws are LATENT; with transport_x0 the
@@ -439,10 +443,12 @@ def sample(
 
             shard_fn = lambda v: shard_chains(v, mesh, axis_name=mesh.axis_names[0])
         # Fresh front-door runs default the sidecars ON (out.samples covers
-        # the full run); resumes pass None so sample_resumable adopts the
-        # original run's setting from the checkpoint meta.
+        # the full run) — unless the sampler stores no draws at all, where
+        # forcing True would hit sample_resumable's fail-fast contradiction
+        # check; resumes pass None so sample_resumable adopts the original
+        # run's setting from the checkpoint meta.
         if checkpoint_save_samples is None and not resume:
-            checkpoint_save_samples = True
+            checkpoint_save_samples = bool(sampler.params.store_samples)
         out = sample_resumable(
             sampler, x0, checkpoint_path,
             segment_iterations=checkpoint_segment_iterations,

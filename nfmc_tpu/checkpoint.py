@@ -525,6 +525,16 @@ def sample_resumable(
             return out
 
     save_samples = bool(save_samples)  # fresh runs: None -> False
+    if save_samples and not sampler.params.store_samples:
+        # resume-side contradictions already raise above; a fresh run must
+        # fail fast too — every segment would have zero stored draws, so the
+        # run would finish with save_samples=True in the meta and no draw
+        # sidecars at all (silent no-draws outcome, round-3 review fix)
+        raise ValueError(
+            "save_samples=True but the sampler has params.store_samples=False "
+            "— segments would produce no draws to save; enable store_samples "
+            "on the sampler or pass save_samples=False"
+        )
     out = None
     mem_blocks: Dict[int, np.ndarray] = {}  # this process's segment draws
     for i in range(start_segment, n_segments):

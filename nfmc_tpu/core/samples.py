@@ -127,3 +127,8 @@ class MCMCSamples:
     def reset(self) -> None:
         self._running = []
         self.n_samples = 0
+        # clear ALL store state: a stale last_sample would make store[-1]
+        # return a pre-reset draw on an empty store, and a stale seen_samples
+        # would continue the thinning phase instead of restarting it
+        self.last_sample = None
+        self.seen_samples = 0

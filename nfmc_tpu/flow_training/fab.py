@@ -58,7 +58,9 @@ class FAB:
 
         def ais_round(params, key, n_particles):
             k_draw, k_ais = jax.random.split(key)
-            x, log_q = flow.sample_fn(params, k_draw, n_particles, return_log_prob=True)
+            # the pre-AIS log q is NOT used: the buffer stores the flow
+            # density of the post-AIS particles (computed on return)
+            x = flow.sample_fn(params, k_draw, n_particles)
             # AIS from q toward p^2/q (alpha=2 optimal proposal); the shared
             # annealing loop from transport/ais.py with params-dependent ends
             prior_pot = lambda v: -flow.log_prob_fn(params, v)
@@ -108,7 +110,15 @@ class FAB:
         """``n_iterations`` bootstrap iterations as one compiled scan over a
         carried (params, opt_state, replay buffer) state."""
         size = self.buffer_size
-        assert n_ais_particles < size
+        if n_ais_particles > size:
+            # the ring write pos = (index + arange(n)) % size would wrap and
+            # silently overwrite rows within one round (== size is a legal
+            # full-buffer write); a stripped assert under python -O must not
+            # let that through
+            raise ValueError(
+                f"n_ais_particles ({n_ais_particles}) exceeds buffer_size "
+                f"({size}); one AIS round would overwrite its own rows"
+            )
         ais_round = self._make_ais_round()
         train_step = self._make_train_step()
 

@@ -203,6 +203,7 @@ class Flow:
         if bijection.params is None:
             bijection.params = bijection.init(resolve_key(key, seed))
         self._base_log_prob_override: Optional[Callable] = None
+        self._base_sample_override: Optional[Callable] = None
 
     # ---- params plumbing ----------------------------------------------------
     @property
@@ -237,14 +238,31 @@ class Flow:
             return self._base_log_prob_override(z)
         return std_normal_log_prob(z, self.event_shape)
 
-    def set_base_log_prob(self, fn: Optional[Callable]) -> None:
+    def set_base_log_prob(self, fn: Optional[Callable],
+                          sample_fn: Optional[Callable] = None) -> None:
+        """Override the base density (AFT-style annealed base). ``sample_fn``
+        is the paired base sampler ``(key, n) -> z``; it MUST draw from the
+        distribution whose density ``fn`` evaluates. Omitting it keeps
+        ``log_prob`` usable (training, pullback densities) but makes
+        ``sample``/``sample_fn`` raise — otherwise draws would come from
+        N(0, I) while the returned log q described ``fn``'s distribution,
+        silently biasing any accept ratio or importance weight built on it."""
         self._base_log_prob_override = fn
+        self._base_sample_override = sample_fn if fn is not None else None
 
     def log_prob_fn(self, params, x: jax.Array) -> jax.Array:
         z, log_det = self.bijection.forward_fn(params, x)
         return self.base_log_prob_fn(z) + log_det
 
     def sample_base_fn(self, key: jax.Array, n: int) -> jax.Array:
+        if self._base_log_prob_override is not None:
+            if self._base_sample_override is None:
+                raise ValueError(
+                    "base_log_prob is overridden but no paired base sampler was "
+                    "provided: sampling would draw z ~ N(0, I) while reporting "
+                    "the override's density. Pass sample_fn to set_base_log_prob."
+                )
+            return self._base_sample_override(key, n)
         return jax.random.normal(key, (n, *self.event_shape))
 
     def sample_fn(self, params, key: jax.Array, n: int, return_log_prob: bool = False):

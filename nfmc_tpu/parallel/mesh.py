@@ -26,6 +26,14 @@ def chain_mesh(n_devices: Optional[int] = None, axis_name: str = "chains") -> Me
     """1-D mesh over (the first n) local devices; chain axis sharded over it."""
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # silently truncating would run at less parallelism than the
+            # caller configured, with downstream divisibility checks
+            # validating against the wrong axis size
+            raise ValueError(
+                f"requested n_devices={n_devices} but only {len(devices)} "
+                f"devices are available"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

@@ -107,8 +107,7 @@ class StudentT(Potential):
         self.df = float(df)
 
     def compute(self, x: jax.Array) -> jax.Array:
-        v = x.reshape(x.shape[0], -1)
-        return 0.5 * (self.df + 1.0) * jnp.sum(jnp.log1p(v * v / self.df), axis=-1)
+        return 0.5 * (self.df + 1.0) * jnp.sum(jnp.log1p(x * x / self.df), axis=-1)
 
     def sample(self, batch_shape: Sequence[int], key: Optional[jax.Array] = None) -> jax.Array:
         key = key if key is not None else jax.random.key(0)
@@ -153,9 +152,8 @@ class EightSchools(Potential):
         super().__init__((2 + self.y.shape[0],))
 
     def compute(self, x: jax.Array) -> jax.Array:
-        v = x.reshape(x.shape[0], -1)
-        mu, log_tau, z = v[:, 0], v[:, 1], v[:, 2:]
-        theta = mu[:, None] + jnp.exp(log_tau)[:, None] * z
+        mu, log_tau, z = x[..., 0], x[..., 1], x[..., 2:]
+        theta = mu[..., None] + jnp.exp(log_tau)[..., None] * z
         log_lik = -0.5 * jnp.sum(
             ((self.y - theta) / self.sigma) ** 2 + 2.0 * jnp.log(self.sigma) + LOG_2PI,
             axis=-1,

@@ -26,7 +26,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ...utils import batched_grad, flatten_event, sum_except_batch
+from ...utils import batched_grad, event_size_of, flatten_event, sum_except_batch
 from .base import MetropolisKernel, MetropolisParameters, MetropolisSampler
 
 
@@ -54,7 +54,7 @@ class HMC(MetropolisSampler):
     def __init__(self, event_shape, target, kernel: Optional[HMCKernel] = None,
                  params: Optional[HMCParameters] = None):
         if kernel is None:
-            kernel = HMCKernel(event_size=int(jnp.prod(jnp.asarray(event_shape))))
+            kernel = HMCKernel(event_size=event_size_of(event_shape))
         if params is None:
             params = HMCParameters()
         super().__init__(event_shape, target, kernel, params)

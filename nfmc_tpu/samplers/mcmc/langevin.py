@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils import (
+    event_size_of,
     flatten_event,
     metropolis_acceptance_log_ratio,
     value_and_batched_grad,
@@ -63,7 +64,7 @@ class Langevin(MetropolisSampler):
     def __init__(self, event_shape, target, kernel: Optional[LangevinKernel] = None,
                  params: Optional[LangevinParameters] = None):
         if kernel is None:
-            kernel = LangevinKernel(event_size=int(jnp.prod(jnp.asarray(event_shape))))
+            kernel = LangevinKernel(event_size=event_size_of(event_shape))
         if params is None:
             params = LangevinParameters()
         super().__init__(event_shape, target, kernel, params)

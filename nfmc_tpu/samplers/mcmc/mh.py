@@ -15,7 +15,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ...utils import metropolis_acceptance_log_ratio
+from ...utils import event_size_of, metropolis_acceptance_log_ratio
 from .base import MetropolisKernel, MetropolisParameters, MetropolisSampler
 
 
@@ -38,7 +38,7 @@ class MH(MetropolisSampler):
     def __init__(self, event_shape, target, kernel: Optional[MHKernel] = None,
                  params: Optional[MHParameters] = None):
         if kernel is None:
-            kernel = MHKernel(event_size=int(jnp.prod(jnp.asarray(event_shape))))
+            kernel = MHKernel(event_size=event_size_of(event_shape))
         if params is None:
             params = MHParameters()
         super().__init__(event_shape, target, kernel, params)

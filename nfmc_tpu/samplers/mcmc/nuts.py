@@ -15,6 +15,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
+from ...utils import event_size_of
 from .base import MetropolisKernel, MetropolisParameters, MetropolisSampler
 
 
@@ -41,7 +42,7 @@ class NUTS(MetropolisSampler):
     def __init__(self, event_shape, target, kernel: Optional[NUTSKernel] = None,
                  params: Optional[NUTSParameters] = None):
         if kernel is None:
-            kernel = NUTSKernel(event_size=int(jnp.prod(jnp.asarray(event_shape))))
+            kernel = NUTSKernel(event_size=event_size_of(event_shape))
         if params is None:
             params = NUTSParameters()
         super().__init__(event_shape, target, kernel, params)

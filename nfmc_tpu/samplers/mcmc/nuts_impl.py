@@ -20,6 +20,8 @@ from typing import Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ...utils import event_size_of
+
 
 class _SubtreeState(NamedTuple):
     i: jax.Array  # leaf counter within subtree (i32)
@@ -67,7 +69,7 @@ def make_nuts_step(
     """Returns ``nuts_step(x, eps, inv_mass_diag, key) -> (x', moved, diverged_any)``
     operating on a batch ``x: (n_chains, *event_shape)``."""
 
-    d = int(jnp.prod(jnp.asarray(event_shape))) if event_shape else 1
+    d = event_size_of(event_shape)
 
     def u_fn(z_flat):
         return target(z_flat.reshape(1, *event_shape))[0]

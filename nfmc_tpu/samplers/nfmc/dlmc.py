@@ -68,7 +68,8 @@ class DLMC(Sampler):
 
     def warmup(self, x0, show_progress: bool = True, time_limit_seconds=None,
                key=None, seed=None) -> MCMCOutput:
-        out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples)
+        out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples,
+                         on_device=getattr(self.params, 'store_samples_on_device', False))
         out.running_samples.add(jnp.asarray(x0))
         return out
 
@@ -189,7 +190,8 @@ class DLMC(Sampler):
         key = self._key(key, seed)
         x0 = jnp.asarray(x0, dtype=jnp.float32)
         n_chains = x0.shape[0]
-        out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples)
+        out = MCMCOutput(self.event_shape, store_samples=self.params.store_samples,
+                         on_device=getattr(self.params, 'store_samples_on_device', False))
         flow = self.kernel.flow
         tau = self.kernel.step_size
         target = self.target

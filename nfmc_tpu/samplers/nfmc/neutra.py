@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core.output import MCMCOutput
+from ...utils import event_size_of
 from ...core.sampler import NFMCKernel, NFMCParameters, Sampler
 from ..mcmc.base import MetropolisKernel, MetropolisParameters, MetropolisSampler
 from ..mcmc.chees import CheesHMC, CheesHMCKernel, CheesHMCParameters
@@ -111,13 +112,6 @@ class NeuTra(Sampler):
     def name(self):
         return "NeuTra"
 
-    def _invalidate_inner(self):
-        # Flow params are baked into the inner sampler's compiled step as
-        # closure constants; refresh after any flow refit.
-        self.inner_sampler._driver = None
-        self.inner_sampler._driver_config = None
-        self._built_params_token = None
-
     def _refresh_inner_if_stale(self):
         """Invalidate the inner sampler's compiled scans only when the flow
         params (or target) actually changed. Re-tracing the 20-leapfrog
@@ -202,7 +196,7 @@ class NeuTraHMC(NeuTra):
                  inner_params: Optional[HMCParameters] = None,
                  kernel=None, params=None):
         if inner_kernel is None:
-            inner_kernel = HMCKernel(event_size=int(jnp.prod(jnp.asarray(event_shape))))
+            inner_kernel = HMCKernel(event_size=event_size_of(event_shape))
         if inner_params is None:
             inner_params = HMCParameters()
         super().__init__(event_shape, target, HMC, inner_kernel, inner_params, kernel, params)
@@ -217,7 +211,7 @@ class NeuTraMH(NeuTra):
                  inner_params: Optional[MHParameters] = None,
                  kernel=None, params=None):
         if inner_kernel is None:
-            inner_kernel = MHKernel(event_size=int(jnp.prod(jnp.asarray(event_shape))))
+            inner_kernel = MHKernel(event_size=event_size_of(event_shape))
         if inner_params is None:
             inner_params = MHParameters()
         super().__init__(event_shape, target, MH, inner_kernel, inner_params, kernel, params)
@@ -238,7 +232,7 @@ class NeuTraChEES(NeuTra):
                  inner_params: Optional[CheesHMCParameters] = None,
                  kernel=None, params=None):
         if inner_kernel is None:
-            inner_kernel = CheesHMCKernel(event_size=int(jnp.prod(jnp.asarray(event_shape))))
+            inner_kernel = CheesHMCKernel(event_size=event_size_of(event_shape))
         if inner_params is None:
             inner_params = CheesHMCParameters()
         super().__init__(event_shape, target, CheesHMC, inner_kernel, inner_params,

@@ -250,12 +250,20 @@ class TESS(Sampler):
                 # same divergence accounting as the fused path
                 n_divergences=int(not bool(jnp.all(jnp.isfinite(u)))),
             )
-            x_np = np.asarray(x)
-            perm = np.random.default_rng(int(jax.random.randint(k_perm, (), 0, 2**31 - 1))).permutation(n_chains)
-            x_np = x_np[perm]
-            n_train = int(len(x_np) * self.params.train_pct)
+            # shared split helper keeps the host path's fit data in sync with
+            # the fused path's make_scan_fit (train_pct + max_train/val caps);
+            # the [None] lifts (C, *event) to the helper's (K, C, *event)
+            from ...core.tuning import train_val_split
+
+            x_train, x_val = train_val_split(
+                np.asarray(x)[None],
+                train_pct=self.params.train_pct,
+                max_train_size=self.params.max_train_size,
+                max_val_size=self.params.max_val_size,
+                seed=int(jax.random.randint(k_perm, (), 0, 2**31 - 1)),
+            )
             try:
-                flow.fit(x_np[:n_train], x_val=x_np[n_train:],
+                flow.fit(x_train, x_val=x_val,
                          **self.params.flow_fit_kwargs, key=k_fit)
             except ValueError:
                 pass
@@ -402,9 +410,16 @@ class TESS(Sampler):
 
         def make_precompute(tuning):
             # chunk-hoisted step randomness (exact in-step derivation);
-            # declines above the footprint cap
+            # declines above the footprint cap. Footprint mirrors tess_draws:
+            # z (B*d) + w (B) + theta0 (B) + shrink (max_iter*B) — for small
+            # d the shrink uniforms dominate, so a bare x.size estimate would
+            # undercount by up to ~(max_iter + 2)/d (cf. ESS's
+            # hoisted_elements_per_iter override).
             def precompute(x, kstate, keys):
-                if keys.shape[0] * x.size > hoist_limit:
+                n_chains_ = int(x.shape[0])
+                d = int(x.size) // max(n_chains_, 1)
+                per_iter = n_chains_ * (d + 2 + max_iter)
+                if keys.shape[0] * per_iter > hoist_limit:
                     return None
                 return jax.vmap(lambda k: tess_draws(k, (x.shape[0],)))(keys)
 

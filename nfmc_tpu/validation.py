@@ -131,9 +131,15 @@ def chain_permutation_test(
     b = np.asarray(draws_b, dtype=np.float64)
     if a.ndim != 3 or b.ndim != 3 or a.shape[-1] != b.shape[-1]:
         raise ValueError("expected (T, C, d) stacks with matching d")
-    # stride iterations; keep whole chains
+    # stride iterations; keep whole chains. Truncate to a COMMON per-chain
+    # length: with T_a != T_b each chain would otherwise carry its length
+    # through the permutation, so chain labels would not be exchangeable and
+    # the KS p-value would be miscalibrated (the test must be exact under
+    # the null; the energy path below does the same truncation).
     a_ks = a[:: max(1, int(np.ceil(a.shape[0] / max_iters_ks)))]
     b_ks = b[:: max(1, int(np.ceil(b.shape[0] / max_iters_ks)))]
+    per_ks = min(a_ks.shape[0], b_ks.shape[0])
+    a_ks, b_ks = a_ks[:per_ks], b_ks[:per_ks]
     ca, cb = a.shape[1], b.shape[1]
     d = a.shape[-1]
 

@@ -309,3 +309,34 @@ def test_variational_fit_reuses_compiled_trainer():
     variational_fit(flow, tlp, n_samples=16, n_epochs=4, show_progress=False, seed=2)
     assert len(flow._vfit_runner_cache) == 1
     assert list(flow._vfit_runner_cache.values())[0][0] is first
+
+
+def test_base_log_prob_override_sampling_guard():
+    """With base_log_prob overridden but no paired base sampler, sampling
+    must raise (drawing N(0,I) while reporting the override's density would
+    silently bias accept ratios); with a paired sampler it must draw from it
+    and report the override's density (round-3 review fix)."""
+    import jax
+    import jax.numpy as jnp
+    from nfmc_tpu.flows import RealNVP
+    from nfmc_tpu.flows.base import Flow
+
+    flow = Flow(RealNVP((2,), n_layers=2), seed=0)
+    # log-prob-only override (AFT-style training use) keeps log_prob usable
+    flow.set_base_log_prob(lambda z: jnp.zeros(z.shape[:-1]))
+    assert flow.log_prob(jnp.ones((3, 2))).shape == (3,)
+    with pytest.raises(ValueError, match="paired base sampler"):
+        flow.sample(4, key=jax.random.key(0))
+
+    # paired sampler: draws come from it, log q uses the override's density
+    scale = 2.0
+    flow.set_base_log_prob(
+        lambda z: -0.5 * jnp.sum((z / scale) ** 2, axis=-1)
+        - z.shape[-1] * (0.5 * jnp.log(2 * jnp.pi) + jnp.log(scale)),
+        sample_fn=lambda key, n: scale * jax.random.normal(key, (n, 2)),
+    )
+    x, lq = flow.sample(512, key=jax.random.key(1), return_log_prob=True)
+    assert x.shape == (512, 2) and jnp.all(jnp.isfinite(lq))
+    # clearing restores N(0, I) sampling
+    flow.set_base_log_prob(None)
+    assert flow.sample(4, key=jax.random.key(2)).shape == (4, 2)

@@ -180,3 +180,15 @@ def test_lazy_submodule_attributes():
         assert mod in dir(nfmc_tpu)
     p = nfmc_tpu.potentials.StandardGaussian((3,))
     assert p.event_shape == (3,)
+
+
+@pytest.mark.parametrize("pot", _applied_potentials(), ids=lambda p: type(p).__name__)
+def test_applied_multi_batch_dims(pot):
+    """Potential contract: batched over ARBITRARY leading dims (stacked /
+    temperature-batched evaluation). StudentT/EightSchools previously folded
+    extra batch dims into the event via reshape (round-3 review fix)."""
+    x = jax.random.normal(jax.random.key(1), (3, 5, *pot.event_shape))
+    u = pot(x)
+    assert u.shape == (3, 5)
+    flat = pot(x.reshape(15, *pot.event_shape))
+    np.testing.assert_allclose(np.asarray(u).reshape(15), np.asarray(flat), rtol=1e-6)

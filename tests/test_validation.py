@@ -73,3 +73,20 @@ def test_per_dim_ess_mirrors_device_estimator():
     host = per_dim_ess(draws)
     device = np.asarray(effective_sample_size(jnp.asarray(draws, jnp.float32)))
     np.testing.assert_allclose(host, device, rtol=2e-3)
+
+
+def test_ks_exact_under_unequal_lengths():
+    """T_a != T_b leaves unequal strided per-chain lengths; the KS path must
+    truncate to a common length so chain labels stay exchangeable (round-3
+    review fix). Null calibration: p_ks should be ~Uniform(0,1), so across
+    repeats the rejection rate at a loose alpha must sit near alpha."""
+    alpha = 0.25
+    n_rep = 24
+    rej = 0
+    for s in range(n_rep):
+        a = _iid_stack(300, 8, 2, seed=100 + 2 * s)
+        b = _iid_stack(256, 8, 2, seed=101 + 2 * s)
+        r = chain_permutation_test(a, b, n_perm=60)
+        rej += r["ks_p_value"] <= alpha
+    # binomial(24, 0.25): P(X >= 12) ~ 0.008, P(X = 0) ~ 1e-3
+    assert 1 <= rej <= 11, f"KS null rejection rate {rej}/{n_rep} at alpha={alpha}"
