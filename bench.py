@@ -136,21 +136,21 @@ def run_ours():
     wall_spread = [round(walls[0], 3), round(wall, 3), round(walls[-1], 3)]
 
     samples_dev = out.running_samples.as_tensor()  # stays on device
-    # ESS measured on the FULL chain (window = all 16380 draws, extrapolation
-    # factor 1.0; OUTER_OURS is sized so nfft stays < the 64k TPU FFT compile
-    # blowup). Slab over dims to bound the (nfft, C, slab) pad-buffer
-    # footprint. The window/extrapolation fields are kept in the export so
-    # any future config change that reintroduces extrapolation is visible.
+    # ESS measured on the FULL chain: max_window=16384 >= the 16380 draws, so
+    # the function's internal windowing (which DEFAULTS to 8192 — relying on
+    # the default silently re-windowed and hid a ~2x extrapolation, round-3
+    # review fix) takes everything and the factor is exactly 1.0. OUTER_OURS
+    # is sized so nfft stays < the 64k TPU FFT compile blowup; the built-in
+    # dim slabbing bounds the (nfft, C, slab) pad-buffer footprint. The
+    # window/extrapolation fields stay in the export so any config change
+    # that reintroduces extrapolation is visible.
     n_draws = samples_dev.shape[0]
-    window = samples_dev[-min(16384, n_draws):]
-    slab = 25
-    ess_parts = [
-        effective_sample_size(window[..., i : i + slab])
-        for i in range(0, EVENT_DIM, slab)
-    ]
-    ess_window = float(jax.numpy.mean(jax.numpy.concatenate(ess_parts)))
-    extrapolation_factor = n_draws / window.shape[0]
-    ess = ess_window * extrapolation_factor
+    window_len = min(16384, n_draws)
+    ess = float(jax.numpy.mean(
+        effective_sample_size(samples_dev, max_window=16384, dim_slab=25)
+    ))
+    extrapolation_factor = n_draws / window_len
+    ess_window = ess / extrapolation_factor
 
     moment_err = float(np.max(np.abs(out.mean)))  # truth: zeros
     second_err = float(np.max(np.abs(out.second_moment - 1.0)))  # truth: ones
@@ -248,7 +248,8 @@ def run_torch_baseline():
     import torch
 
     torch.manual_seed(0)
-    torch.set_num_threads(max(1, torch.get_num_threads()))
+    # torch threading is left at the host default (the baseline is CPU-bound;
+    # a previous set_num_threads(current) line here was a no-op)
     d, C = EVENT_DIM, N_CHAINS
 
     def target(x):
@@ -372,10 +373,12 @@ def run_north_star():
         if latent_flow is not None:  # NeuTra stores latent draws
             flat = samples.reshape(-1, d)
             samples = latent_flow.bijection.inverse_fn(latent_flow.params, flat)[0].reshape(samples.shape)
-        n_draws = samples.shape[0]
-        window = samples[-min(4096, n_draws):]
-        parts = [effective_sample_size(window[..., i : i + 25]) for i in range(0, d, 25)]
-        ess = float(jnp.mean(jnp.concatenate(parts))) * (n_draws / window.shape[0])
+        # one call: the function windows to 4096 and applies the linear
+        # extrapolation factor internally (explicit max_window — the default
+        # must never be relied on at a measurement site)
+        ess = float(jnp.mean(
+            effective_sample_size(samples, max_window=4096, dim_slab=25)
+        ))
         return ess / wall, out
 
     def torch_ess_per_s(draws, wall):
@@ -646,9 +649,10 @@ def run_funnel():
         walls.append(time.time() - t0)
     wall = sorted(walls)[1]
     samples = out.running_samples.as_tensor()
-    window = samples[-min(4096, samples.shape[0]):]
-    parts = [effective_sample_size(window[..., i : i + 25]) for i in range(0, d, 25)]
-    ess = float(jnp.mean(jnp.concatenate(parts))) * (samples.shape[0] / window.shape[0])
+    # explicit max_window (see run_ours): internal windowing + linear factor
+    ess = float(jnp.mean(
+        effective_sample_size(samples, max_window=4096, dim_slab=25)
+    ))
     v_var = float(jnp.var(samples[..., 0]))
 
     # torch replica: identical adjusted MALA on the identical funnel

@@ -40,9 +40,11 @@ print(f"acceptance statistic: {out.statistics.acceptance_rate:.3f}")
 print(f"target grads: {out.statistics.n_target_gradient_calls:,} "
       f"({out.statistics.grads_per_second:,.0f}/s)")
 
-# split-Rhat on the second half as a convergence check (on-device diagnostics)
-out_half = out
-rhat = np.asarray(out.potential_scale_reduction())
+# split-Rhat on the second half as a convergence check (on-device
+# diagnostics; the first half still carries post-warmup transients)
+from nfmc_tpu.diagnostics import potential_scale_reduction
+
+rhat = np.asarray(potential_scale_reduction(half.reshape(len(half), half.shape[1], -1)))
 print(f"max split-Rhat over 10 dims: {rhat.max():.3f}")
 
 # ESS warmup is also new in round 2: elliptical slice sampling with an

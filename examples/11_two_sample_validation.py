@@ -35,7 +35,8 @@ def draws(strategy, seed, **kw):
 # 1) A/A: the same sampler under two seeds -> same chain law, test passes.
 #    (This is the shape of a real implementation A/B: same algorithm,
 #    matched config, different RNG streams.)
-report = mcmc_two_sample_report(draws("mala", 1), draws("mala", 2))
+mala1 = draws("mala", 1)  # reused below — same seed/config is bit-identical
+report = mcmc_two_sample_report(mala1, draws("mala", 2))
 print(f"mala A/A    : ok={report['ok']}  ks_p={report['ks_p_value']}  "
       f"energy_p={report['energy_p_value']}")
 assert report["ok"], "A/A of the same sampler rejected — that's a bug"
@@ -43,7 +44,7 @@ assert report["ok"], "A/A of the same sampler rejected — that's a bug"
 # 2) Biased variant: ULA at a coarse step is UNADJUSTED — its discretization
 #    bias shifts the stationary law, and the test must reject it.
 ula = draws("ula", 3, kernel_kwargs={"step_size": 0.8})
-report = mcmc_two_sample_report(draws("mala", 1), ula)
+report = mcmc_two_sample_report(mala1, ula)
 print(f"mala vs ula : ok={report['ok']}  ks_p={report['ks_p_value']}  "
       f"energy_p={report['energy_p_value']}  (expected rejection)")
 assert not report["ok"], "coarse-step ULA bias went undetected"

@@ -139,8 +139,16 @@ class StatsAccum:
 
     n_accepted: jax.Array
     n_divergences: jax.Array
+    # dynamic call/grad counts accumulate as compensated f32 pairs, NOT i32:
+    # the accumulator is carried across ALL chunks of a run, and e.g. ChEES
+    # at 1024 chains x 256 leapfrogs adds ~5e5 grads per iteration — an i32
+    # wraps past 2^31 within a few thousand iterations (round-3 review fix).
+    # Each per-iteration addend is < 2^24 so the f32 add is exact, and the
+    # Neumaier compensation keeps the running total exact far past 2^31.
     n_calls_dyn: jax.Array
+    c_calls_dyn: jax.Array
     n_grads_dyn: jax.Array
+    c_grads_dyn: jax.Array
     sum_x: jax.Array  # (*event,) running sum of transformed states
     sum_x2: jax.Array  # (*event,)
     c_x: jax.Array  # (*event,) Neumaier compensation for sum_x
@@ -156,8 +164,10 @@ class StatsAccum:
         return StatsAccum(
             n_accepted=jnp.zeros((), dtype=jnp.int32),
             n_divergences=jnp.zeros((), dtype=jnp.int32),
-            n_calls_dyn=jnp.zeros((), dtype=jnp.int32),
-            n_grads_dyn=jnp.zeros((), dtype=jnp.int32),
+            n_calls_dyn=jnp.zeros((), dtype=jnp.float32),
+            c_calls_dyn=jnp.zeros((), dtype=jnp.float32),
+            n_grads_dyn=jnp.zeros((), dtype=jnp.float32),
+            c_grads_dyn=jnp.zeros((), dtype=jnp.float32),
             sum_x=z(),
             sum_x2=z(),
             c_x=z(),
@@ -170,11 +180,21 @@ class StatsAccum:
         sum_x2, c_x2 = _compensated_add(
             self.sum_x2, self.c_x2, jnp.sum(xt * xt, axis=0)
         )
+        calls, c_calls = _compensated_add(
+            self.n_calls_dyn, self.c_calls_dyn,
+            jnp.asarray(info.n_calls, dtype=jnp.float32),
+        )
+        grads, c_grads = _compensated_add(
+            self.n_grads_dyn, self.c_grads_dyn,
+            jnp.asarray(info.n_grads, dtype=jnp.float32),
+        )
         return StatsAccum(
             n_accepted=self.n_accepted + info.n_accepted,
             n_divergences=self.n_divergences + info.diverged,
-            n_calls_dyn=self.n_calls_dyn + info.n_calls,
-            n_grads_dyn=self.n_grads_dyn + info.n_grads,
+            n_calls_dyn=calls,
+            c_calls_dyn=c_calls,
+            n_grads_dyn=grads,
+            c_grads_dyn=c_grads,
             sum_x=sum_x,
             sum_x2=sum_x2,
             c_x=c_x,
@@ -452,8 +472,10 @@ class ChunkedScanDriver:
                 n_accepted_trajectories=int(acc_host.n_accepted),
                 n_attempted_trajectories=iters * n_chains,
                 n_divergences=int(acc_host.n_divergences),
-                n_target_calls=iters * calls_per_iter + int(acc_host.n_calls_dyn),
-                n_target_gradient_calls=iters * grads_per_iter + int(acc_host.n_grads_dyn),
+                n_target_calls=iters * calls_per_iter
+                + int(round(float(acc_host.n_calls_dyn) + float(acc_host.c_calls_dyn))),
+                n_target_gradient_calls=iters * grads_per_iter
+                + int(round(float(acc_host.n_grads_dyn) + float(acc_host.c_grads_dyn))),
             )
             sum_x, sum_x2 = acc_host.moment_sums()
             stats.update_moments_from_sums(sum_x, sum_x2, iters * n_chains)

@@ -83,20 +83,17 @@ class MCMCOutput:
         ``return_extrapolation=True`` to get ``(ess, factor)`` where
         ``factor = n_total / n_window`` (1.0 means no extrapolation was
         applied); the un-extrapolated window ESS is ``ess / factor``."""
-        import jax.numpy as jnp
-
         from ..diagnostics import effective_sample_size
 
+        # delegate windowing/slabbing entirely: wrapping another window around
+        # the diagnostics call would silently re-cap at ITS default and apply
+        # a hidden second extrapolation (round-3 review fix)
         chains = self._stored_chains()
-        n = chains.shape[0]
-        window = chains[-min(max_window, n):]
-        parts = [
-            effective_sample_size(window[..., i : i + dim_slab])
-            for i in range(0, window.shape[-1], dim_slab)
-        ]
-        factor = n / window.shape[0]
-        ess = jnp.concatenate(parts) * factor
+        ess = effective_sample_size(chains, max_window=max_window,
+                                    dim_slab=dim_slab)
         if return_extrapolation:
+            n = chains.shape[0]
+            factor = 1.0 if max_window is None else n / min(max_window, n)
             return ess, factor
         return ess
 
@@ -113,14 +110,25 @@ class MCMCOutput:
         throughput counters. Returns the formatted string (print it)."""
         import numpy as np
 
-        chains = np.asarray(self._stored_chains())  # (K, C, d)
+        from ..diagnostics import (effective_sample_size,
+                                   potential_scale_reduction)
+
+        # materialize the chain history ONCE: going through the self.*
+        # convenience methods would re-concatenate (and, with on_device
+        # stores, re-fetch through the slow tunnel) the same history three
+        # times (round-3 review fix)
+        chains_dev = self._stored_chains()  # (K, C, d), device
+        ess = np.asarray(effective_sample_size(chains_dev))
+        try:
+            rhat = np.asarray(potential_scale_reduction(chains_dev))
+        except ValueError:
+            rhat = None  # short run (< 4 stored draws): degrade, don't crash
+        chains = np.asarray(chains_dev)
         d = chains.shape[-1]
         flat = chains.reshape(-1, d)
         mean = flat.mean(axis=0)
         sd = flat.std(axis=0)
         q5, q95 = np.percentile(flat, [5.0, 95.0], axis=0)
-        ess = np.asarray(self.effective_sample_size())
-        rhat = np.asarray(self.potential_scale_reduction())
 
         shown = min(d, max_dims)
         lines = [
@@ -128,18 +136,20 @@ class MCMCOutput:
             f"  {'ess':>9}  {'r_hat':>6}"
         ]
         for i in range(shown):
+            rh = f"{rhat[i]:>6.3f}" if rhat is not None else f"{'n/a':>6}"
             lines.append(
                 f"{i:>4}  {mean[i]:>9.3f}  {sd[i]:>9.3f}  {q5[i]:>9.3f}"
-                f"  {q95[i]:>9.3f}  {ess[i]:>9.0f}  {rhat[i]:>6.3f}"
+                f"  {q95[i]:>9.3f}  {ess[i]:>9.0f}  {rh}"
             )
         if d > shown:
             lines.append(f"... ({d - shown} more dimensions)")
         st = self.statistics
+        rhat_txt = f"{rhat.max():.3f}" if rhat is not None else "n/a"
         lines.append(
             f"draws: {chains.shape[0]} x {chains.shape[1]} chains | "
             f"accept {float(st.acceptance_rate):.3f} | "
             f"divergences {int(st.n_divergences)} | "
-            f"max r_hat {rhat.max():.3f} | min ess {ess.min():.0f}"
+            f"max r_hat {rhat_txt} | min ess {ess.min():.0f}"
         )
         return "\n".join(lines)
 

@@ -149,7 +149,11 @@ class MCMCStatistics:
 
     @property
     def running_variance(self):
-        return self.running_second_moment - self.running_first_moment**2
+        # clamp: E[x^2] - E[x]^2 under f32 accumulation can cancel to a small
+        # negative for near-constant dims at large magnitude; downstream
+        # consumers feed this into sqrt (ESS proposal Cholesky)
+        var = self.running_second_moment - self.running_first_moment**2
+        return np.maximum(var, 0.0)
 
     @property
     def acceptance_rate(self) -> float:
@@ -204,7 +208,9 @@ class JumpNFMCStatistics(MCMCStatistics):
             return math.nan
         return self.n_accepted_jumps / self.n_attempted_jumps
 
-    def update_counters(self, n_accepted_jumps: int = 0, n_attempted_jumps: int = 0, **kwargs) -> None:
+    def update_counters(self, *, n_accepted_jumps: int = 0, n_attempted_jumps: int = 0, **kwargs) -> None:
+        # keyword-only: positionally these slots are trajectory counters on the
+        # base class; silently repurposing them would corrupt acceptance_rate
         super().update_counters(**kwargs)
         self.n_accepted_jumps += int(n_accepted_jumps)
         self.n_attempted_jumps += int(n_attempted_jumps)
@@ -238,7 +244,8 @@ class PTStatistics(MCMCStatistics):
             return math.nan
         return self.n_accepted_swaps / self.n_attempted_swaps
 
-    def update_counters(self, n_accepted_swaps: int = 0, n_attempted_swaps: int = 0, **kwargs) -> None:
+    def update_counters(self, *, n_accepted_swaps: int = 0, n_attempted_swaps: int = 0, **kwargs) -> None:
+        # keyword-only (see JumpNFMCStatistics.update_counters)
         super().update_counters(**kwargs)
         self.n_accepted_swaps += int(n_accepted_swaps)
         self.n_attempted_swaps += int(n_attempted_swaps)

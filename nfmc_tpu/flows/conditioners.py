@@ -7,7 +7,7 @@ equivalents plus ValueError-rollback for the same reason).
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

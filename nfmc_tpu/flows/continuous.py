@@ -114,6 +114,17 @@ class ContinuousFlow(Bijection):
                         return u + (y - jax.vmap(fwd_step, in_axes=(0, None))(u, t))
 
                     u = jax.lax.fori_loop(0, 20, picard, y)
+                    # Picard contracts only while h*Lip(f) < 1; stiff trained
+                    # dynamics can leave the loop non-converged, which would
+                    # otherwise return a confidently wrong inverse + log-det.
+                    # Mask non-converged rows to NaN so sampler finiteness
+                    # guards count them as divergences (CLAUDE.md convention:
+                    # masks inside jit, never exceptions).
+                    resid = jnp.linalg.norm(
+                        y - jax.vmap(fwd_step, in_axes=(0, None))(u, t), axis=-1
+                    )
+                    ok = resid <= 1e-3 * (1.0 + jnp.linalg.norm(y, axis=-1))
+                    u = jnp.where(ok[:, None], u, jnp.nan)
                     J = jax.vmap(jax.jacfwd(fwd_step, argnums=0), in_axes=(0, None))(u, t)
                     ld = ld - jnp.linalg.slogdet(J)[1]
                     v = u

@@ -11,6 +11,7 @@ gradients), so the same code path serves forward and inverse under jit/vmap.
 """
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
@@ -18,6 +19,13 @@ import jax.numpy as jnp
 
 _MIN_BIN = 1e-3
 _MIN_DERIV = 1e-3
+# Shift so a ZERO-INIT conditioner yields interior derivatives of exactly 1:
+# _MIN_DERIV + softplus(0 + _DERIV_SHIFT) == 1. Without it, raw_d = 0 gives
+# derivative ~0.694 at interior knots (boundary knots are pinned to 1), so
+# "zero-initialized final layer => identity map" (conditioners.py, standard
+# NSF practice) would be silently false for spline flows and early training
+# would start from a biased warp (round-3 review fix).
+_DERIV_SHIFT = math.log(math.expm1(1.0 - _MIN_DERIV))
 
 
 def _make_knots(raw_w, raw_h, n_bins, tail_bound):
@@ -100,7 +108,7 @@ def rational_quadratic_spline(
     raw_d = raw[..., 2 * n_bins :]
 
     cumw, cumh = _make_knots(raw_w, raw_h, n_bins, tail_bound)
-    derivs = _MIN_DERIV + jax.nn.softplus(raw_d)
+    derivs = _MIN_DERIV + jax.nn.softplus(raw_d + _DERIV_SHIFT)
     ones = jnp.ones_like(derivs[..., :1])
     derivs = jnp.concatenate([ones, derivs, ones], axis=-1)  # (..., K+1)
 
@@ -175,7 +183,7 @@ def linear_rational_spline(
     raw_l = raw[..., 3 * n_bins - 1 :]
 
     cumw, cumh = _make_knots(raw_w, raw_h, n_bins, tail_bound)
-    derivs = _MIN_DERIV + jax.nn.softplus(raw_d)
+    derivs = _MIN_DERIV + jax.nn.softplus(raw_d + _DERIV_SHIFT)
     ones = jnp.ones_like(derivs[..., :1])
     derivs = jnp.concatenate([ones, derivs, ones], axis=-1)
     lam_all = 0.025 + 0.95 * jax.nn.sigmoid(raw_l)  # (..., K)

@@ -44,6 +44,7 @@ if _HAS_PALLAS:  # pragma: no branch
 
 _MIN_BIN = 1e-3
 _MIN_DERIV = 1e-3
+_DERIV_SHIFT = float(np.log(np.expm1(1.0 - _MIN_DERIV)))  # parity: flows/spline.py
 
 
 def _param_major_perm(db: int, n_params: int) -> np.ndarray:
@@ -110,7 +111,7 @@ def _spline_blocks(raw, db: int, n_bins: int, tail_bound: float):
                 one = jnp.ones_like(raw[:, :db])
             dv.append(one)
         else:
-            dv.append(_MIN_DERIV + jax.nn.softplus(block(2 * K + (k - 1))))
+            dv.append(_MIN_DERIV + jax.nn.softplus(block(2 * K + (k - 1)) + _DERIV_SHIFT))
     return cw, ch, dv
 
 

@@ -462,10 +462,11 @@ class JumpNFMC(Sampler):
             # dependent inners (NUTS, ChEES) report through StepInfo
             n_target_calls=(
                 n_outer * (inner_n * inner_calls + self._jump_calls_per_iter(n_chains))
-                + int(acc.n_calls_dyn)
+                + int(round(float(acc.n_calls_dyn) + float(acc.c_calls_dyn)))
             ),
             n_target_gradient_calls=(
-                n_outer * inner_n * inner_grads + int(acc.n_grads_dyn)
+                n_outer * inner_n * inner_grads
+                + int(round(float(acc.n_grads_dyn) + float(acc.c_grads_dyn)))
             ),
             n_accepted_jumps=int(jump_acc.n_accepted),
             n_attempted_jumps=n_outer * n_chains,

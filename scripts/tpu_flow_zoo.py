@@ -23,3 +23,5 @@ for name in get_supported_normalizing_flows(synonyms=False):
     except Exception as e:
         fail.append((name, repr(e)[:160])); print(f"FAIL {name}: {repr(e)[:160]}", flush=True)
 print("ok:", len(ok), "fail:", len(fail))
+import sys
+sys.exit(1 if fail else 0)  # CI-visible failure status

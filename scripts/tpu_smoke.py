@@ -42,3 +42,5 @@ for strat in get_supported_samplers():
         fail.append((strat, repr(e)[:200]))
         print(f"FAIL {strat}: {repr(e)[:200]}", flush=True)
 print("ok:", len(ok), "fail:", len(fail))
+import sys
+sys.exit(1 if fail else 0)  # CI-visible failure status

@@ -7,11 +7,15 @@ TARGET = DiagonalGaussian(mu=np.full(3, 2.0), sigma=np.full(3, 0.5))
 FLOW = 'realnvp%{"n_layers": 2, "hidden_size": 16}'
 TRUE = 3 * np.log(0.5)
 
+_n_fail = 0
+
 def check(name, fn):
+    global _n_fail
     try:
         fn()
         print(f"OK   {name}", flush=True)
     except Exception as e:
+        _n_fail += 1
         print(f"FAIL {name}: {repr(e)[:200]}", flush=True)
 
 from nfmc_tpu.transport import aft, craft, snf, ns, pmc
@@ -33,4 +37,5 @@ def _pmc():
     assert abs(out["log_Z"] - TRUE) < 1.0, out["log_Z"]
 check("pmc", _pmc)
 check("fab", lambda: fab(TARGET, FLOW, n_iterations=8, n_flow_training_steps=10, n_ais_particles=64, seed=0))
-print("done", flush=True)
+print("done", "failures:", _n_fail, flush=True)
+sys.exit(1 if _n_fail else 0)  # CI-visible failure status

@@ -168,3 +168,31 @@ def test_step_info_defaults_are_plain_ints():
     info = StepInfo(n_accepted=jnp.zeros((), jnp.int32), diverged=jnp.zeros((), jnp.int32))
     assert type(info.n_calls) is int and info.n_calls == 0
     assert type(info.n_grads) is int and info.n_grads == 0
+
+
+def test_stats_accum_dyn_counters_survive_int32_range():
+    """Dynamic call/grad counts are carried across ALL chunks; large-chain
+    trajectory-dependent kernels (ChEES) push the run total past 2^31 where
+    the old i32 accumulator wrapped negative (round-3 review fix)."""
+    import jax.numpy as jnp
+
+    from nfmc_tpu.core.driver import StatsAccum, StepInfo
+
+    acc = StatsAccum.zeros((2,))
+    per_iter = 524_288  # 1024 chains x 256 leapfrogs x 2
+    x = jnp.zeros((4, 2))
+
+    def body(acc, _):
+        info = StepInfo(
+            n_accepted=jnp.zeros((), jnp.int32),
+            diverged=jnp.zeros((), jnp.int32),
+            n_calls=jnp.asarray(per_iter, jnp.int32),
+            n_grads=jnp.asarray(per_iter, jnp.int32),
+        )
+        return acc.add(info, x), None
+
+    import jax
+
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(8192))
+    total = int(round(float(acc.n_grads_dyn) + float(acc.c_grads_dyn)))
+    assert total == per_iter * 8192  # = 2^31 * 2, exactly representable & exact

@@ -1,6 +1,7 @@
 """On-device diagnostics: ESS + split R-hat sanity."""
 import jax
 import numpy as np
+import pytest
 
 from nfmc_tpu.diagnostics import effective_sample_size, potential_scale_reduction, summarize
 
@@ -167,3 +168,38 @@ def test_summarize_tiny_run_rhat_none():
     s = summarize(jax.random.normal(jax.random.key(6), (2, 4, 3)))
     assert s["rhat_max"] is None
     assert np.isfinite(s["ess_mean"])
+
+
+def test_output_ess_forwards_window_args():
+    """MCMCOutput.effective_sample_size must pass max_window/dim_slab through
+    (an outer slice + inner default re-window double-extrapolated and ignored
+    larger windows; round-3 review fix)."""
+    import numpy as np
+
+    from nfmc_tpu.core.output import MCMCOutput
+
+    rng = np.random.default_rng(0)
+    out = MCMCOutput((3,))
+    for _ in range(40):
+        out.running_samples.add(rng.standard_normal((1, 8, 3)).astype(np.float32))
+    # window smaller than history: factor = n / window
+    ess_w, factor = out.effective_sample_size(max_window=10, return_extrapolation=True)
+    assert factor == pytest.approx(4.0)
+    # full history: no extrapolation
+    ess_full, f2 = out.effective_sample_size(max_window=None, return_extrapolation=True)
+    assert f2 == 1.0
+    assert ess_w.shape == ess_full.shape == (3,)
+
+
+def test_summary_short_run_degrades():
+    """< 4 stored draws: summary() prints r_hat as n/a instead of raising
+    (round-3 review fix)."""
+    import numpy as np
+
+    from nfmc_tpu.core.output import MCMCOutput
+
+    out = MCMCOutput((2,))
+    out.running_samples.add(np.zeros((2, 4, 2), dtype=np.float32) + np.arange(2).reshape(2, 1, 1))
+    out.statistics.expectations.update(np.zeros((4, 2)))
+    s = out.summary()
+    assert "n/a" in s and "draws: 2 x 4" in s

@@ -340,3 +340,19 @@ def test_base_log_prob_override_sampling_guard():
     # clearing restores N(0, I) sampling
     flow.set_base_log_prob(None)
     assert flow.sample(4, key=jax.random.key(2)).shape == (4, 2)
+
+
+def test_spline_flows_identity_at_zero_init():
+    """Zero conditioner output must give the identity map (uniform knots AND
+    unit interior derivatives — the raw_d shift; round-3 review fix)."""
+    import jax.numpy as jnp
+    from nfmc_tpu.flows.spline import (linear_rational_spline,
+                                       rational_quadratic_spline)
+
+    x = jnp.linspace(-6.0, 6.0, 41)  # spans tails and interior
+    y, ld = rational_quadratic_spline(x, jnp.zeros((41, 23)), inverse=False, n_bins=8)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld), 0.0, atol=1e-6)
+    y2, ld2 = linear_rational_spline(x, jnp.zeros((41, 31)), inverse=False, n_bins=8)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld2), 0.0, atol=1e-6)

@@ -214,8 +214,12 @@ def test_spline_fused_roundtrip_identity(interpret_spline):
     x = 2.0 * jax.random.normal(jax.random.key(3), (11, 7))
     z, ld_f = sp.fused_rqs_forward(f.params, x, 7, 2, 8, 5.0)
     x2, ld_i = sp.fused_rqs_inverse(f.params, z, 7, 2, 8, 5.0)
-    assert float(jnp.max(jnp.abs(x2 - x))) < 1e-4
-    assert float(jnp.max(jnp.abs(ld_f + ld_i))) < 1e-4
+    # 5e-4: f32 roundtrip through the RQS quadratic-root inverse; the
+    # zero-init-identity derivative shift (flows/spline.py _DERIV_SHIFT)
+    # steepened random-param segments enough to push the worst element past
+    # the old 1e-4 (observed 2.4e-4 on values ~2.2, i.e. ~1e-4 relative)
+    assert float(jnp.max(jnp.abs(x2 - x))) < 5e-4
+    assert float(jnp.max(jnp.abs(ld_f + ld_i))) < 5e-4
 
 
 def test_spline_fused_custom_vjp_gradients(interpret_spline, monkeypatch):

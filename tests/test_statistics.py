@@ -1,6 +1,7 @@
 """Counter contract (SURVEY.md section 2.8), streaming expectations, and
 sample-store semantics (thinning / max_samples)."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -258,3 +259,30 @@ def test_output_summary():
     assert "r_hat" in text and "ess" in text
     assert "... (1 more dimensions)" in text
     assert "accept" in text and "divergences" in text
+
+
+def test_running_variance_clamped_nonnegative():
+    """E[x^2]-E[x]^2 cancellation on near-constant large-magnitude dims must
+    not return negative variance (downstream sqrt; round-3 review fix)."""
+    from nfmc_tpu.core.statistics import MCMCStatistics
+
+    st = MCMCStatistics((2,))
+    x = 1e4 * np.ones((64, 2), dtype=np.float32)
+    x[:, 1] += np.linspace(-5e-1, 5e-1, 64).astype(np.float32)
+    for i in range(4):
+        st.expectations.update(jnp.asarray(x + 0.03 * i))
+    var = np.asarray(st.running_variance)
+    assert (var >= 0.0).all()
+
+
+def test_subclass_counters_keyword_only():
+    """Positional calls valid on the base class must not silently repurpose
+    the first slots as jump/swap counters (round-3 review fix)."""
+    from nfmc_tpu.core.statistics import JumpNFMCStatistics, PTStatistics
+
+    for cls in (JumpNFMCStatistics, PTStatistics):
+        st = cls((2,))
+        with pytest.raises(TypeError):
+            st.update_counters(3, 4)
+        st.update_counters(n_accepted_trajectories=3, n_attempted_trajectories=4)
+        assert st.n_accepted_trajectories == 3
