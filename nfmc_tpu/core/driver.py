@@ -327,9 +327,14 @@ class ChunkedScanDriver:
         emit_transform: Optional[Callable[[jax.Array], jax.Array]] = None,
         make_precompute: Optional[Callable[[bool], Callable]] = None,
         make_step_aux: Optional[Callable[[bool], Callable]] = None,
+        unroll: int = 1,
     ):
         self.event_shape = tuple(event_shape)
         self.make_step = make_step
+        # lax.scan unroll factor (MCMCParameters.scan_unroll): pure scheduling
+        # hint, bit-identical results, amortizes TPU scan-loop overhead for
+        # tiny step bodies at the cost of linearly larger compiled programs.
+        self.unroll = max(1, int(unroll))
         # State-independent per-iteration work can be hoisted out of the scan
         # and computed for the WHOLE chunk in one batched pass: flow proposals
         # (base draw + coupling inverse + log-prob + target eval — (chunk*C,
@@ -364,6 +369,7 @@ class ChunkedScanDriver:
             precompute_fn = self.make_precompute(tuning) if self.make_precompute else None
             data_transform = self.data_transform
             emit_transform = self.emit_transform
+            unroll = self.unroll
 
             def run_chunk(x, kstate, acc, key, chunk):
                 # Per-iteration keys derive inside the compiled chunk and the
@@ -396,7 +402,9 @@ class ChunkedScanDriver:
                         emit = None
                     return (x_new, ks_new, acc_new), emit
 
-                (x, kstate, acc), ys = jax.lax.scan(body, (x, kstate, acc), xs)
+                (x, kstate, acc), ys = jax.lax.scan(
+                    body, (x, kstate, acc), xs, unroll=unroll
+                )
                 return x, kstate, acc, key_next, ys
 
             self._runners[cache_key] = jax.jit(

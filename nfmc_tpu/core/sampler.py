@@ -39,6 +39,13 @@ class MCMCParameters:
     # streaming to host per chunk (critical when the host link is slow; see
     # core/samples.py). Reference-parity default is host storage.
     store_samples_on_device: bool = False
+    # TPU-native extension: lax.scan unroll factor for the chunked hot loop.
+    # Small-chain workloads are scan-overhead-bound (a (100,100) MALA step's
+    # arithmetic is ~us; the TPU scan loop adds tens of us per iteration) —
+    # unrolling emits N step bodies per loop iteration so XLA fuses across
+    # them. Pure scheduling hint: results are bit-identical. Costs linearly
+    # larger programs (compile time), so default off.
+    scan_unroll: int = 1
 
     def __post_init__(self):
         pass

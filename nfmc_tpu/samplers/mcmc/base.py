@@ -181,6 +181,8 @@ class MCMCSampler(Sampler):
             getattr(p, "imd_adjustment", None),
             # baked into the driver's precompute closure
             self.rng_hoist_element_limit,
+            # baked into the driver's scan (scheduling hint, bit-identical)
+            getattr(p, "scan_unroll", 1),
         )
 
     # ---- kernel adaptation -------------------------------------------------
@@ -283,6 +285,7 @@ class MCMCSampler(Sampler):
                 data_transform=self.data_transform,
                 make_precompute=make_precompute,
                 make_step_aux=self._make_step_aux if make_precompute else None,
+                unroll=getattr(self.params, "scan_unroll", 1),
             )
             self._driver_config = config
         return self._driver

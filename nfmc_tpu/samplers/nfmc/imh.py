@@ -253,10 +253,12 @@ class FixedIMH(AbstractIMH):
         # carry), so the driver is reusable across calls and flow refits.
         driver = self._cached_driver(
             (id(flow), id(flow.bijection), id(flow._base_log_prob_override),
-             id(self.target), self.rng_hoist_element_limit),
+             id(self.target), self.rng_hoist_element_limit,
+             getattr(self.params, "scan_unroll", 1)),
             lambda: ChunkedScanDriver(
                 self.event_shape, make_step,
                 make_step_aux=make_step_aux, make_precompute=make_precompute,
+                unroll=getattr(self.params, "scan_unroll", 1),
             ),
             keepalive=(flow, flow.bijection, flow._base_log_prob_override, self.target),
         )

@@ -56,6 +56,12 @@ class JumpNFMCParameters(NFMCParameters):
     fit_nf: bool = False
     warmup_fit_kwargs: Optional[dict] = None
     n_jumps_before_training: int = 10
+    # lax.scan unroll factors for the fused outer loop. The headline workload
+    # (100 chains x 100-d) is dispatch-bound, not FLOP-bound: unrolling lets
+    # XLA fuse across trajectory steps / outer iterations at the cost of
+    # linearly larger programs (compile time). 1 = no unrolling (default).
+    fused_unroll_inner: int = 1
+    fused_unroll_outer: int = 1
 
     def __post_init__(self):
         super().__post_init__()
@@ -116,6 +122,9 @@ class JumpNFMC(Sampler):
             train_pct=self.params.train_pct,
             max_train_size=self.params.max_train_size,
             max_val_size=self.params.max_val_size,
+            # Derive the shuffle seed from the run key: default_rng(None)
+            # would pull OS entropy and break seeded reproducibility.
+            seed=int(jax.random.randint(jax.random.fold_in(k_fit, 1), (), 0, 2**31 - 1)),
         )
         flow_params = self.kernel.flow.state_dict()
         elapsed = time.time() - t0
@@ -240,6 +249,7 @@ class JumpNFMC(Sampler):
                   self.rng_hoist_element_limit, fit_cfg,
                   self.params.train_pct, self.params.max_train_size,
                   self.params.max_val_size,
+                  self.params.fused_unroll_inner, self.params.fused_unroll_outer,
                   id(flow), id(flow.bijection), id(flow._base_log_prob_override),
                   id(self.target),
                   self.inner_sampler._static_config())
@@ -277,6 +287,8 @@ class JumpNFMC(Sampler):
         train_pct = self.params.train_pct
         max_train_size = self.params.max_train_size
         max_val_size = self.params.max_val_size
+        unroll_inner = max(1, int(self.params.fused_unroll_inner))
+        unroll_outer = max(1, int(self.params.fused_unroll_outer))
 
         def run_chunk(x, inner_kstate, flow_params, acc, jump_acc, key, fit_gate, chunk):
             keys = jax.random.split(key, chunk + 1)
@@ -375,7 +387,7 @@ class JumpNFMC(Sampler):
                     inner_xs_in = jax.random.split(k_inner, inner_n)
 
                 (x, ks, acc), inner_xs = jax.lax.scan(
-                    inner_body, (x, ks, acc), inner_xs_in
+                    inner_body, (x, ks, acc), inner_xs_in, unroll=unroll_inner
                 )
                 if refit:
                     data = inner_xs.reshape(inner_n * n_chains, *event_shape)
@@ -404,7 +416,8 @@ class JumpNFMC(Sampler):
             else:
                 carry0 = (x, inner_kstate, acc, jump_acc)
             carry, ys = jax.lax.scan(
-                outer_body, carry0, (keys, proposals, fit_gate, idraws)
+                outer_body, carry0, (keys, proposals, fit_gate, idraws),
+                unroll=unroll_outer,
             )
             if refit:
                 x, inner_kstate, flow_params, acc, jump_acc = carry
@@ -594,6 +607,9 @@ class JumpNFMC(Sampler):
                     train_pct=self.params.train_pct,
                     max_train_size=self.params.max_train_size,
                     max_val_size=self.params.max_val_size,
+                    # Keyed shuffle (default_rng(None) is OS entropy —
+                    # would break seeded reproducibility of refit runs).
+                    seed=int(jax.random.randint(jax.random.fold_in(k_fit, 1), (), 0, 2**31 - 1)),
                 )
                 flow_params_snapshot = flow.state_dict()
                 try:

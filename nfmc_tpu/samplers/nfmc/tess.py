@@ -433,10 +433,12 @@ class TESS(Sampler):
         driver = self._cached_driver(
             (max_iter, id(flow.bijection), id(flow._base_log_prob_override),
              cov_token, id(self.negative_log_likelihood),
-             self.rng_hoist_element_limit),
+             self.rng_hoist_element_limit,
+             getattr(self.params, "scan_unroll", 1)),
             lambda: ChunkedScanDriver(
                 self.event_shape, make_step,
                 make_precompute=make_precompute, make_step_aux=make_step_aux,
+                unroll=getattr(self.params, "scan_unroll", 1),
             ),
             keepalive=(flow.bijection, flow._base_log_prob_override,
                        self.negative_log_likelihood),

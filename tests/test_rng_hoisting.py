@@ -169,3 +169,41 @@ def test_jump_proposal_hoist_limit_independent_of_inner():
     no_hoist = build(0, 0).sample(X0, show_progress=False, seed=9)
     assert np.allclose(np.asarray(full.samples), np.asarray(no_jump_hoist.samples), atol=1e-5)
     assert np.allclose(np.asarray(full.samples), np.asarray(no_hoist.samples), atol=1e-5)
+
+
+def test_jump_fused_unroll_matches_default():
+    """``fused_unroll_inner/outer`` are pure scheduling hints: any unroll
+    factor must reproduce the default (unroll=1) chain bit-for-bit — the
+    scan body and its key derivations are untouched, XLA just emits more
+    copies of it per loop iteration."""
+
+    def build(ui, uo):
+        s = JumpMALA((5,), standard_gaussian_potential)
+        s.params.n_iterations = 9
+        s.inner_sampler.params.n_iterations = 3
+        s.params.fused_unroll_inner = ui
+        s.params.fused_unroll_outer = uo
+        return s
+
+    base = build(1, 1).sample(X0, show_progress=False, seed=12)
+    unrolled = build(3, 4).sample(X0, show_progress=False, seed=12)
+    assert np.allclose(
+        np.asarray(base.samples), np.asarray(unrolled.samples), atol=1e-5
+    )
+    assert (
+        base.statistics.n_accepted_jumps == unrolled.statistics.n_accepted_jumps
+    )
+
+
+def test_mcmc_scan_unroll_matches_default():
+    """MCMCParameters.scan_unroll is a pure scheduling hint on the core
+    driver's chunked scan — unrolled results must match unroll=1 (measured
+    neutral on v5e-via-tunnel; the knob exists for other hardware)."""
+    a = MALA((5,), standard_gaussian_potential)
+    a.params.n_iterations = 12
+    b = MALA((5,), standard_gaussian_potential)
+    b.params.n_iterations = 12
+    b.params.scan_unroll = 4
+    oa = a.sample(X0, show_progress=False, seed=13)
+    ob = b.sample(X0, show_progress=False, seed=13)
+    assert np.allclose(np.asarray(oa.samples), np.asarray(ob.samples), atol=1e-5)
