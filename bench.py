@@ -3,7 +3,7 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 * value: ESS/sec of nfmc-tpu's fused jump_mala (RealNVP proposal, 100 chains,
-  25-d standard Gaussian) on the default JAX device (TPU under the driver).
+  100-d standard Gaussian) on the default JAX device (TPU under the driver).
 * vs_baseline: throughput ratio against a faithful *eager torch CPU* replica
   of the reference's computation pattern (per-iteration Python loop, one
   autograd call per gradient, eager RealNVP passes; the replica mirrors

@@ -10,8 +10,8 @@ the checkpoint files are deleted.
 
 Run me twice with KILL=1 the first time to see it in action:
 
-    KILL=1 python examples/09_preemption_safe.py   # dies mid-run
-    python examples/09_preemption_safe.py          # resumes and finishes
+    KILL=1 python examples/12_preemption_safe.py   # dies mid-run
+    python examples/12_preemption_safe.py          # resumes and finishes
 """
 import sys as _sys, pathlib as _pathlib
 _sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))  # repo-root import without pip install

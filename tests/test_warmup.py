@@ -314,3 +314,26 @@ def test_neutra_transport_x0():
     out = s.sample(x0, show_progress=False, seed=2)
     sig = np.sqrt(np.asarray(out.statistics.running_variance))
     np.testing.assert_allclose(sig, sigma, rtol=0.2)
+
+
+def test_jump_warmup_then_sample_exactly_repeatable():
+    """Seeded warmup+sample must be bit-for-bit repeatable. Regression: the
+    warmup/refit flow fits shuffled their train/val split with
+    ``np.random.default_rng(None)`` (fresh OS entropy per call), so two runs
+    with identical seeds trained on different splits and diverged. The split
+    seed now derives from the run key (``jump.py`` warmup + host refit,
+    fused precompute)."""
+    def run():
+        s = JumpMALA(
+            event_shape=(N_DIM,), target=standard_gaussian_potential,
+            kernel=NFMCKernel((N_DIM,), flow=small_flow((N_DIM,))),
+        )
+        s.params.flow_fit_kwargs = fast_fit_kwargs()
+        s.params.n_iterations = 4
+        s.inner_sampler.params.n_warmup_iterations = 6
+        s.inner_sampler.params.n_iterations = 3
+        s.warmup(_x0(), show_progress=False, seed=5)
+        return s.sample(_x0(), show_progress=False, seed=6)
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(np.asarray(a.samples), np.asarray(b.samples))
