@@ -316,8 +316,11 @@ def get_supported_mcmc_samplers() -> List[str]:
     # (gradient-free, step-size-free; samplers/mcmc/ensemble.py).
     # "chees_hmc" is a superset: cross-chain adaptive trajectory length
     # (Hoffman et al. 2021; samplers/mcmc/chees.py).
+    # "dense_hmc"/"dense_mala" are supersets: full-covariance (Stan "dense
+    # metric") mass-matrix adaptation — the reference's Metropolis adaptation
+    # is diagonal-only (``mcmc/base.py:105-161``; samplers/mcmc/dense.py).
     return ["hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts", "pt_mala", "pt_mh",
-            "pt_hmc", "aies", "chees_hmc"]
+            "pt_hmc", "aies", "chees_hmc", "dense_hmc", "dense_mala"]
 
 
 def get_supported_nfmc_samplers() -> List[str]:

@@ -49,6 +49,12 @@ from ..samplers.mcmc import (
     PTRWMH,
     PTKernel,
     PTParameters,
+    DenseHMC,
+    DenseHMCKernel,
+    DenseHMCParameters,
+    DenseLangevinKernel,
+    DenseLangevinParameters,
+    DenseMALA,
 )
 from ..samplers.nfmc import (
     JumpChEES,
@@ -110,7 +116,19 @@ def create_sampler(
     event_size = int(np.prod(event_shape))
 
     if strategy in ("hmc", "uhmc", "ula", "mala", "mh", "ess", "nuts", "pt_mala",
-                    "pt_mh", "pt_hmc", "aies", "chees_hmc"):
+                    "pt_mh", "pt_hmc", "aies", "chees_hmc", "dense_hmc",
+                    "dense_mala"):
+        if strategy == "dense_hmc":
+            # Superset of the reference registry: full-covariance (dense
+            # metric) mass matrix; the reference adapts diagonal-only
+            # (``mcmc/base.py:105-161``; samplers/mcmc/dense.py).
+            return DenseHMC(event_shape, target,
+                            DenseHMCKernel(event_size=event_size, **kernel_kwargs),
+                            DenseHMCParameters(**param_kwargs))
+        if strategy == "dense_mala":
+            return DenseMALA(event_shape, target,
+                             DenseLangevinKernel(event_size=event_size, **kernel_kwargs),
+                             DenseLangevinParameters(**param_kwargs))
         if strategy == "chees_hmc":
             # Superset of the reference registry: jittered HMC with ChEES
             # cross-chain trajectory-length adaptation (samplers/mcmc/chees.py).

@@ -7,6 +7,14 @@ from .nuts import NUTS, NUTSKernel, NUTSParameters
 from .pt import PTHMC, PTMALA, PTRWMH, ParallelTempering, PTKernel, PTParameters
 from .ensemble import AIES, AIESKernel, AIESParameters
 from .chees import CheesHMC, CheesHMCKernel, CheesHMCParameters
+from .dense import (
+    DenseHMC,
+    DenseHMCKernel,
+    DenseHMCParameters,
+    DenseLangevinKernel,
+    DenseLangevinParameters,
+    DenseMALA,
+)
 
 __all__ = [
     "MCMCSampler", "MetropolisKernel", "MetropolisParameters", "MetropolisSampler",
@@ -18,4 +26,6 @@ __all__ = [
     "PTHMC", "PTMALA", "PTRWMH", "ParallelTempering", "PTKernel", "PTParameters",
     "AIES", "AIESKernel", "AIESParameters",
     "CheesHMC", "CheesHMCKernel", "CheesHMCParameters",
+    "DenseHMC", "DenseHMCKernel", "DenseHMCParameters",
+    "DenseMALA", "DenseLangevinKernel", "DenseLangevinParameters",
 ]

@@ -93,24 +93,39 @@ class HMC(MetropolisSampler):
 
         return propose
 
+    # ---- metric hooks (overridden by the dense-metric superset, dense.py) ----
+    def _momentum(self, mstate, p_raw):
+        """Map raw normals (B, event_size) -> momenta p ~ N(0, M), flat."""
+        return p_raw / jnp.sqrt(mstate.inv_mass_diag)[None]
+
+    def _precondition(self, mstate, v):
+        """Apply M^{-1} to an event-shaped batch (the leapfrog drift map)."""
+        v_flat = flatten_event(v, self.event_shape)
+        return (v_flat * mstate.inv_mass_diag[None]).reshape(v.shape)
+
+    def _kinetic(self, mstate, p):
+        """0.5 p^T M^{-1} p per chain (event-shaped p)."""
+        return 0.5 * sum_except_batch(self._precondition(mstate, p) * p, self.event_shape)
+
     def make_propose_aux(self):
         target = self.target
         event_shape = self.event_shape
         adjustment = self.params.adjustment
         n_leapfrog = self.kernel.n_leapfrog_steps
         grad_u = batched_grad(target)
+        momentum = self._momentum
+        precond = self._precondition
+        kinetic = self._kinetic
 
         def propose(x, mstate, aux):
             n_chains = x.shape[0]
             p_raw, log_u = aux
-            inv_mass = mstate.inv_mass_diag  # (d,)
             eps = mstate.step_size
 
-            p0 = (p_raw / jnp.sqrt(inv_mass)[None]).reshape(x.shape)
+            p0 = momentum(mstate, p_raw).reshape(x.shape)
 
             def precondition(v):
-                v_flat = flatten_event(v, event_shape)
-                return (v_flat * inv_mass[None]).reshape(v.shape)
+                return precond(mstate, v)
 
             # Leapfrog with one gradient per position (mathematically identical
             # to the reference's B-A-B double-B structure; see module docstring).
@@ -130,8 +145,8 @@ class HMC(MetropolisSampler):
                 jnp.isfinite(flatten_event(x_prime, event_shape)), axis=-1
             )
             if adjustment:
-                h_start = target(x) + 0.5 * sum_except_batch(precondition(p0) * p0, event_shape)
-                h_end = target(x_prime) + 0.5 * sum_except_batch(precondition(p_prime) * p_prime, event_shape)
+                h_start = target(x) + kinetic(mstate, p0)
+                h_end = target(x_prime) + kinetic(mstate, p_prime)
                 log_prob_accept = -h_end + h_start
                 mask = (log_u < log_prob_accept) & finite_prop & jnp.isfinite(h_end)
                 # Divergence = non-finite trajectory end OR non-finite

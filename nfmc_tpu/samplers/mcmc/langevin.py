@@ -77,6 +77,24 @@ class Langevin(MetropolisSampler):
         u0, g0 = value_and_batched_grad(self.target)(x0)
         return (mstate, u0, g0)
 
+    # ---- metric hooks (overridden by the dense-metric superset, dense.py) ----
+    def _drift_noise(self, mstate, g_flat, noise_flat):
+        """Langevin move increment: ``-tau A grad U + sqrt(2 tau) sqrt(A) xi``
+        with the diagonal preconditioner ``A = 1/m^2`` (reference
+        ``langevin.py:74-76``)."""
+        tau = mstate.step_size
+        inv_mass = mstate.inv_mass_diag
+        return (
+            -tau / (inv_mass[None] ** 2) * g_flat
+            + jnp.sqrt(2.0 * tau) / inv_mass[None] * noise_flat
+        )
+
+    def _proposal_potential(self, mstate, x_prime_flat, x_flat, grad_u_x_flat):
+        a_diag = 1.0 / mstate.inv_mass_diag**2
+        return proposal_potential(
+            x_prime_flat, x_flat, grad_u_x_flat, a_diag, mstate.step_size
+        )
+
     def make_draws(self):
         """Per-iteration randomness, hoistable per chunk (bit-identical to the
         in-scan derivation in ``_make_step``)."""
@@ -113,32 +131,28 @@ class Langevin(MetropolisSampler):
         u_and_grad = value_and_batched_grad(target)
         update_kernel = self.make_update_kernel()
 
+        drift_noise = self._drift_noise
+        prop_potential = self._proposal_potential
+
         def step(x, state, key, aux):
             mstate, u_x, g_x = state
             n_chains = x.shape[0]
             noise, log_u = aux
-            tau = mstate.step_size
-            inv_mass = mstate.inv_mass_diag
 
             g_flat = flatten_event(g_x, event_shape)
             x_flat = flatten_event(x, event_shape)
-            xp_flat = (
-                x_flat
-                - tau / (inv_mass[None] ** 2) * g_flat
-                + jnp.sqrt(2.0 * tau) / inv_mass[None] * flatten_event(noise, event_shape)
-            )
+            xp_flat = x_flat + drift_noise(mstate, g_flat, flatten_event(noise, event_shape))
             x_prime = xp_flat.reshape(x.shape)
             finite_prop = jnp.all(jnp.isfinite(xp_flat), axis=-1)
 
             u_xp, g_xp = u_and_grad(x_prime)
             if adjustment:
                 gp_flat = flatten_event(g_xp, event_shape)
-                a_diag = 1.0 / inv_mass**2
                 log_ratio = metropolis_acceptance_log_ratio(
                     log_prob_target_curr=-u_x,
                     log_prob_target_prime=-u_xp,
-                    log_prob_proposal_curr=-proposal_potential(x_flat, xp_flat, gp_flat, a_diag, tau),
-                    log_prob_proposal_prime=-proposal_potential(xp_flat, x_flat, g_flat, a_diag, tau),
+                    log_prob_proposal_curr=-prop_potential(mstate, x_flat, xp_flat, gp_flat),
+                    log_prob_proposal_prime=-prop_potential(mstate, xp_flat, x_flat, g_flat),
                 )
                 mask = (log_u < log_ratio) & finite_prop & jnp.isfinite(u_xp)
             else:
@@ -168,19 +182,18 @@ class Langevin(MetropolisSampler):
         adjustment = self.params.adjustment
         u_and_grad = value_and_batched_grad(target)
 
+        drift_noise = self._drift_noise
+        prop_potential = self._proposal_potential
+
         def propose(x, mstate, key):
             n_chains = x.shape[0]
             k_noise, k_accept = jax.random.split(key)
             noise = jax.random.normal(k_noise, x.shape)
-            tau = mstate.step_size
-            inv_mass = mstate.inv_mass_diag  # (d,)
 
             u_x, grad_u_x = u_and_grad(x)
             g_flat = flatten_event(grad_u_x, event_shape)
             x_flat = flatten_event(x, event_shape)
-            grad_term = -tau / (inv_mass[None] ** 2) * g_flat
-            noise_term = jnp.sqrt(2.0 * tau) / inv_mass[None] * flatten_event(noise, event_shape)
-            xp_flat = x_flat + grad_term + noise_term
+            xp_flat = x_flat + drift_noise(mstate, g_flat, flatten_event(noise, event_shape))
             x_prime = xp_flat.reshape(x.shape)
 
             finite_prop = jnp.all(jnp.isfinite(xp_flat), axis=-1)
@@ -191,12 +204,11 @@ class Langevin(MetropolisSampler):
             u_xp, grad_u_xp = u_and_grad(x_prime)
             if adjustment:
                 gp_flat = flatten_event(grad_u_xp, event_shape)
-                a_diag = 1.0 / inv_mass**2
                 log_ratio = metropolis_acceptance_log_ratio(
                     log_prob_target_curr=-u_x,
                     log_prob_target_prime=-u_xp,
-                    log_prob_proposal_curr=-proposal_potential(x_flat, xp_flat, gp_flat, a_diag, tau),
-                    log_prob_proposal_prime=-proposal_potential(xp_flat, x_flat, g_flat, a_diag, tau),
+                    log_prob_proposal_curr=-prop_potential(mstate, x_flat, xp_flat, gp_flat),
+                    log_prob_proposal_prime=-prop_potential(mstate, xp_flat, x_flat, g_flat),
                 )
                 log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
                 # Guard on u_xp too: a -inf proposal potential would make

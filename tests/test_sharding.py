@@ -47,6 +47,29 @@ def test_sharded_hmc_with_tuning():
     assert np.isfinite(out.samples).all()
 
 
+def test_sharded_dense_mala_tuning_matches_unsharded():
+    """Dense-metric adaptation crosses the sharded chain axis (the cross-chain
+    covariance matmul becomes a GSPMD collective); tuned metric and chains
+    must match the unsharded run."""
+    from nfmc_tpu.samplers.mcmc import DenseMALA
+
+    def run(sharded):
+        s = DenseMALA(event_shape=(5,), target=standard_gaussian_potential)
+        s.params.n_warmup_iterations = 8
+        s.params.n_iterations = 4
+        x0 = jax.random.normal(jax.random.key(2), (16, 5))
+        if sharded:
+            x0 = shard_chains(x0, chain_mesh())
+        s.warmup(x0, show_progress=False, seed=9)
+        out = s.sample(x0, show_progress=False, seed=9)
+        return s, out
+
+    s_plain, out_plain = run(False)
+    s_shard, out_shard = run(True)
+    assert np.allclose(out_plain.samples, out_shard.samples, atol=1e-4)
+    assert np.allclose(s_plain.kernel.mass_cov, s_shard.kernel.mass_cov, atol=1e-5)
+
+
 def test_sharded_imh_matches_unsharded():
     """FixedIMH's chunk-batched proposal precompute under GSPMD: the hoisted
     (chunk*C, *event) flow pass must partition over the chain axis and produce
