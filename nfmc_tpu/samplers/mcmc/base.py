@@ -69,15 +69,22 @@ class MetropolisKernel(MCMCKernel):
             self.da_params = DualAveragingParams()
 
     def make_state(self) -> MetropolisState:
+        da = getattr(self, "_resume_da", None)
         return MetropolisState(
             step_size=jnp.asarray(self.step_size, dtype=jnp.float32),
             inv_mass_diag=jnp.asarray(self.inv_mass_diag, dtype=jnp.float32),
-            da=da_init(self.step_size, self.da_params),
+            da=da if da is not None else da_init(self.step_size, self.da_params),
         )
 
     def sync_from_state(self, state: MetropolisState) -> None:
         self.step_size = float(state.step_size)
         self.inv_mass_diag = as_numpy(state.inv_mass_diag)
+        # Carry the dual-averaging state across runs and checkpoints so a
+        # mid-warmup resume CONTINUES adaptation rather than restarting it
+        # (the reference copies its DualAveraging object back after warmup,
+        # ``mcmc/base.py:39-54`` — same semantics). make_state() includes
+        # ``da`` in the saved pytree, so checkpointed resume is exact.
+        self._resume_da = jax.tree_util.tree_map(jnp.asarray, state.da)
 
     def __repr__(self):
         return (

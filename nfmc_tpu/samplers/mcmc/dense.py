@@ -80,21 +80,37 @@ class _DenseCovKernelMixin:
                 raise ValueError(
                     f"mass_cov shape {self.mass_cov.shape} != ({d}, {d})"
                 )
+            # Fail at kernel construction with the knob named, not later as a
+            # bare LinAlgError inside make_state().
+            try:
+                _host_factorize(self.mass_cov, self.make_state_ridge)
+            except np.linalg.LinAlgError as e:
+                raise ValueError(
+                    "mass_cov must be positive definite (Cholesky "
+                    f"factorization failed: {e})"
+                ) from e
 
     def make_state(self) -> DenseMetropolisState:
         chol, chol_inv = _host_factorize(self.mass_cov, self.make_state_ridge)
+        da = getattr(self, "_resume_da", None)
+        t = getattr(self, "_resume_t", None)
         return DenseMetropolisState(
             step_size=jnp.asarray(self.step_size, dtype=jnp.float32),
             cov=jnp.asarray(self.mass_cov, dtype=jnp.float32),
             chol=jnp.asarray(chol),
             chol_inv=jnp.asarray(chol_inv),
-            t=jnp.asarray(0, dtype=jnp.int32),
-            da=da_init(self.step_size, self.da_params),
+            t=jnp.asarray(0, dtype=jnp.int32) if t is None else jnp.asarray(t, dtype=jnp.int32),
+            da=da if da is not None else da_init(self.step_size, self.da_params),
         )
 
     def sync_from_state(self, state: DenseMetropolisState) -> None:
         self.step_size = float(state.step_size)
         self.mass_cov = as_numpy(state.cov)
+        # Carry dual averaging + the refresh counter like step_size/cov, so a
+        # checkpoint taken mid-warmup resumes adaptation (and the Cholesky
+        # refresh cadence) exactly instead of silently restarting them.
+        self._resume_da = jax.tree_util.tree_map(jnp.asarray, state.da)
+        self._resume_t = int(state.t)
 
     def __repr__(self):
         diag = np.diag(np.asarray(self.mass_cov))

@@ -7,6 +7,8 @@ identity-metric equivalence with the diagonal family, counter-contract parity
 (SURVEY.md section 2.8), warmup adaptation toward the target covariance,
 moment correctness on a correlated target, and the make_state/sync_from_state
 checkpoint contract."""
+import dataclasses
+
 import jax
 import numpy as np
 import pytest
@@ -144,3 +146,47 @@ def test_mass_cov_shape_validated():
     k = DenseLangevinKernel(event_size=3, mass_cov=2.0 * np.eye(3))
     st = k.make_state()
     np.testing.assert_allclose(np.asarray(st.chol), np.sqrt(2.0) * np.eye(3), rtol=1e-3)
+
+
+def test_mass_cov_positive_definite_validated():
+    """ADVICE r3: a non-PD mass_cov must fail at kernel construction with the
+    knob named, not as a bare LinAlgError inside make_state()."""
+    bad = np.eye(4, dtype=np.float32)
+    bad[0, 0] = -1.0
+    with pytest.raises(ValueError, match="mass_cov"):
+        DenseHMCKernel(event_size=4, mass_cov=bad)
+
+
+def test_sync_carries_dual_averaging_and_refresh_counter():
+    """ADVICE r3: sync_from_state must persist the dual-averaging state and
+    the refresh counter t, so mid-warmup checkpoint resume continues
+    adaptation instead of restarting it."""
+    import jax.numpy as jnp
+
+    k = DenseHMCKernel(event_size=3, step_size=0.2)
+    st = k.make_state()
+    st = dataclasses.replace(
+        st,
+        t=jnp.asarray(7, dtype=jnp.int32),
+        da=dataclasses.replace(
+            st.da,
+            t=jnp.asarray(17.0, dtype=jnp.float32),
+            error_sum=jnp.asarray(-0.3, dtype=jnp.float32),
+        ),
+    )
+    k.sync_from_state(st)
+    st2 = k.make_state()
+    assert int(st2.t) == 7
+    assert float(st2.da.t) == 17.0
+    assert float(st2.da.error_sum) == pytest.approx(-0.3)
+
+    # diagonal family: same carry (base.MetropolisKernel)
+    from nfmc_tpu.samplers.mcmc.base import MetropolisKernel
+
+    mk = MetropolisKernel(event_size=3, step_size=0.2)
+    mst = mk.make_state()
+    mst = dataclasses.replace(
+        mst, da=dataclasses.replace(mst.da, error_sum=jnp.asarray(0.9, dtype=jnp.float32))
+    )
+    mk.sync_from_state(mst)
+    assert float(mk.make_state().da.error_sum) == pytest.approx(0.9)

@@ -52,18 +52,24 @@ def test_registry_names():
     for name in ["realnvp", "nice", "maf", "iaf", "c-rqnsf", "c-lrsnsf", "resflow", "ffjord"]:
         assert name in flows
     samplers = nfmc_tpu.get_supported_samplers()
-    # Reference list (``util.py:421-444``) plus the documented supersets
-    # "nuts"/"jump_nuts" (the reference's NUTS is a broken Pyro shim; ours is
-    # native multi-chain and front-door reachable).
-    reference_names = [
+    # The reference's canonical list (``util.py:421-444``) is the ONE
+    # hard-coded set: every name must stay front-door reachable. Anything
+    # beyond it is a superset strategy; supersets are COMPUTED from the
+    # registry (not re-enumerated here — a hard-coded superset list broke at
+    # the round-3 snapshot when dense_hmc/dense_mala landed) and each one is
+    # verified to actually dispatch through ``create_sampler``.
+    reference_names = {
         "hmc", "uhmc", "ula", "mala", "mh", "ess",
         "imh", "fixed_imh", "adaptive_imh",
         "jump_mala", "jump_ula", "jump_hmc", "jump_uhmc", "jump_ess", "jump_mh",
         "neutra_mh", "neutra_hmc", "tess", "dlmc",
-    ]
-    for name in reference_names:
-        assert name in samplers
-    assert set(samplers) - set(reference_names) == {
-        "nuts", "jump_nuts", "pt_mala", "pt_mh", "pt_hmc", "aies", "jump_aies",
-        "chees_hmc", "jump_chees", "neutra_chees",
     }
+    assert reference_names <= set(samplers)
+    assert len(samplers) == len(set(samplers)), "duplicate registry names"
+
+    superset_names = set(samplers) - reference_names
+    for name in superset_names:
+        sampler = nfmc_tpu.create_sampler(
+            standard_gaussian_potential, event_shape=(4,), strategy=name,
+        )
+        assert sampler is not None, f"registry lists {name!r} but dispatch fails"
