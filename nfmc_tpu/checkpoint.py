@@ -19,6 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# On-disk format version. v1 = key-path tree signature required; files
+# written before the signature existed (and validated only by repr(treedef)
+# text comparison — fragile across JAX versions) are REFUSED with a clear
+# error rather than risked (VERDICT r3 item 7).
+CHECKPOINT_FORMAT_VERSION = 1
+
+
 def _tree_signature(state: Any) -> str:
     """Version-stable structural signature of a pytree: the JSON list of
     per-leaf key paths, rendered from the path entries themselves — NOT from
@@ -68,6 +75,7 @@ def _save_state_npz(
     arrays["__tree_signature__"] = np.frombuffer(sig.encode(), dtype=np.uint8)
     meta = dict(metadata or {})
     meta.setdefault("tree_signature", sig)
+    meta.setdefault("format_version", CHECKPOINT_FORMAT_VERSION)
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
@@ -109,14 +117,18 @@ def load_checkpoint(path: str, like: Any) -> Tuple[Any, Dict]:
                 "(saved leaf paths %s, like %s) — same-shaped leaves would "
                 "load into the wrong slots" % (path, saved_sig, sig)
             )
-    elif n_saved != len(leaves_like):
-        # legacy file without a signature: the leaf count is the only check
+    else:
         raise ValueError(
-            "checkpoint %s holds %d leaves but `like` has %d — structure "
-            "mismatch" % (path, n_saved, len(leaves_like))
+            "checkpoint %s carries no key-path tree signature (written "
+            "before format_version %d): its structure cannot be validated "
+            "reliably, and same-shaped leaves could load into the wrong "
+            "slots. Re-create the checkpoint with this version."
+            % (path, CHECKPOINT_FORMAT_VERSION)
         )
     leaves = [data[f"leaf_{i}"] for i in range(len(leaves_like))]
-    meta.pop("tree_signature", None)  # writer-internal; caller metadata round-trips
+    # writer-internal fields; caller metadata round-trips unchanged
+    meta.pop("tree_signature", None)
+    meta.pop("format_version", None)
     return jax.tree_util.tree_unflatten(treedef, leaves), meta
 
 
@@ -478,21 +490,26 @@ def sample_resumable(
         sig = _tree_signature(like)
         # key-path signature, not repr(treedef): repr is not a stable
         # serialization contract across JAX versions (VERDICT r2 item 10).
-        # Legacy checkpoints (pre-signature) carry only "treedef" — fall back
-        # to the repr comparison for those.
+        # Pre-signature files (which carried only a "treedef" repr) are
+        # REFUSED outright — the repr comparison they'd need is the exact
+        # JAX-version fragility the signature replaced (VERDICT r3 item 7).
         saved_sig = meta.get("tree_signature")
-        mismatch = (
-            saved_sig != sig if saved_sig is not None
-            else meta.get("treedef") != repr(treedef)
-        )
-        if mismatch:
+        if saved_sig is None:
+            raise ValueError(
+                "checkpoint %s predates format_version %d (no key-path tree "
+                "signature): its structure cannot be validated reliably "
+                "across JAX versions. Delete it "
+                "(discard_resumable_checkpoint) and restart the run."
+                % (path, CHECKPOINT_FORMAT_VERSION)
+            )
+        if saved_sig != sig:
             raise ValueError(
                 "checkpoint %s does not match this sampler's state structure "
                 "(saved %s, got %s) — was it written by a differently "
                 "configured sampler? NOTE: the sampler's extra resumable "
                 "state (e.g. an ESS ellipse) was already applied before this "
                 "check; rebuild the sampler before reusing it."
-                % (path, saved_sig or meta.get("treedef"), sig)
+                % (path, saved_sig, sig)
             )
         state = jax.tree_util.tree_unflatten(
             treedef, [data[f"leaf_{i}"] for i in range(len(leaves_like))]
