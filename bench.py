@@ -348,14 +348,15 @@ def run_north_star():
     def fresh_flow():
         return Flow(RealNVP((d,), n_layers=FLOW_LAYERS, hidden_size=HIDDEN), seed=0)
 
-    def ours_ess_per_s(sampler, n_iters, warm_iters, x0, latent_flow=None, reps=5):
+    def ours_ess_per_s(sampler, n_iters, x0, latent_flow=None, reps=5):
         sampler.params.store_samples_on_device = True
         inner = getattr(sampler, "inner_sampler", None)
         if inner is not None:
             inner.params.store_samples_on_device = True
-        sampler.params.n_iterations = warm_iters
-        sampler.sample(x0, show_progress=False, seed=0)
+        # warm at the timed length: runs <= 1024 iters compile as ONE chunk
+        # of exactly n_iterations, so warming any other length misses it
         sampler.params.n_iterations = n_iters
+        sampler.sample(x0, show_progress=False, seed=0)
         walls = []
         for rep in range(reps):  # median: tunnel latency drifts minute-to-
             # minute and short walls swing +-0.15 s (measured: IMH 0.23-0.32 s
@@ -398,7 +399,7 @@ def run_north_star():
     # 8000 iters / 7 reps: IMH is the shortest-wall section (~0.3 s at 4000
     # iters), where per-chunk tunnel syncs dominate and phase drift swung the
     # recorded speedup 4x between otherwise identical runs
-    ours, ours_out = ours_ess_per_s(s, 8000, 1365, x0, reps=7)
+    ours, ours_out = ours_ess_per_s(s, 8000, x0, reps=7)
 
     torch.manual_seed(0)
     flow_sample, flow_log_prob, _, _ = make_torch_flow(d)
@@ -435,7 +436,7 @@ def run_north_star():
                   inner_kernel=HMCKernel(event_size=d, step_size=HMC_STEP),
                   inner_params=HMCParameters(),
                   kernel=NeuTraKernel((d,), flow=flow))
-    ours, _ = ours_ess_per_s(s, 1000, 341, x0, latent_flow=flow)
+    ours, _ = ours_ess_per_s(s, 1000, x0, latent_flow=flow)
 
     torch.manual_seed(0)
     _, _, _, flow_inverse = make_torch_flow(d)
@@ -474,7 +475,7 @@ def run_north_star():
     # ---- TESS ----------------------------------------------------------------
     s = TESS((d,), target, negative_log_likelihood=target,
              kernel=TESSKernel((d,), flow=fresh_flow()))
-    ours, _ = ours_ess_per_s(s, 2000, 1365, x0)
+    ours, _ = ours_ess_per_s(s, 2000, x0)
 
     torch.manual_seed(0)
     _, _, _, flow_inverse = make_torch_flow(d)
@@ -536,11 +537,10 @@ def run_scale_1024():
     )
     s.params.store_samples = False
     x0 = jax.random.normal(jax.random.key(1), (n_chains, d))
-    s.params.n_iterations = 85  # = 1+4+16+64: warm every chunk size the
-    # timed 100-iteration run uses (64 was previously compiled inside the
-    # timed region, dominating the wall)
-    s.sample(x0, show_progress=False, seed=0)
+    # warm at the SAME length as the timed run: pipelined runs <= 1024 iters
+    # compile as ONE chunk of exactly n_iterations
     s.params.n_iterations = 100
+    s.sample(x0, show_progress=False, seed=0)
     walls = []
     for rep in range(3):  # median of 3 (tunnel latency drift)
         t0 = time.time()
@@ -568,10 +568,9 @@ def run_scale_1024():
     # Fixed-effort refit config -> the fused in-scan path (dlmc.py module
     # docstring): refit epochs + drift + accept compile into one scan step.
     s.params.flow_fit_kwargs = dict(n_epochs=10, lr=5e-3)
-    s.params.n_iterations = 341  # warm chunk sizes 1+4+16+64+256
-    s.sample(x0, show_progress=False, seed=0)
     n_dlmc = 200
-    s.params.n_iterations = n_dlmc
+    s.params.n_iterations = n_dlmc  # warm at the timed length (single chunk)
+    s.sample(x0, show_progress=False, seed=0)
     t0 = time.time()
     out = s.sample(x0, show_progress=False, seed=0)
     wall = time.time() - t0
@@ -901,9 +900,8 @@ def run_saturation():
     )
     s.params.store_samples = False
     x0 = jax.random.normal(jax.random.key(1), (n_chains, d))
-    s.params.n_iterations = 85  # warm chunk sizes 1+4+16+64
+    s.params.n_iterations = 100  # warm at the timed length (single chunk)
     s.sample(x0, show_progress=False, seed=0)
-    s.params.n_iterations = 100
     walls = []
     for _ in range(3):
         t0 = time.time()
@@ -924,9 +922,8 @@ def run_saturation():
     x0 = jax.random.normal(jax.random.key(2), (n_chains, d))
     s.params.n_warmup_iterations = 85
     s.warmup(x0, show_progress=False, seed=0)  # dual-averaging step tuning
-    s.params.n_iterations = 85
+    s.params.n_iterations = 100  # warm at the timed length (single chunk)
     s.sample(x0, show_progress=False, seed=0)
-    s.params.n_iterations = 100
     walls = []
     for _ in range(3):
         t0 = time.time()
@@ -1087,7 +1084,9 @@ def run_pt_multimodal():
     import nfmc_tpu
     from nfmc_tpu.potentials import GaussianMixture
 
-    d, C, n_iters = 10, 64, 3000
+    d, C, n_iters = 10, 64, 2000  # (3000 -> 2000 r4: the mode metrics are
+    # unchanged well past ~1500 draws; pt_multimodal was the single biggest
+    # section wall and the bench must keep headroom under its cap)
     a = 2.0
     means = np.stack([np.full(d, -a), np.full(d, a)]).astype(np.float32)
     target = GaussianMixture(means, sigma=1.0)
@@ -1107,12 +1106,12 @@ def run_pt_multimodal():
     for strategy, strat_iters, kwargs in [
         ("pt_mala", n_iters, {"kernel_kwargs": {"n_temps": 8, "beta_min": 0.02}}),
         ("mala", n_iters, {}),
-        # 500 outer x (5+1) = 3000 stored draws, matching the others' budget.
+        # 350 outer x (5+1) = 2100 stored draws, matching the others' budget.
         # Light refit budget: the section's point is the mode metric (the
         # flow only ever sees mode-0 data, so jumps can't discover mode 1 at
         # ANY fit effort); the default 500-epoch refit per outer iteration
         # costs ~170 s of pure device compute for an identical outcome.
-        ("jump_mala", 500, {"inner_param_kwargs": {"n_iterations": 5},
+        ("jump_mala", 350, {"inner_param_kwargs": {"n_iterations": 5},
                             "param_kwargs": {"fit_nf": True,
                                              "flow_fit_kwargs": {"n_epochs": 30}}}),
     ]:
@@ -1252,7 +1251,14 @@ def run_reference_ab():
     if not reference_available():
         return {"skipped": "/root/reference not present"}
 
+    # 64 chains x 1500 iterations (VERDICT r3 item 6: raised from 32 x 1000 —
+    # at the old scale the permutation test had little power and a healthy
+    # HMC run landed at p=0.045 with alpha=0.01), n_perm 300 for finer
+    # p-value granularity. The A/A rows calibrate: the reference against
+    # itself (different seeds) at the identical scale must pass at the same
+    # thresholds, or the test itself is miscalibrated.
     SIGMA = np.linspace(1.0, 3.0, 5)
+    C, N, NPERM = 64, 1500, 300
     results = {}
     for strat, kw in [
         ("mala", {}),
@@ -1260,21 +1266,22 @@ def run_reference_ab():
         ("imh", {}),
         ("jump_mala", {"inner_iterations": 5}),
     ]:
-        ref = run_reference(strat, SIGMA, n_chains=32, n_iterations=1000,
+        ref = run_reference(strat, SIGMA, n_chains=C, n_iterations=N,
                             seed=0, x0_from_target=True, **kw)
         # warm pass absorbs compiles (fresh sampler per call; the persistent
         # XLA cache makes the second call's traces hit compiled code), then
         # the timed pass measures steady-state dispatch
-        run_ours_matched(strat, SIGMA, n_chains=32, n_iterations=1000,
+        run_ours_matched(strat, SIGMA, n_chains=C, n_iterations=N,
                          seed=2, x0_from_target=True, **kw)
-        ours = run_ours_matched(strat, SIGMA, n_chains=32, n_iterations=1000,
+        ours = run_ours_matched(strat, SIGMA, n_chains=C, n_iterations=N,
                                 seed=2, x0_from_target=True, **kw)
-        report = mcmc_two_sample_report(ref["draws"], ours["draws"], alpha=0.01)
+        report = mcmc_two_sample_report(ref["draws"], ours["draws"],
+                                        alpha=0.01, n_perm=NPERM)
         ref_ess = float(np.mean(per_dim_ess(ref["draws"])))
         ours_ess = float(np.mean(per_dim_ess(ours["draws"])))
         # steady state: same sampler object, memoized driver — no per-call
         # tracing, only dispatch + sync (what a repeated-sampling user sees)
-        steady = run_ours_steady(strat, SIGMA, n_chains=32, n_iterations=1000,
+        steady = run_ours_steady(strat, SIGMA, n_chains=C, n_iterations=N,
                                  seed=2, **kw)
         steady_ess = float(np.mean(per_dim_ess(steady["draws"])))
         results[strat] = {
@@ -1295,17 +1302,104 @@ def run_reference_ab():
         }
     results["all_ok"] = all(v["two_sample_ok"] for v in results.values()
                             if isinstance(v, dict))
+
+    # A/A calibration rows: reference vs itself, matched scale + thresholds
+    aa = {}
+    for strat in ("mala", "hmc"):
+        a = run_reference(strat, SIGMA, n_chains=C, n_iterations=N,
+                          seed=0, x0_from_target=True)
+        b = run_reference(strat, SIGMA, n_chains=C, n_iterations=N,
+                          seed=1, x0_from_target=True)
+        rep = mcmc_two_sample_report(a["draws"], b["draws"], alpha=0.01,
+                                     n_perm=NPERM)
+        aa[strat] = {"ok": rep["ok"], "ks_p_value": rep["ks_p_value"],
+                     "energy_p_value": rep["energy_p_value"]}
+    results["aa_calibration"] = aa
+
+    # Single-call latency breakdown (VERDICT r3 item 6): where one fresh
+    # front-door call's wall actually goes at this tiny scale.
+    results["first_call_breakdown"] = {
+        s: _first_call_breakdown(s, SIGMA, C, N) for s in ("mala", "imh")
+    }
     results["note"] = (
-        "distribution validation at reference-native scale (32 chains, 5-d); "
-        "ours_ess_per_s times ONE front-door call (dominated by one-time JAX "
-        "tracing + tunnel sync at this tiny scale — costs the eager reference "
-        "never pays); ours_steady_ess_per_s re-calls the same sampler with "
-        "its memoized driver (repeated-sampling amortized figure; still "
-        "tunnel-sync-bound). For the hardware-matched comparison — both "
-        "sides on the host CPU — see the matched_cpu_ab block. The headline "
-        "sections measure throughput at real scale"
+        "distribution validation at near-reference scale (64 chains, 5-d, "
+        "1500 iters; the reference's native default is 32x100); "
+        "ours_ess_per_s times ONE front-door call; first_call_breakdown "
+        "decomposes that wall (single-chunk compile path, trace/compile vs "
+        "dispatch vs the tunnel's D2H draw fetch); ours_steady_ess_per_s "
+        "re-calls the same sampler with its memoized driver. For the "
+        "hardware-matched comparison — both sides on the host CPU — see "
+        "matched_cpu_ab. The headline sections measure throughput at real "
+        "scale"
     )
     return results
+
+
+def _first_call_breakdown(strategy, sigma, n_chains, n_iterations):
+    """Decompose ONE fresh front-door ``sample()`` call at small scale:
+    sampler build, cold call (trace + XLA-cache load + run + draw fetch),
+    steady warm call, tunnel round-trip latency, and the D2H budget of the
+    stored draws at the measured tunnel bandwidth. If ``warm_call_s`` is
+    within ~2x of ``d2h_floor_s + rtt``, the steady-state floor is the
+    tunnel, not the framework (VERDICT r3 item 6's second outcome)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nfmc_tpu.api.sample import create_sampler
+    from nfmc_tpu.potentials import DiagonalGaussian
+
+    sig = np.asarray(sigma, dtype=np.float32)
+    d = len(sig)
+    target = DiagonalGaussian(mu=np.zeros(d), sigma=sig)
+
+    rtts = []
+    probe = jnp.zeros(())
+    jax.device_get(probe)
+    for _ in range(15):
+        t0 = time.perf_counter()
+        jax.device_get(probe)
+        rtts.append(time.perf_counter() - t0)
+    rtt_s = sorted(rtts)[len(rtts) // 2]
+
+    mb = jnp.zeros((512, 1024))  # 2 MiB
+    jax.device_get(mb)
+    t0 = time.perf_counter()
+    jax.device_get(mb)
+    d2h_mib_s = 2.0 / max(time.perf_counter() - t0, 1e-9)
+
+    kwargs = {"flow": "None"} if strategy in (
+        "mh", "mala", "ula", "hmc", "uhmc", "ess") else {}
+    t0 = time.perf_counter()
+    sampler = create_sampler(
+        target=target, event_shape=(d,), strategy=strategy,
+        param_kwargs={"n_iterations": int(n_iterations)}, **kwargs,
+    )
+    build_s = time.perf_counter() - t0
+    x0 = jax.random.normal(jax.random.key(2), (n_chains, d)) * sig
+    t0 = time.perf_counter()
+    out = sampler.sample(x0, show_progress=False, seed=2)
+    draws = np.asarray(out.samples)
+    cold_s = time.perf_counter() - t0
+    warms = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = sampler.sample(x0, show_progress=False, seed=2)
+        np.asarray(out.samples)
+        warms.append(time.perf_counter() - t0)
+    warm_s = sorted(warms)[len(warms) // 2]
+    draw_mib = draws.size * 4 / 2**20
+    d2h_floor_s = draw_mib / d2h_mib_s
+    return {
+        "tunnel_rtt_ms": round(rtt_s * 1e3, 2),
+        "d2h_MiB_per_s": round(d2h_mib_s, 2),
+        "build_s": round(build_s, 4),
+        "cold_call_s": round(cold_s, 3),
+        "warm_call_s": round(warm_s, 3),
+        "trace_compile_s": round(cold_s - warm_s, 3),
+        "stored_draws_MiB": round(draw_mib, 2),
+        "d2h_floor_s": round(d2h_floor_s, 3),
+        "warm_over_floor": round(warm_s / max(d2h_floor_s + rtt_s, 1e-9), 2),
+    }
 
 
 def run_matched_cpu_ab():
@@ -1553,7 +1647,7 @@ def run_provisional():
         inner_params=LangevinParameters(n_iterations=INNER_N),
     )
     s.params.store_samples_on_device = True
-    s.params.n_iterations = 21  # = 1+4+16: the 3 cheapest chunk compiles
+    s.params.n_iterations = 21  # pipelined single-chunk: ONE compile
     x0 = jax.random.normal(jax.random.key(1), (N_CHAINS, EVENT_DIM))
     s.sample(x0, show_progress=False, seed=0)  # compile warm + first transfer
     walls = []

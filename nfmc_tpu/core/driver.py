@@ -280,12 +280,25 @@ def run_chunk_loop(
     pipelined = time_limit_seconds is None and not show_progress
     if max_chunk is None:
         max_chunk = 1024 if pipelined else sync_max_chunk
+    if pipelined and 0 < n_iterations <= max_chunk:
+        # Single-chunk fast path: a pipelined run needs no mid-run host
+        # checkpoints (no time limit, no live bar), so a run that fits in
+        # one chunk is ONE trace + ONE compile instead of O(log n) distinct
+        # chunk lengths — the dominant cost of a cold front-door call at
+        # small scale (VERDICT r3 item 6: single-call latency). Note the
+        # per-iteration keys split from the chunk-carried key, so the chunk
+        # decomposition is part of a run's seeded stream: seeded
+        # repeatability holds per (mode, n_iterations) as before, and the
+        # sync path (time limit / progress) keeps its geometric schedule.
+        schedule = [n_iterations]
+    else:
+        schedule = chunk_schedule(n_iterations, max_chunk=max_chunk)
     iters_done = 0
     unflushed = 0
     token = None
     run_t0 = time.time()
     pbar = tqdm(total=n_iterations, desc=desc, disable=not show_progress)
-    for chunk in chunk_schedule(n_iterations, max_chunk=max_chunk):
+    for chunk in schedule:
         if (
             time_limit_seconds is not None
             and stats.elapsed_time_seconds >= time_limit_seconds

@@ -196,3 +196,44 @@ def test_stats_accum_dyn_counters_survive_int32_range():
     acc, _ = jax.lax.scan(body, acc, jnp.arange(8192))
     total = int(round(float(acc.n_grads_dyn) + float(acc.c_grads_dyn)))
     assert total == per_iter * 8192  # = 2^31 * 2, exactly representable & exact
+
+
+def test_pipelined_single_chunk_fast_path():
+    """A pipelined run that fits in one chunk dispatches exactly once (one
+    trace + one compile on a cold call — VERDICT r3 item 6). The per-chunk
+    key split makes the chunk decomposition part of a run's seeded stream,
+    so the contract is seeded repeatability per (mode, n_iterations) — NOT
+    bit-equality across modes; both modes must still sample correctly."""
+    stats = FakeStats()
+    log = []
+    done = run_chunk_loop(
+        1000, dispatch=lambda c, i: (log.append((c, i)), jnp.zeros(()))[1],
+        stats=stats, flush=lambda n: None,
+        time_limit_seconds=None, show_progress=False,
+    )
+    assert done == 1000
+    assert log == [(1000, 0)]
+
+    import jax
+    import numpy as np
+
+    from nfmc_tpu.samplers.mcmc import MALA
+
+    def U(x):
+        return 0.5 * (x.reshape(x.shape[0], -1) ** 2).sum(-1)
+
+    def run(limit):
+        s = MALA((3,), U)
+        s.params.n_iterations = 400
+        x0 = jax.random.normal(jax.random.key(0), (16, 3))
+        return s.sample(x0, show_progress=False, seed=7,
+                        time_limit_seconds=limit)
+
+    a, a2, b = run(None), run(None), run(1e9)
+    # fast path seeded-repeatable
+    np.testing.assert_array_equal(np.asarray(a.samples), np.asarray(a2.samples))
+    # both modes produce a healthy chain on the same target (N(0,1) moments)
+    for out in (a, b):
+        draws = np.asarray(out.samples)[100:]
+        assert abs(draws.mean()) < 0.15
+        assert abs(draws.var() - 1.0) < 0.3
