@@ -45,14 +45,39 @@ from .langevin import Langevin, LangevinParameters
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DenseMetropolisState:
-    """Scan-carried state for dense-metric Metropolis kernels."""
+    """Scan-carried state for dense-metric Metropolis kernels.
+
+    ``cov_a``/``cov_b`` are split-half cross-chain EMAs (even / odd chains).
+    Chains are independent, so the two halves carry INDEPENDENT sampling
+    noise around the same true covariance — the normalized cross-correlation
+    ``r`` of their deviations from the scalar metric ``mu * I`` is a direct,
+    autocorrelation-robust estimate of how much of the dense structure is
+    real (an earlier iid-Wishart variance formula under-measured the noise
+    ~3x because consecutive batch covariances are serially correlated). The
+    refresh GEODESICALLY shrinks the combined estimate toward ``mu * I`` by
+    ``s = 1 - r`` (eigenvalues interpolate multiplicatively — additive
+    shrinkage distorts the small eigenvalues ill-conditioned targets exist
+    for) and factorizes the result: an isotropic target drives ``r -> 0``
+    (pure noise) and the metric to the exact scalar, while a truly
+    correlated target keeps the dense estimate (``r -> 1``). ``jitter_frac``
+    gates the anti-resonance step jitter: 0 for the initial user-trusted
+    metric (exact HMC parity when untuned), 1 once ANY adaptation has
+    occurred — an adapted metric's ESS is otherwise hypersensitive to the
+    tuned step's trajectory angle (measured r4, bench ``dense_metric``)."""
 
     step_size: jax.Array  # f32 scalar
-    cov: jax.Array  # (d, d) EMA covariance estimate (Sigma = M^{-1})
-    chol: jax.Array  # (d, d) lower A with A A^T = cov
+    cov_a: jax.Array  # (d, d) EMA covariance of the even-chain half
+    cov_b: jax.Array  # (d, d) EMA covariance of the odd-chain half
+    chol: jax.Array  # (d, d) lower A with A A^T = shrunk combined cov
     chol_inv: jax.Array  # (d, d) A^{-1} (lower)
+    jitter_frac: jax.Array  # f32 scalar in [0, 1]: step-jitter gate
     t: jax.Array  # i32 tuning-step counter (drives the refresh cadence)
     da: DualAveragingState
+
+    @property
+    def cov(self) -> jax.Array:
+        """Combined (shrinkage-free) covariance estimate."""
+        return 0.5 * (self.cov_a + self.cov_b)
 
 
 def _host_factorize(cov: np.ndarray, ridge: float):
@@ -94,11 +119,23 @@ class _DenseCovKernelMixin:
         chol, chol_inv = _host_factorize(self.mass_cov, self.make_state_ridge)
         da = getattr(self, "_resume_da", None)
         t = getattr(self, "_resume_t", None)
+        halves = getattr(self, "_resume_halves", None)
+        jf = getattr(self, "_resume_jitter_frac", None)
+        cov = jnp.asarray(self.mass_cov, dtype=jnp.float32)
+        cov_a, cov_b = (cov, cov) if halves is None else halves
+        resumed = getattr(self, "_resume_factors", None)
+        if resumed is not None:
+            chol, chol_inv = resumed  # shrunk factors from the tuned state
         return DenseMetropolisState(
             step_size=jnp.asarray(self.step_size, dtype=jnp.float32),
-            cov=jnp.asarray(self.mass_cov, dtype=jnp.float32),
+            cov_a=jnp.asarray(cov_a, dtype=jnp.float32),
+            cov_b=jnp.asarray(cov_b, dtype=jnp.float32),
             chol=jnp.asarray(chol),
             chol_inv=jnp.asarray(chol_inv),
+            # the INITIAL metric (user-supplied or identity) is treated as
+            # exact — no jitter; only adaptation-estimated metrics carry the
+            # Wishart noise the jitter protects against (refresh sets r)
+            jitter_frac=jnp.asarray(0.0 if jf is None else jf, dtype=jnp.float32),
             t=jnp.asarray(0, dtype=jnp.int32) if t is None else jnp.asarray(t, dtype=jnp.int32),
             da=da if da is not None else da_init(self.step_size, self.da_params),
         )
@@ -106,11 +143,17 @@ class _DenseCovKernelMixin:
     def sync_from_state(self, state: DenseMetropolisState) -> None:
         self.step_size = float(state.step_size)
         self.mass_cov = as_numpy(state.cov)
-        # Carry dual averaging + the refresh counter like step_size/cov, so a
+        # Carry dual averaging, the refresh counter, the half-EMAs, the
+        # shrunk factors, and the jitter fraction like step_size/cov, so a
         # checkpoint taken mid-warmup resumes adaptation (and the Cholesky
-        # refresh cadence) exactly instead of silently restarting them.
+        # refresh cadence) exactly instead of silently restarting them — and
+        # a sampling run after warmup uses the SHRUNK metric the warmup
+        # concluded, not a re-factorization of the raw EMA.
         self._resume_da = jax.tree_util.tree_map(jnp.asarray, state.da)
         self._resume_t = int(state.t)
+        self._resume_halves = (jnp.asarray(state.cov_a), jnp.asarray(state.cov_b))
+        self._resume_jitter_frac = float(state.jitter_frac)
+        self._resume_factors = (jnp.asarray(state.chol), jnp.asarray(state.chol_inv))
 
     def __repr__(self):
         diag = np.diag(np.asarray(self.mass_cov))
@@ -160,7 +203,11 @@ class DenseMetricParameters(MetropolisParameters):
 
 @dataclass
 class DenseHMCParameters(DenseMetricParameters, HMCParameters):
-    pass
+    # Wishart noise in the adapted metric spreads the leapfrog oscillation
+    # frequencies; a FIXED trajectory then leaves near-resonant directions
+    # undersampled (measured r4: isotropic-target worst-direction ESS 14x
+    # below diagonal HMC with jitter 0). Per-chain step jitter restores it.
+    step_jitter: float = 0.2
 
 
 @dataclass
@@ -191,35 +238,86 @@ class _DenseMetricMixin:
 
         def update(mstate: DenseMetropolisState, x: jax.Array, mask: jax.Array):
             n_chains = x.shape[0]
-            cov, chol, chol_inv, t = mstate.cov, mstate.chol, mstate.chol_inv, mstate.t
-            if tune_metric and n_chains > 1:
-                d = cov.shape[0]
+            cov_a, cov_b, t = mstate.cov_a, mstate.cov_b, mstate.t
+            chol, chol_inv = mstate.chol, mstate.chol_inv
+            jitter_frac = mstate.jitter_frac
+            if tune_metric and n_chains > 3:
+                d = cov_a.shape[0]
                 x_flat = x.reshape(n_chains, -1)
-                xc = x_flat - jnp.mean(x_flat, axis=0, keepdims=True)
-                c_hat = jnp.matmul(xc.T, xc, precision="highest") / (n_chains - 1)
-                c_hat = c_hat + ridge * jnp.eye(d, dtype=c_hat.dtype)
-                cov_new = alpha * c_hat + (1.0 - alpha) * cov
+
+                def batch_cov(xs):
+                    xc = xs - jnp.mean(xs, axis=0, keepdims=True)
+                    c = jnp.matmul(xc.T, xc, precision="highest") / (xs.shape[0] - 1)
+                    return c + ridge * jnp.eye(d, dtype=c.dtype)
+
+                # independent chain halves -> independent sampling noise
+                c_a = batch_cov(x_flat[0::2])
+                c_b = batch_cov(x_flat[1::2])
+                a_new = alpha * c_a + (1.0 - alpha) * cov_a
+                b_new = alpha * c_b + (1.0 - alpha) * cov_b
                 # Guard: a non-finite batch (diverged chains) must not poison
                 # the metric estimate.
-                cov = jnp.where(jnp.all(jnp.isfinite(cov_new)), cov_new, cov)
+                finite = jnp.all(jnp.isfinite(a_new)) & jnp.all(jnp.isfinite(b_new))
+                cov_a = jnp.where(finite, a_new, cov_a)
+                cov_b = jnp.where(finite, b_new, cov_b)
                 t = t + 1
 
                 def refresh(_):
-                    sym = 0.5 * (cov + cov.T)
-                    a = jnp.linalg.cholesky(sym)
+                    # Split-half shrinkage toward the scalar metric mu*I. The
+                    # halves' deviations share the SIGNAL (true cov structure)
+                    # but have independent noise, so their normalized cross-
+                    # correlation r estimates the real fraction of the dense
+                    # structure without any iid assumption on the per-step
+                    # batches (which are serially correlated along the chain).
+                    sym_a = 0.5 * (cov_a + cov_a.T)
+                    sym_b = 0.5 * (cov_b + cov_b.T)
+                    comb = 0.5 * (sym_a + sym_b)
+                    mu = jnp.trace(comb) / d
+                    eye = jnp.eye(d, dtype=comb.dtype)
+                    dev_a = sym_a - mu * eye
+                    dev_b = sym_b - mu * eye
+                    cross = jnp.sum(dev_a * dev_b)
+                    na = jnp.sum(dev_a * dev_a)
+                    nb = jnp.sum(dev_b * dev_b)
+                    r = jnp.clip(cross / jnp.sqrt(na * nb + 1e-30), 0.0, 1.0)
+                    s = 1.0 - r
+                    # GEODESIC shrinkage toward mu*I: eigenvalues interpolate
+                    # multiplicatively, lam^(1-s) * mu^s. Additive (Frobenius)
+                    # shrinkage is catastrophic for ill-conditioned targets —
+                    # s=0.07 toward mu*I moved a 1e-3 eigenvalue to ~1e-2
+                    # (10x metric distortion in exactly the directions the
+                    # dense metric exists for; measured r4: corr min-dir ESS
+                    # 36k -> 13k); geodesically the same s costs only
+                    # (mu/lam)^s ~ 1.4x. Pure noise still collapses to the
+                    # exact scalar metric as s -> 1.
+                    lam, vecs = jnp.linalg.eigh(comb)
+                    lam = jnp.maximum(lam, 1e-12)
+                    lam_s = lam ** (1.0 - s) * jnp.maximum(mu, 1e-12) ** s
+                    shrunk = (vecs * lam_s[None, :]) @ vecs.T
+                    a = jnp.linalg.cholesky(
+                        0.5 * (shrunk + shrunk.T) + 1e-9 * mu * eye
+                    )
                     a_inv = jax.scipy.linalg.solve_triangular(
-                        a, jnp.eye(d, dtype=cov.dtype), lower=True
+                        a, eye, lower=True
                     )
                     ok = jnp.all(jnp.isfinite(a)) & jnp.all(jnp.isfinite(a_inv))
+                    # any ADAPTED metric engages the jitter (jf 0 -> 1): even
+                    # an evidence-collapsed exact scalar metric keeps it,
+                    # because without jitter the ESS is hypersensitive to the
+                    # tuned step's trajectory angle (measured r4: the same
+                    # exact-scalar metric swung 22k..99k min-direction ESS
+                    # with angle luck; jitter pins it ~46k). Only the INITIAL
+                    # user-trusted metric runs jitter-free (exact HMC parity).
                     return (
                         jnp.where(ok, a, chol),
                         jnp.where(ok, a_inv, chol_inv),
+                        jnp.where(ok, 1.0, jitter_frac),
                     )
 
-                chol, chol_inv = jax.lax.cond(
+                chol, chol_inv, jitter_frac = jax.lax.cond(
                     t % refresh_every == 0,
                     refresh,
-                    lambda _: (chol, chol_inv),
+                    lambda _: (chol, chol_inv, jitter_frac),
                     operand=None,
                 )
             da = mstate.da
@@ -228,7 +326,8 @@ class _DenseMetricMixin:
                 acc_rate = jnp.mean(mask.astype(jnp.float32))
                 da, step_size = da_update_step_size(da, acc_rate, da_params)
             return DenseMetropolisState(
-                step_size=step_size, cov=cov, chol=chol, chol_inv=chol_inv, t=t, da=da
+                step_size=step_size, cov_a=cov_a, cov_b=cov_b, chol=chol,
+                chol_inv=chol_inv, jitter_frac=jitter_frac, t=t, da=da,
             )
 
         return update
@@ -250,6 +349,9 @@ class DenseHMC(_DenseMetricMixin, HMC):
         return "DenseHMC"
 
     # ---- metric hooks (A = chol(Sigma), Sigma = M^{-1}) ----------------------
+    def _jitter_frac(self, mstate):
+        return mstate.jitter_frac
+
     def _momentum(self, mstate, p_raw):
         # rows: xi^T A^{-1} = (A^{-T} xi)^T  =>  p ~ N(0, Sigma^{-1}) = N(0, M)
         return jnp.matmul(p_raw, mstate.chol_inv, precision="highest")

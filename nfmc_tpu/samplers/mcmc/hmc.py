@@ -47,7 +47,15 @@ class HMCKernel(MetropolisKernel):
 
 @dataclass
 class HMCParameters(MetropolisParameters):
-    pass
+    # Per-chain step-size jitter fraction: each iteration scales eps by
+    # (1 + U(-j, j)). 0 (default) = reference parity (``hmc.py:61-77`` uses a
+    # fixed step). Nonzero breaks leapfrog resonance: with near-commensurate
+    # oscillation frequencies a FIXED L*eps leaves some directions rotating
+    # by ~2 pi k per trajectory and never decorrelating — the dense-metric
+    # family (whose adapted metric has Wishart noise in its eigenvalues)
+    # defaults this to 0.2, which recovered isotropic-target worst-direction
+    # ESS (measured r4, see bench dense_metric.iso_parity_ratio).
+    step_jitter: float = 0.0
 
 
 class HMC(MetropolisSampler):
@@ -64,7 +72,10 @@ class HMC(MetropolisSampler):
         return "HMC"
 
     def _static_config(self):
-        return super()._static_config() + (self.kernel.n_leapfrog_steps,)
+        return super()._static_config() + (
+            self.kernel.n_leapfrog_steps,
+            getattr(self.params, "step_jitter", 0.0),
+        )
 
     def make_draws(self):
         """Raw momentum normals + accept uniforms (the 1/sqrt(inv_mass) scale
@@ -72,15 +83,22 @@ class HMC(MetropolisSampler):
         bit-identical results to the in-scan derivation."""
         event_size = self.kernel.event_size
         adjustment = self.params.adjustment
+        jitter = float(getattr(self.params, "step_jitter", 0.0))
 
         def draws(key, n_chains):
-            k_mom, k_accept = jax.random.split(key)
+            k_mom, k_accept, k_jit = jax.random.split(key, 3)
             p_raw = jax.random.normal(k_mom, (n_chains, event_size))
             if adjustment:
                 log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
             else:
                 log_u = jnp.zeros((n_chains,), dtype=jnp.float32)
-            return p_raw, log_u
+            if jitter > 0.0:
+                eps_scale = 1.0 + jax.random.uniform(
+                    k_jit, (n_chains,), minval=-jitter, maxval=jitter
+                )
+            else:
+                eps_scale = jnp.ones((n_chains,), dtype=jnp.float32)
+            return p_raw, log_u, eps_scale
 
         return draws
 
@@ -94,6 +112,12 @@ class HMC(MetropolisSampler):
         return propose
 
     # ---- metric hooks (overridden by the dense-metric superset, dense.py) ----
+    def _jitter_frac(self, mstate):
+        """State-dependent multiplier on the step jitter (1 = params value
+        as-is; the dense superset scales by its adapted metric-noise
+        fraction so an evidence-collapsed scalar metric runs jitter-free)."""
+        return 1.0
+
     def _momentum(self, mstate, p_raw):
         """Map raw normals (B, event_size) -> momenta p ~ N(0, M), flat."""
         return p_raw / jnp.sqrt(mstate.inv_mass_diag)[None]
@@ -116,11 +140,18 @@ class HMC(MetropolisSampler):
         momentum = self._momentum
         precond = self._precondition
         kinetic = self._kinetic
+        jitter_frac = self._jitter_frac
 
         def propose(x, mstate, aux):
             n_chains = x.shape[0]
-            p_raw, log_u = aux
-            eps = mstate.step_size
+            p_raw, log_u, eps_scale = aux
+            # per-chain step (jitter; detailed balance holds per chain since
+            # the scale is drawn independently of the state); the dense
+            # superset modulates the jitter by its adapted noise fraction
+            scale = 1.0 + (eps_scale - 1.0) * jitter_frac(mstate)
+            eps = mstate.step_size * scale.reshape(
+                (n_chains,) + (1,) * len(event_shape)
+            )
 
             p0 = momentum(mstate, p_raw).reshape(x.shape)
 

@@ -190,3 +190,49 @@ def test_sync_carries_dual_averaging_and_refresh_counter():
     )
     mk.sync_from_state(mst)
     assert float(mk.make_state().da.error_sum) == pytest.approx(0.9)
+
+
+def test_split_half_shrinkage_collapses_isotropic_metric():
+    """r4: on an isotropic target the split-half evidence estimate must
+    detect that the dense structure is pure Wishart noise and collapse the
+    FACTORIZED metric to (near-)scalar, while a correlated target retains
+    its dense structure. The jitter engages only once the metric is adapted."""
+    import jax.numpy as jnp
+
+    from nfmc_tpu.potentials import FullRankGaussian, StandardGaussian
+
+    d, C = 16, 64
+    rng = np.random.default_rng(1)
+    q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    eigs = np.geomspace(1.0, 1e-2, d)
+    chol_t = np.linalg.cholesky((q * eigs) @ q.T + 1e-9 * np.eye(d))
+
+    def tuned_kernel(target):
+        s = create_sampler(target, event_shape=(d,), strategy="dense_hmc",
+                           param_kwargs={"n_warmup_iterations": 200})
+        assert float(s.kernel.make_state().jitter_frac) == 0.0  # pre-tuning
+        x0 = jnp.asarray(target.sample((C,), key=jax.random.key(2)),
+                         dtype=jnp.float32)
+        s.warmup(x0, show_progress=False, seed=3)
+        return s.kernel
+
+    def factor_anisotropy(kernel):
+        st = kernel.make_state()
+        m = np.asarray(st.chol) @ np.asarray(st.chol).T
+        w = np.linalg.eigvalsh(m)
+        return w.max() / w.min()
+
+    iso_k = tuned_kernel(StandardGaussian((d,)))
+    corr_k = tuned_kernel(FullRankGaussian(mu=np.zeros(d), chol=chol_t))
+    # adapted metrics engage the jitter
+    assert float(iso_k._resume_jitter_frac) == 1.0
+    assert float(corr_k._resume_jitter_frac) == 1.0
+    iso_spread = factor_anisotropy(iso_k)
+    corr_spread = factor_anisotropy(corr_k)
+    # iso: shrunk to near-scalar despite the raw EMA's Wishart noise
+    raw_iso_spread = np.linalg.eigvalsh(iso_k.mass_cov)
+    raw_iso_spread = raw_iso_spread.max() / raw_iso_spread.min()
+    assert iso_spread < 1.5, iso_spread
+    assert iso_spread < raw_iso_spread, (iso_spread, raw_iso_spread)
+    # corr: geodesic shrinkage must RETAIN the 100x eigen structure
+    assert corr_spread > 20.0, corr_spread
