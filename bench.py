@@ -57,10 +57,19 @@ def ess_per_dim(x: np.ndarray) -> float:
     """Mean (over dims) of summed-over-chains ESS via Geyer initial positive
     sequence. x: (n_samples, n_chains, d). Vectorized over (chain, dim) —
     bit-identical to the per-series loop it replaces (the loop cost ~20 s at
-    the matched 3000-draw funnel A/B, VERDICT r3 item 3)."""
+    the matched 3000-draw funnel A/B, VERDICT r3 item 3).
+
+    Stuck (zero-variance) chains score ESS 0, matching
+    ``nfmc_tpu.diagnostics`` EXACTLY — the old ``max(var0, 1e-12)`` floor
+    scored a stuck chain as perfectly mixed (rho = 0 -> tau = 1 -> ESS = n),
+    which silently inflated the torch side of the funnel A/B ~2.8x: at fixed
+    step 0.1 ~20% of funnel chains start in the neck and never accept
+    (r4 diagnosis; both frameworks' chains suffer it identically — the
+    estimators must score it identically too)."""
     n, c, d = x.shape
     if n < 8:
         return float(n * c)
+    msq = np.mean(x * x, axis=0)  # (c, d) scale reference, uncentered
     x = x - x.mean(axis=0, keepdims=True)
     # autocovariance per (chain, dim) via FFT (biased normalization, matching
     # nfmc_tpu.diagnostics so both sides use the identical estimator)
@@ -68,7 +77,8 @@ def ess_per_dim(x: np.ndarray) -> float:
     f = np.fft.rfft(x, n=nfft, axis=0)
     acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=0)[:n].real
     acov /= n
-    rho = acov / np.maximum(acov[0:1], 1e-12)
+    valid = acov[0] > 1e-10 * (msq + 1e-30)  # same rel floor as diagnostics
+    rho = acov / np.where(valid, np.maximum(acov[0:1], 1e-30), 1.0)
     # Geyer pairing Gamma_m = rho_{2m} + rho_{2m+1} (Gamma_0 = 1 + rho_1),
     # summed while positive; tau floored at 1 (identical estimator to
     # nfmc_tpu.diagnostics).
@@ -82,7 +92,7 @@ def ess_per_dim(x: np.ndarray) -> float:
     kept = np.take_along_axis(csum, last_idx[None], axis=0)[0]
     kept = np.where(first_nonpos > 0, kept, 0.0)
     tau = -1.0 + 2.0 * kept
-    ess = n / np.maximum(tau, 1.0)  # (c, d)
+    ess = np.where(valid, n / np.maximum(tau, 1.0), 0.0)  # (c, d)
     return float(ess.sum(axis=0).mean())
 
 
@@ -1380,20 +1390,26 @@ def _first_call_breakdown(strategy, sigma, n_chains, n_iterations):
     d = len(sig)
     target = DiagonalGaussian(mu=np.zeros(d), sigma=sig)
 
+    # jax.Array caches its host value after the first fetch, so every probe
+    # must be a FRESH device computation or the timings measure a dict lookup
+    base = jax.block_until_ready(jax.random.normal(jax.random.key(0), ()))
+    probes = [jax.block_until_ready(base + i) for i in range(15)]
     rtts = []
-    probe = jnp.zeros(())
-    jax.device_get(probe)
-    for _ in range(15):
+    for p in probes:
         t0 = time.perf_counter()
-        jax.device_get(probe)
+        jax.device_get(p)
         rtts.append(time.perf_counter() - t0)
     rtt_s = sorted(rtts)[len(rtts) // 2]
 
-    mb = jnp.zeros((512, 1024))  # 2 MiB
-    jax.device_get(mb)
-    t0 = time.perf_counter()
-    jax.device_get(mb)
-    d2h_mib_s = 2.0 / max(time.perf_counter() - t0, 1e-9)
+    mb_base = jax.block_until_ready(
+        jax.random.normal(jax.random.key(1), (512, 1024)))  # 2 MiB
+    mbs = [jax.block_until_ready(mb_base + i) for i in range(3)]
+    bw = []
+    for m in mbs:
+        t0 = time.perf_counter()
+        jax.device_get(m)
+        bw.append(2.0 / max(time.perf_counter() - t0, 1e-9))
+    d2h_mib_s = sorted(bw)[1]
 
     kwargs = {"flow": "None"} if strategy in (
         "mh", "mala", "ula", "hmc", "uhmc", "ess") else {}
