@@ -109,21 +109,41 @@ class CheesHMCKernel(MCMCKernel):
             raise ValueError(f"jitter must be 'halton' or 'uniform', got {self.jitter!r}")
 
     def make_state(self) -> CheesState:
+        resumed = getattr(self, "_resume_opt", None)
+        if resumed is not None:
+            da, adam_m, adam_v, adam_t, iter_idx = resumed
+        else:
+            da = da_init(self.step_size, self.da_params)
+            adam_m = adam_v = adam_t = jnp.asarray(0.0, dtype=jnp.float32)
+            iter_idx = jnp.asarray(0, dtype=jnp.int32)
         return CheesState(
             step_size=jnp.asarray(self.step_size, dtype=jnp.float32),
             inv_mass_diag=jnp.asarray(self.inv_mass_diag, dtype=jnp.float32),
-            da=da_init(self.step_size, self.da_params),
+            da=da,
             log_t=jnp.asarray(math.log(self.trajectory_length), dtype=jnp.float32),
-            adam_m=jnp.asarray(0.0, dtype=jnp.float32),
-            adam_v=jnp.asarray(0.0, dtype=jnp.float32),
-            adam_t=jnp.asarray(0.0, dtype=jnp.float32),
-            iter_idx=jnp.asarray(0, dtype=jnp.int32),
+            adam_m=jnp.asarray(adam_m, dtype=jnp.float32),
+            adam_v=jnp.asarray(adam_v, dtype=jnp.float32),
+            adam_t=jnp.asarray(adam_t, dtype=jnp.float32),
+            iter_idx=jnp.asarray(iter_idx, dtype=jnp.int32),
         )
 
     def sync_from_state(self, state: CheesState) -> None:
         self.step_size = float(as_numpy(state.step_size))
         self.inv_mass_diag = as_numpy(state.inv_mass_diag)
         self.trajectory_length = float(np.exp(as_numpy(state.log_t)))
+        # Carry the optimizer states (dual averaging + the trajectory Adam +
+        # the Halton iteration index) like the Metropolis family does (r4):
+        # a mid-warmup checkpoint resume continues adaptation exactly
+        # instead of restarting both optimizers from zero.
+        import jax
+
+        self._resume_opt = (
+            jax.tree_util.tree_map(jnp.asarray, state.da),
+            jnp.asarray(state.adam_m),
+            jnp.asarray(state.adam_v),
+            jnp.asarray(state.adam_t),
+            jnp.asarray(state.iter_idx),
+        )
 
     def __repr__(self):
         return (

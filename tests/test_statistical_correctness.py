@@ -75,3 +75,20 @@ def test_dlmc_recovers_sigma():
         warmup=False,
         param_kwargs={"flow_fit_kwargs": {"n_epochs": 10, "lr": 5e-3}},
     )
+
+
+def test_hmc_step_jitter_preserves_stationary_distribution():
+    """r4: per-chain step jitter (eps * (1 + U(-j, j)), drawn independently
+    of the state) must leave the target invariant — the accept ratio uses
+    the SAME jittered step for the forward and reversed trajectory, so
+    detailed balance holds per chain. Guards the dense family's
+    anti-resonance jitter."""
+    _run("hmc", param_kwargs={"step_jitter": 0.3})
+
+
+def test_dense_strategies_recover_sigma():
+    """Front-door posterior recovery for the dense-metric supersets on the
+    standard anisotropic target (the correlated-target win is benched; this
+    guards plain correctness through warmup adaptation + shrinkage)."""
+    _run("dense_hmc")
+    _run("dense_mala", n_iterations=800, rtol=0.2)
