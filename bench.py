@@ -1655,16 +1655,36 @@ def _stale_headline_line():
         return None
 
 
-def _stale_torch_ess_per_s():
-    """Previous run's measured torch-CPU baseline rate (for the provisional
-    line's vs_baseline), or None."""
+def _stale_full():
     path = os.environ.get("NFMC_BENCH_STALE_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
     try:
         with open(path) as f:
-            v = json.load(f).get("torch_cpu_baseline", {}).get("ess_per_s")
-        return float(v) if v else None
+            return json.load(f)
     except Exception:
+        return None
+
+
+def _stale_torch_ess_per_s():
+    """Previous run's measured torch-CPU baseline rate (for the provisional
+    line's vs_baseline), or None."""
+    full = _stale_full()
+    try:
+        return float(full["torch_cpu_baseline"]["ess_per_s"]) or None
+    except (TypeError, KeyError, ValueError):
+        return None
+
+
+def _stale_ess_per_iter():
+    """Previous run's headline ESS yield per outer iteration. The yield is a
+    SEEDED algorithmic constant (same seed, same config -> bit-identical
+    draws, identical ESS: 373532.8/2730 every r4 run), so combining it with
+    a freshly measured wall gives an accurate provisional headline long
+    before the full ESS computation is affordable."""
+    full = _stale_full()
+    try:
+        return float(full["ours"]["ess"]) / OUTER_OURS or None
+    except (TypeError, KeyError, ValueError, ZeroDivisionError):
         return None
 
 
@@ -1698,21 +1718,32 @@ def run_provisional():
         inner_params=LangevinParameters(n_iterations=INNER_N),
     )
     s.params.store_samples_on_device = True
-    s.params.n_iterations = 21  # pipelined single-chunk: ONE compile
     x0 = jax.random.normal(jax.random.key(1), (N_CHAINS, EVENT_DIM))
-    s.sample(x0, show_progress=False, seed=0)  # compile warm + first transfer
-    walls = []
-    for _ in range(3):
-        t0 = time.time()
-        out = s.sample(x0, show_progress=False, seed=0)
-        jax.block_until_ready(out.running_samples.last_sample)
-        walls.append(time.time() - t0)
-    wall = sorted(walls)[1]
+
+    def timed(n):  # pipelined single-chunk: ONE compile per length
+        s.params.n_iterations = n
+        s.sample(x0, show_progress=False, seed=0)  # compile + first transfer
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            out = s.sample(x0, show_progress=False, seed=0)
+            jax.block_until_ready(out.running_samples.last_sample)
+            walls.append(time.time() - t0)
+        return sorted(walls)[1], out
+
+    wall_21, out = timed(21)
     samples = out.running_samples.as_tensor()  # (126, C, d), stays on device
     ess = float(jnp.mean(
         effective_sample_size(samples, max_window=128, dim_slab=25)
     ))
-    return {"ess_per_s": ess / wall, "wall_s": wall, "n_draws": int(samples.shape[0])}
+    # two-length slope: the short wall is dominated by the per-run fixed
+    # sync (~0.1 s through the tunnel); (wall_210 - wall_21)/189 isolates
+    # the true per-iteration cost for the rate-based provisional value
+    wall_210, _ = timed(210)
+    iters_per_s = 189.0 / max(wall_210 - wall_21, 1e-6)
+    return {"ess_per_s": ess / wall_21, "wall_s": wall_21,
+            "iters_per_s_slope": iters_per_s,
+            "n_outer": 21, "n_draws": int(samples.shape[0])}
 
 
 def main():
@@ -1843,13 +1874,25 @@ def _worker(pipe_w, t_start):
         prov = run_provisional()
         # stale torch baseline (if any): this run hasn't measured one yet
         stale_torch = _stale_torch_ess_per_s()
+        # Best provisional value: fresh measured iteration rate x the
+        # last-recorded (seeded-constant) ESS yield per iteration. Falls
+        # back to the short-chain direct ESS when no history exists (that
+        # estimate is tau-truncated ~10-70x low, but non-null and measured).
+        yield_per_iter = _stale_ess_per_iter()
+        if yield_per_iter:
+            prov_value = prov["iters_per_s_slope"] * yield_per_iter
+            basis = "measured iteration rate x last-recorded seeded ESS yield/iter"
+        else:
+            prov_value = prov["ess_per_s"]
+            basis = "short-chain direct ESS (tau-truncated, reads low)"
         provisional = {
             "metric": HEADLINE_METRIC,
-            "value": round(prov["ess_per_s"], 2),
+            "value": round(prov_value, 2),
             "unit": "ESS/s",
-            "vs_baseline": (round(prov["ess_per_s"] / stale_torch, 2)
+            "vs_baseline": (round(prov_value / stale_torch, 2)
                             if stale_torch else None),
             "provisional": True,
+            "provisional_basis": basis,
             "provisional_n_draws": prov["n_draws"],
         }
         send(provisional)

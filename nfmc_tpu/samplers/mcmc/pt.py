@@ -125,17 +125,22 @@ class PTKernel(MCMCKernel):
     def make_state(self) -> PTState:
         T = self.n_temps
         steps = jnp.asarray(self.step_sizes, dtype=jnp.float32)
-        return PTState(
-            betas=jnp.asarray(self.betas, dtype=jnp.float32),
-            step_sizes=steps,
-            da=DualAveragingState(
+        da = getattr(self, "_resume_da", None)
+        if da is None:
+            da = DualAveragingState(
                 t=jnp.full((T,), float(self.da_params.t0), dtype=jnp.float32),
                 error_sum=jnp.zeros((T,), dtype=jnp.float32),
                 log_step_averaged=jnp.log(steps),
                 mu=jnp.log(10.0 * steps),
-            ),
+            )
+        return PTState(
+            betas=jnp.asarray(self.betas, dtype=jnp.float32),
+            step_sizes=steps,
+            da=da,
             inv_mass_diag=jnp.asarray(self.inv_mass_diag, dtype=jnp.float32),
-            i=jnp.zeros((), dtype=jnp.int32),
+            # the iteration counter continues across segments so the swap
+            # parity (even/odd edge alternation) resumes where it left off
+            i=jnp.asarray(getattr(self, "_resume_i", 0), dtype=jnp.int32),
             swap_accepts=jnp.zeros((T - 1,), dtype=jnp.int32),
             swap_attempts=jnp.zeros((T - 1,), dtype=jnp.int32),
             swap_rate_ema=jnp.zeros((T - 1,), dtype=jnp.float32),
@@ -149,6 +154,13 @@ class PTKernel(MCMCKernel):
         self.swap_acceptance_rates = as_numpy(state.swap_rate_ema)
         self.n_accepted_swaps = int(np.sum(as_numpy(state.swap_accepts)))
         self.n_attempted_swaps = int(np.sum(as_numpy(state.swap_attempts)))
+        # Carry the per-rung dual-averaging state across runs/checkpoints
+        # (r4, same semantics as the Metropolis family): a mid-warmup resume
+        # continues every rung's step adaptation instead of restarting it.
+        import jax
+
+        self._resume_da = jax.tree_util.tree_map(jnp.asarray, state.da)
+        self._resume_i = int(state.i)
 
     def __repr__(self):
         rates = self.swap_acceptance_rates
