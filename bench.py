@@ -1418,7 +1418,7 @@ def _first_call_breakdown(strategy, sigma, n_chains, n_iterations):
         bw.append(2.0 / max(time.perf_counter() - t0, 1e-9))
     d2h_mib_s = sorted(bw)[1]
 
-    kwargs = {"flow": "None"} if strategy in (
+    kwargs = {"flow": None} if strategy in (
         "mh", "mala", "ula", "hmc", "uhmc", "ess") else {}
     t0 = time.perf_counter()
     sampler = create_sampler(
@@ -1690,8 +1690,8 @@ def _stale_ess_per_iter():
 
 def run_provisional():
     """Cheap early measured headline (VERDICT r3 item 1c): a short jump_mala
-    run that compiles only the SMALLEST chunk sizes (n_iterations=21 ->
-    chunks 1+4+16) so a number exists within the first couple of minutes even
+    run compiled as a SINGLE short chunk (n_iterations=21 -> one program; the
+    pipelined single-chunk fast path) so a number exists within minutes even
     when every compile RPC is slow; the full ``run_ours`` (which warms chunk
     1024 and times 5x2730 iterations) supersedes it."""
     import jax
@@ -1738,9 +1738,15 @@ def run_provisional():
     ))
     # two-length slope: the short wall is dominated by the per-run fixed
     # sync (~0.1 s through the tunnel); (wall_210 - wall_21)/189 isolates
-    # the true per-iteration cost for the rate-based provisional value
+    # the true per-iteration cost for the rate-based provisional value.
+    # Tunnel walls swing +-0.15 s, so a small/negative delta is pure noise —
+    # report no slope then (caller falls back to the direct-ESS basis)
+    # rather than publish a nonsense rate (r4 review).
     wall_210, _ = timed(210)
-    iters_per_s = 189.0 / max(wall_210 - wall_21, 1e-6)
+    delta = wall_210 - wall_21
+    iters_per_s = 189.0 / delta if delta > 0.02 else None
+    if iters_per_s is not None:
+        iters_per_s = min(iters_per_s, 50_000.0)  # physical sanity ceiling
     return {"ess_per_s": ess / wall_21, "wall_s": wall_21,
             "iters_per_s_slope": iters_per_s,
             "n_outer": 21, "n_draws": int(samples.shape[0])}
@@ -1866,8 +1872,6 @@ def _worker(pipe_w, t_start):
         except OSError:
             pass
 
-    stale = _stale_headline_line()
-
     # Early provisional headline: a measured number exists within minutes
     # even if the full warmup stalls afterwards.
     try:
@@ -1879,7 +1883,7 @@ def _worker(pipe_w, t_start):
         # back to the short-chain direct ESS when no history exists (that
         # estimate is tau-truncated ~10-70x low, but non-null and measured).
         yield_per_iter = _stale_ess_per_iter()
-        if yield_per_iter:
+        if yield_per_iter and prov.get("iters_per_s_slope"):
             prov_value = prov["iters_per_s_slope"] * yield_per_iter
             basis = "measured iteration rate x last-recorded seeded ESS yield/iter"
         else:
@@ -1917,6 +1921,7 @@ def _worker(pipe_w, t_start):
     send(measured_headline)
     base = run_torch_baseline()
     measured_headline["vs_baseline"] = round(ours["ess_per_s"] / base["ess_per_s"], 2)
+    measured_headline["partial"] = "headline + torch baseline measured; optional sections unfinished"
     send(measured_headline)
 
     # Section order = deliverable priority, highest first. Each section runs

@@ -108,7 +108,6 @@ def load_checkpoint(path: str, like: Any) -> Tuple[Any, Dict]:
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     meta = json.loads(bytes(data["__meta__"].tobytes()).decode())
     saved_sig = _saved_signature(data, meta)
-    n_saved = sum(1 for k in data.files if k.startswith("leaf_"))
     if saved_sig is not None:
         sig = _tree_signature(like)
         if saved_sig != sig:

@@ -253,6 +253,7 @@ def run_chunk_loop(
     sync_max_chunk: int = 64,
     max_chunk: Optional[int] = None,
     postfix: Optional[Callable[[], str]] = None,
+    single_chunk_cap: Optional[int] = None,
 ) -> int:
     """THE chunk-loop policy — pipelining, chunk-size growth, time limits,
     elapsed-time accounting, progress flushes — shared by every chunked
@@ -280,7 +281,11 @@ def run_chunk_loop(
     pipelined = time_limit_seconds is None and not show_progress
     if max_chunk is None:
         max_chunk = 1024 if pipelined else sync_max_chunk
-    if pipelined and 0 < n_iterations <= max_chunk:
+    if (
+        pipelined
+        and 0 < n_iterations <= max_chunk
+        and (single_chunk_cap is None or n_iterations <= single_chunk_cap)
+    ):
         # Single-chunk fast path: a pipelined run needs no mid-run host
         # checkpoints (no time limit, no live bar), so a run that fits in
         # one chunk is ONE trace + ONE compile instead of O(log n) distinct
@@ -290,6 +295,10 @@ def run_chunk_loop(
         # decomposition is part of a run's seeded stream: seeded
         # repeatability holds per (mode, n_iterations) as before, and the
         # sync path (time limit / progress) keeps its geometric schedule.
+        # ``single_chunk_cap``: callers with chunk-level RNG/proposal hoists
+        # pass the largest chunk their footprint cap accepts — one oversize
+        # chunk would otherwise silently lose the hoist for the WHOLE run
+        # (r4 review; e.g. 4096-chain MALA at 1000 iterations).
         schedule = [n_iterations]
     else:
         schedule = chunk_schedule(n_iterations, max_chunk=max_chunk)
@@ -341,9 +350,21 @@ class ChunkedScanDriver:
         make_precompute: Optional[Callable[[bool], Callable]] = None,
         make_step_aux: Optional[Callable[[bool], Callable]] = None,
         unroll: int = 1,
+        hoist_per_iter: Optional[Callable[[jax.Array], int]] = None,
     ):
         self.event_shape = tuple(event_shape)
         self.make_step = make_step
+        # Footprint of one iteration's hoisted draws (f32 elements, as a
+        # function of the chain-state array). When provided alongside
+        # make_precompute, run() caps the single-chunk fast path so the
+        # whole-run chunk never exceeds the DEFAULT footprint threshold —
+        # an oversize single chunk would silently lose the hoist (r4 review).
+        # The cap deliberately uses the module constant, NOT the sampler's
+        # tunable rng_hoist_element_limit: the chunk schedule feeds the
+        # per-chunk key split, so it must depend only on static workload
+        # shape — tests that force the in-scan fallback via limit=0 must see
+        # the identical schedule (and hence the identical random stream).
+        self.hoist_per_iter = hoist_per_iter
         # lax.scan unroll factor (MCMCParameters.scan_unroll): pure scheduling
         # hint, bit-identical results, amortizes TPU scan-loop overhead for
         # tiny step bodies at the cost of linearly larger compiled programs.
@@ -507,6 +528,13 @@ class ChunkedScanDriver:
                 s += f" | {kernel_repr(st['kstate'])}"
             return s
 
+        hoist_cap = None
+        if self.make_precompute is not None and self.hoist_per_iter is not None:
+            hoist_cap = max(
+                1,
+                RNG_HOIST_ELEMENT_LIMIT
+                // max(1, int(self.hoist_per_iter(st["x"]))),
+            )
         iters_done = run_chunk_loop(
             n_iterations,
             dispatch=dispatch,
@@ -518,6 +546,7 @@ class ChunkedScanDriver:
             sync_max_chunk=64,
             max_chunk=max_chunk,
             postfix=postfix,
+            single_chunk_cap=hoist_cap,
         )
         if samples is not None and not collect and iters_done > 0:
             # single run-end fetch keeps last_sample semantics without the

@@ -293,6 +293,7 @@ class MCMCSampler(Sampler):
                 make_precompute=make_precompute,
                 make_step_aux=self._make_step_aux if make_precompute else None,
                 unroll=getattr(self.params, "scan_unroll", 1),
+                hoist_per_iter=self.hoisted_elements_per_iter,
             )
             self._driver_config = config
         return self._driver

@@ -116,7 +116,15 @@ class _DenseCovKernelMixin:
                 ) from e
 
     def make_state(self) -> DenseMetropolisState:
-        chol, chol_inv = _host_factorize(self.mass_cov, self.make_state_ridge)
+        if getattr(self, "_resume_src", None) is not self.mass_cov:
+            # The user replaced mass_cov since the last run (the documented
+            # exact-metric path): the previous run's adapted stashes —
+            # half-EMAs, shrunk factors, jitter gate, refresh counter — must
+            # not shadow it (r4 review). DA / step-size state stays.
+            for attr in ("_resume_halves", "_resume_factors",
+                         "_resume_jitter_frac", "_resume_t"):
+                if hasattr(self, attr):
+                    delattr(self, attr)
         da = getattr(self, "_resume_da", None)
         t = getattr(self, "_resume_t", None)
         halves = getattr(self, "_resume_halves", None)
@@ -126,6 +134,8 @@ class _DenseCovKernelMixin:
         resumed = getattr(self, "_resume_factors", None)
         if resumed is not None:
             chol, chol_inv = resumed  # shrunk factors from the tuned state
+        else:
+            chol, chol_inv = _host_factorize(self.mass_cov, self.make_state_ridge)
         return DenseMetropolisState(
             step_size=jnp.asarray(self.step_size, dtype=jnp.float32),
             cov_a=jnp.asarray(cov_a, dtype=jnp.float32),
@@ -154,6 +164,9 @@ class _DenseCovKernelMixin:
         self._resume_halves = (jnp.asarray(state.cov_a), jnp.asarray(state.cov_b))
         self._resume_jitter_frac = float(state.jitter_frac)
         self._resume_factors = (jnp.asarray(state.chol), jnp.asarray(state.chol_inv))
+        # identity marker: a user assigning a NEW mass_cov invalidates the
+        # adapted stashes above (make_state checks `is`)
+        self._resume_src = self.mass_cov
 
     def __repr__(self):
         diag = np.diag(np.asarray(self.mass_cov))
@@ -241,7 +254,7 @@ class _DenseMetricMixin:
             cov_a, cov_b, t = mstate.cov_a, mstate.cov_b, mstate.t
             chol, chol_inv = mstate.chol, mstate.chol_inv
             jitter_frac = mstate.jitter_frac
-            if tune_metric and n_chains > 3:
+            if tune_metric and n_chains > 1:
                 d = cov_a.shape[0]
                 x_flat = x.reshape(n_chains, -1)
 
@@ -250,9 +263,16 @@ class _DenseMetricMixin:
                     c = jnp.matmul(xc.T, xc, precision="highest") / (xs.shape[0] - 1)
                     return c + ridge * jnp.eye(d, dtype=c.dtype)
 
-                # independent chain halves -> independent sampling noise
-                c_a = batch_cov(x_flat[0::2])
-                c_b = batch_cov(x_flat[1::2])
+                if n_chains > 3:
+                    # independent chain halves -> independent sampling noise
+                    c_a = batch_cov(x_flat[0::2])
+                    c_b = batch_cov(x_flat[1::2])
+                else:
+                    # too few chains to split (a 1-element half has no
+                    # variance): shared estimate — r = 1, so no shrinkage,
+                    # dense EMA + jitter still adapt (r4 review: the > 3
+                    # gate previously disabled ALL tuning for 2-3 chains)
+                    c_a = c_b = batch_cov(x_flat)
                 a_new = alpha * c_a + (1.0 - alpha) * cov_a
                 b_new = alpha * c_b + (1.0 - alpha) * cov_b
                 # Guard: a non-finite batch (diverged chains) must not poison

@@ -86,18 +86,21 @@ class HMC(MetropolisSampler):
         jitter = float(getattr(self.params, "step_jitter", 0.0))
 
         def draws(key, n_chains):
-            k_mom, k_accept, k_jit = jax.random.split(key, 3)
+            # jitter=0 keeps the 2-way split: the default (reference-parity)
+            # seeded stream is unchanged from pre-jitter revisions
+            if jitter > 0.0:
+                k_mom, k_accept, k_jit = jax.random.split(key, 3)
+                eps_scale = 1.0 + jax.random.uniform(
+                    k_jit, (n_chains,), minval=-jitter, maxval=jitter
+                )
+            else:
+                k_mom, k_accept = jax.random.split(key)
+                eps_scale = jnp.ones((n_chains,), dtype=jnp.float32)
             p_raw = jax.random.normal(k_mom, (n_chains, event_size))
             if adjustment:
                 log_u = jnp.log(jax.random.uniform(k_accept, (n_chains,)))
             else:
                 log_u = jnp.zeros((n_chains,), dtype=jnp.float32)
-            if jitter > 0.0:
-                eps_scale = 1.0 + jax.random.uniform(
-                    k_jit, (n_chains,), minval=-jitter, maxval=jitter
-                )
-            else:
-                eps_scale = jnp.ones((n_chains,), dtype=jnp.float32)
             return p_raw, log_u, eps_scale
 
         return draws

@@ -259,6 +259,7 @@ class FixedIMH(AbstractIMH):
                 self.event_shape, make_step,
                 make_step_aux=make_step_aux, make_precompute=make_precompute,
                 unroll=getattr(self.params, "scan_unroll", 1),
+                hoist_per_iter=lambda x: x.shape[0] * per_draw,
             ),
             keepalive=(flow, flow.bijection, flow._base_log_prob_override, self.target),
         )

@@ -544,6 +544,21 @@ class JumpNFMC(Sampler):
             st["acc"] = StatsAccum.zeros(self.event_shape)
             st["jump_acc"] = _JumpAccum.zeros(self.event_shape)
 
+        # cap the single-chunk fast path so one whole-run chunk can never
+        # exceed the runner's per-chunk hoist footprint gates (r4 review):
+        # inner-step RNG (chunk * inner_n * x.size) and flow proposals
+        # (chunk * C * per_draw) — same formulas as _get_fused_runner
+        proposal_per_draw = flow_proposal_footprint_per_draw(
+            self.kernel.flow, int(np.prod(self.event_shape))
+        )
+        # DEFAULT constant, not the tunable instance limits: the schedule
+        # feeds the key split, so it must depend only on workload shape
+        # (limit=0 fallback tests need the identical stream)
+        hoist_cap = min(
+            max(1, RNG_HOIST_ELEMENT_LIMIT // max(1, inner_n * int(x.size))),
+            max(1, RNG_HOIST_ELEMENT_LIMIT
+                // max(1, n_chains * proposal_per_draw)),
+        )
         iters_done = run_chunk_loop(
             self.params.n_iterations,
             dispatch=dispatch,
@@ -553,6 +568,7 @@ class JumpNFMC(Sampler):
             show_progress=show_progress,
             desc=self.name,
             sync_max_chunk=256,
+            single_chunk_cap=hoist_cap,
         )
         if not self.params.store_samples and iters_done > 0:
             out.running_samples.add(st["x"])  # single run-end fetch

@@ -439,6 +439,10 @@ class TESS(Sampler):
                 self.event_shape, make_step,
                 make_precompute=make_precompute, make_step_aux=make_step_aux,
                 unroll=getattr(self.params, "scan_unroll", 1),
+                # mirrors the precompute's decline footprint (z + w + theta0
+                # + the max_iter shrink uniforms per chain)
+                hoist_per_iter=lambda x: x.shape[0]
+                * ((int(x.size) // max(int(x.shape[0]), 1)) + 2 + max_iter),
             ),
             keepalive=(flow.bijection, flow._base_log_prob_override,
                        self.negative_log_likelihood),

@@ -237,3 +237,34 @@ def test_pipelined_single_chunk_fast_path():
         draws = np.asarray(out.samples)[100:]
         assert abs(draws.mean()) < 0.15
         assert abs(draws.var() - 1.0) < 0.3
+
+
+def test_single_chunk_cap_preserves_hoist():
+    """r4 review: callers with chunk-level hoists pass single_chunk_cap so
+    one whole-run chunk can never exceed the precompute's footprint gate."""
+    log = []
+    run_chunk_loop(
+        1000, dispatch=lambda c, i: (log.append(c), jnp.zeros(()))[1],
+        stats=FakeStats(), flush=lambda n: None,
+        time_limit_seconds=None, show_progress=False,
+        single_chunk_cap=256,
+    )
+    assert log[0] != 1000  # fast path declined: falls back to geometric
+    assert max(log) <= 1024 and sum(log) == 1000
+
+    # driver-level: a tiny hoist limit must keep chunks under the cap while
+    # the run still completes and hoists (results finite + deterministic)
+    import jax
+    import numpy as np
+
+    from nfmc_tpu.samplers.mcmc import MALA
+
+    def U(x):
+        return 0.5 * (x.reshape(x.shape[0], -1) ** 2).sum(-1)
+
+    s = MALA((3,), U)
+    s.rng_hoist_element_limit = 16 * 3 * 8  # 8-iteration chunks max
+    s.params.n_iterations = 40
+    x0 = jax.random.normal(jax.random.key(0), (16, 3))
+    out = s.sample(x0, show_progress=False, seed=1)
+    assert np.isfinite(np.asarray(out.samples)).all()

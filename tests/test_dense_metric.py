@@ -236,3 +236,44 @@ def test_split_half_shrinkage_collapses_isotropic_metric():
     assert iso_spread < raw_iso_spread, (iso_spread, raw_iso_spread)
     # corr: geodesic shrinkage must RETAIN the 100x eigen structure
     assert corr_spread > 20.0, corr_spread
+
+
+def test_user_mass_cov_overrides_adapted_stash():
+    """r4 review: assigning a NEW mass_cov after a run must win over the
+    previous run's adapted factors/jitter (the documented exact-metric
+    path), while an untouched kernel keeps its adapted state."""
+    import jax.numpy as jnp
+
+    from nfmc_tpu.potentials import StandardGaussian
+
+    target = StandardGaussian((4,))
+    s = create_sampler(target, event_shape=(4,), strategy="dense_hmc",
+                       param_kwargs={"n_warmup_iterations": 40})
+    x0 = jax.random.normal(jax.random.key(0), (16, 4))
+    s.warmup(x0, show_progress=False, seed=1)
+    st_adapted = s.kernel.make_state()
+    assert float(st_adapted.jitter_frac) == 1.0  # adapted: stash in effect
+
+    my_cov = 4.0 * np.eye(4, dtype=np.float32)
+    s.kernel.mass_cov = my_cov
+    st = s.kernel.make_state()
+    np.testing.assert_allclose(np.asarray(st.chol), 2.0 * np.eye(4), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(st.cov_a), my_cov, rtol=1e-6)
+    assert float(st.jitter_frac) == 0.0  # user-trusted metric: jitter-free
+
+
+def test_dense_tuning_adapts_with_two_chains():
+    """r4 review: 2-3 chains cannot split-half, but tuning must still adapt
+    (shared estimate, no shrinkage) instead of silently doing nothing."""
+    import jax.numpy as jnp
+
+    from nfmc_tpu.potentials import DiagonalGaussian
+
+    target = DiagonalGaussian(mu=np.zeros(3), sigma=np.array([1.0, 2.0, 3.0], np.float32))
+    s = create_sampler(target, event_shape=(3,), strategy="dense_mala",
+                       param_kwargs={"n_warmup_iterations": 200})
+    x0 = jnp.asarray(target.sample((2,), key=jax.random.key(1)), dtype=jnp.float32)
+    before = np.array(s.kernel.mass_cov)
+    s.warmup(x0, show_progress=False, seed=2)
+    after = np.array(s.kernel.mass_cov)
+    assert not np.allclose(before, after), "2-chain dense tuning did not adapt"
