@@ -1943,8 +1943,15 @@ def _worker(pipe_w, t_start):
     # final-JSON write; overridable via NFMC_BENCH_CAP_S.
     cap_s = float(os.environ.get("NFMC_BENCH_CAP_S", "2150"))
     section_walls = {}
+    stale_walls = (_stale_full() or {}).get("section_walls_s", {})
 
     def gated(name, fn, est_cost_s):
+        # prefer the previous run's MEASURED wall (2x margin for slow-phase
+        # compile RPCs) over the static guess: shedding decisions then track
+        # what sections actually cost on this host (r4; the static estimates
+        # were padded ~2-4x and could shed sections that easily fit)
+        if isinstance(stale_walls.get(name), (int, float)):
+            est_cost_s = min(est_cost_s, 2.0 * float(stale_walls[name]) + 15.0)
         elapsed = time.time() - t_start
         if elapsed + est_cost_s > cap_s:
             msg = (f"time budget (elapsed {elapsed:.0f}s + est "
