@@ -2094,9 +2094,19 @@ def _worker(pipe_w, t_start):
         "latent_ab_ok": latent_ab.get("all_ok"),
         # corrected transport stack recovers a known log Z (max |err|, nats)
         "transport_logz_max_err": transport_logz.get("max_err_nats"),
-        # dense-metric superset: worst-direction ESS/s speedup on the
-        # condition-1e3 correlated target (None if skipped)
-        "dense_metric_ok": dense.get("dense_wins_on_correlated"),
+        # dense-metric superset: worst-direction ESS/s speedups on the
+        # condition-1e3 correlated target + wall-free iso machinery parity
+        # (None if the section was skipped)
+        "dense_metric": (
+            {
+                "hmc_min_dir_x": dense.get("hmc_min_dir_speedup"),
+                "mala_min_dir_x": dense.get("mala_min_dir_speedup"),
+                "near_iso_hmc_x": dense.get("near_iso_hmc_min_dir_speedup"),
+                "iso_yield_parity": dense.get("iso_parity_ess_yield_mala"),
+                "ok": dense.get("dense_wins_on_correlated"),
+            }
+            if "hmc_min_dir_speedup" in dense else None
+        ),
         # mode-balance errors (0 = both modes equally visited, 0.5 = trapped)
         "pt_multimodal": (
             {
