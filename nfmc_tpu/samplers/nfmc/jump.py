@@ -514,6 +514,23 @@ class JumpNFMC(Sampler):
             "jump_acc": _JumpAccum.zeros(self.event_shape),
         }
 
+        # Pipelined host-storage runs defer the per-chunk draw fetch to ONE
+        # end-of-run D2H (same policy + footprint guard as
+        # ChunkedScanDriver.run — per-chunk numpy conversion blocks a tunnel
+        # round trip per chunk and serializes the pipeline).
+        from ...core.driver import SAMPLE_DEFER_ELEMENT_LIMIT
+
+        event_elems = int(np.prod(self.event_shape)) if self.event_shape else 1
+        defer_store = (
+            self.params.store_samples
+            and not out.running_samples.on_device
+            and time_limit_seconds is None
+            and not show_progress
+            and self.params.n_iterations * (inner_n + 1) * n_chains * event_elems
+            <= SAMPLE_DEFER_ELEMENT_LIMIT
+        )
+        deferred_blocks = []
+
         def dispatch(chunk, outer_abs):
             # refit gate by absolute outer index (reference ``jump.py:193-201``);
             # ignored by the runner when fit_nf_cfg is None
@@ -529,9 +546,11 @@ class JumpNFMC(Sampler):
                       jump_acc=jacc, key=k)
             if self.params.store_samples:
                 # (chunk, inner_n+1, C, *e) -> (chunk*(inner_n+1), C, *e)
-                out.running_samples.add(
-                    ys.reshape(chunk * (inner_n + 1), n_chains, *self.event_shape)
-                )
+                blk = ys.reshape(chunk * (inner_n + 1), n_chains, *self.event_shape)
+                if defer_store:
+                    deferred_blocks.append(blk)
+                else:
+                    out.running_samples.add(blk)
             # store_samples=False: last_sample is set ONCE after the loop —
             # a per-chunk add here would block on a D2H fetch per chunk
             # (MCMCSamples.add converts before its store check), serializing
@@ -547,18 +566,32 @@ class JumpNFMC(Sampler):
         # cap the single-chunk fast path so one whole-run chunk can never
         # exceed the runner's per-chunk hoist footprint gates (r4 review):
         # inner-step RNG (chunk * inner_n * x.size) and flow proposals
-        # (chunk * C * per_draw) — same formulas as _get_fused_runner
-        proposal_per_draw = flow_proposal_footprint_per_draw(
-            self.kernel.flow, int(np.prod(self.event_shape))
-        )
-        # DEFAULT constant, not the tunable instance limits: the schedule
-        # feeds the key split, so it must depend only on workload shape
-        # (limit=0 fallback tests need the identical stream)
-        hoist_cap = min(
-            max(1, RNG_HOIST_ELEMENT_LIMIT // max(1, inner_n * int(x.size))),
-            max(1, RNG_HOIST_ELEMENT_LIMIT
-                // max(1, n_chains * proposal_per_draw)),
-        )
+        # (chunk * C * per_draw) — same formulas as _get_fused_runner. Each
+        # term applies only when its hoist can actually engage (ADVICE r4:
+        # an unconditional cap forced the geometric schedule — extra compiles
+        # — for runs whose inner sampler provides no make_draws): the inner
+        # term needs draws + a step_aux, the proposal term is dead when
+        # refitting (use_proposal_aux requires not refit). Collect mode adds
+        # the emitted (chunk, inner_n+1, C, *e) draw buffer. All terms depend
+        # only on static workload shape / sampler structure.
+        caps = []
+        if (self.inner_sampler.make_draws() is not None
+                and self.inner_sampler._make_step_aux(False) is not None):
+            caps.append(max(1, RNG_HOIST_ELEMENT_LIMIT
+                            // max(1, inner_n * int(x.size))))
+        if fit_nf_cfg is None:
+            proposal_per_draw = flow_proposal_footprint_per_draw(
+                self.kernel.flow, int(np.prod(self.event_shape))
+            )
+            # DEFAULT constant, not the tunable instance limits: the schedule
+            # feeds the key split, so it must depend only on workload shape
+            # (limit=0 fallback tests need the identical stream)
+            caps.append(max(1, RNG_HOIST_ELEMENT_LIMIT
+                            // max(1, n_chains * proposal_per_draw)))
+        if self.params.store_samples:
+            caps.append(max(1, RNG_HOIST_ELEMENT_LIMIT
+                            // max(1, (inner_n + 1) * n_chains * event_elems)))
+        hoist_cap = min(caps) if caps else None
         iters_done = run_chunk_loop(
             self.params.n_iterations,
             dispatch=dispatch,
@@ -570,6 +603,14 @@ class JumpNFMC(Sampler):
             sync_max_chunk=256,
             single_chunk_cap=hoist_cap,
         )
+        if deferred_blocks:
+            # ONE device concat + ONE host fetch for the whole run's draws
+            blk = (
+                deferred_blocks[0]
+                if len(deferred_blocks) == 1
+                else jnp.concatenate(deferred_blocks, axis=0)
+            )
+            out.running_samples.add(blk)
         if not self.params.store_samples and iters_done > 0:
             out.running_samples.add(st["x"])  # single run-end fetch
         if fit_nf_cfg is not None:

@@ -45,16 +45,30 @@ def test_pipelined_single_flush_and_count():
     def flush(iters):
         log["flushes"].append(iters)
 
+    # r5: pipelined runs up to SINGLE_CHUNK_ITER_LIMIT compile as ONE chunk
     done = run_chunk_loop(1365, dispatch=dispatch, stats=stats, flush=flush,
                           time_limit_seconds=None, show_progress=False)
     assert done == 1365
-    # pipelined default max chunk is 1024; schedule matches chunk_schedule
-    assert [c for c, _ in log["dispatches"]] == [1, 4, 16, 64, 256, 1024]
-    # iters_done passed to dispatch is the absolute pre-chunk index
-    assert [i for _, i in log["dispatches"]] == [0, 1, 5, 21, 85, 341]
+    assert log["dispatches"] == [(1365, 0)]
     # exactly one flush at the end covering everything
     assert log["flushes"] == [1365]
     assert stats.elapsed_time_seconds > 0
+
+    # above the single-chunk limit the geometric schedule applies (power-of-4
+    # sizes reused across run lengths, bounding distinct compiles)
+    log2 = {"dispatches": [], "flushes": []}
+    done = run_chunk_loop(
+        5461,
+        dispatch=lambda c, i: (log2["dispatches"].append((c, i)), jnp.zeros(()))[1],
+        stats=FakeStats(), flush=log2["flushes"].append,
+        time_limit_seconds=None, show_progress=False)
+    assert done == 5461
+    sizes = [c for c, _ in log2["dispatches"]]
+    assert sizes[:6] == [1, 4, 16, 64, 256, 1024]
+    assert max(sizes) == 1024 and sum(sizes) == 5461
+    # iters_done passed to dispatch is the absolute pre-chunk index
+    assert [i for _, i in log2["dispatches"]][:6] == [0, 1, 5, 21, 85, 341]
+    assert log2["flushes"] == [5461]
 
 
 def test_progress_mode_flushes_per_chunk():
