@@ -96,6 +96,69 @@ def ess_per_dim(x: np.ndarray) -> float:
     return float(ess.sum(axis=0).mean())
 
 
+# Headline sampler stash: run_ours() builds + warms it; run_headline_block()
+# re-times it later in the worker so the recorded blocks span minutes of
+# tunnel phase instead of one (VERDICT r4 item 2: four same-day runs swung
+# 483k-1065k ESS/s with nothing recorded to attribute the swing to).
+_HEADLINE_STATE = {}
+REPS_PER_BLOCK = 9  # ~3 s of timed work per block at the ~0.35 s/run config
+
+
+def tunnel_probes(n_rtt=9):
+    """Tunnel-health probes: round-trip latency (median of fresh scalar
+    fetches) and D2H bandwidth (2 MiB transfers). Each probe fetches a FRESH
+    device computation — jax.Array caches its host value after the first
+    fetch, so re-fetching the same array measures a dict lookup."""
+    import jax
+
+    base = jax.block_until_ready(jax.random.normal(jax.random.key(0), ()))
+    probes = [jax.block_until_ready(base + i) for i in range(n_rtt)]
+    rtts = []
+    for p in probes:
+        t0 = time.perf_counter()
+        jax.device_get(p)
+        rtts.append(time.perf_counter() - t0)
+    mb_base = jax.block_until_ready(
+        jax.random.normal(jax.random.key(1), (512, 1024)))  # 2 MiB
+    bws = []
+    for m in [jax.block_until_ready(mb_base + i) for i in range(3)]:
+        t0 = time.perf_counter()
+        jax.device_get(m)
+        bws.append(2.0 / max(time.perf_counter() - t0, 1e-9))
+    return {
+        "rtt_ms": round(sorted(rtts)[len(rtts) // 2] * 1e3, 2),
+        "d2h_mib_s": round(sorted(bws)[1], 2),
+    }
+
+
+def run_headline_block(reps=REPS_PER_BLOCK):
+    """One timed headline block on the stashed warm sampler: tunnel probes,
+    then ``reps`` back-to-back seeded runs under a single wall. Returns the
+    block record and appends nothing — the caller owns aggregation."""
+    import jax
+
+    s, x0 = _HEADLINE_STATE["sampler"], _HEADLINE_STATE["x0"]
+    probes = tunnel_probes()
+    per_run = []
+    t_block = time.time()
+    for _ in range(reps):
+        t0 = time.time()
+        out = s.sample(x0, show_progress=False, seed=0)
+        jax.block_until_ready(out.running_samples.last_sample)
+        per_run.append(time.time() - t0)
+    wall = time.time() - t_block
+    _HEADLINE_STATE["last_out"] = out
+    return {
+        "t_offset_s": round(time.time() - _HEADLINE_STATE.get("t0", time.time()), 1),
+        "reps": reps,
+        "wall_s": round(wall, 3),
+        "wall_per_run_s": round(wall / reps, 4),
+        "run_wall_spread_s": [round(min(per_run), 3), round(max(per_run), 3)],
+        "iters_per_s": round(reps * OUTER_OURS / wall, 1),
+        "tunnel": probes,
+    }
+
+
 def run_ours():
     import jax
     import nfmc_tpu
@@ -135,25 +198,28 @@ def run_ours():
     s.params.fused_unroll_outer = 4
     s.params.fused_unroll_inner = 2
 
-    # compile warm-up on the SAME instance (hits every chunk size incl. 1024),
-    # excluded from timing like any serving deployment
-    s.params.n_iterations = 1365  # = 1+4+16+64+256+1024
-    s.sample(x0, show_progress=False, seed=0)
-
+    # compile warm-up on the SAME instance at the SAME length as the timed
+    # runs (the chunk schedule is deterministic per n_iterations, so an
+    # exact-length warm covers every compiled size), excluded from timing
+    # like any serving deployment
     s.params.n_iterations = OUTER_OURS
-    # tunnel sync latency drifts minute-to-minute (~25-30 ms RTT, +-0.15 s on
-    # short walls) — time 5 runs, keep the median, export the spread so a
-    # slow phase is visible in the recorded JSON
-    walls = []
-    for rep in range(5):
-        t0 = time.time()
-        out = s.sample(x0, show_progress=False, seed=0)
-        jax.block_until_ready(out.running_samples.last_sample)
-        walls.append(time.time() - t0)
-    walls.sort()
-    wall = walls[len(walls) // 2]  # sampling only; ESS estimation is analysis
-    wall_spread = [round(walls[0], 3), round(wall, 3), round(walls[-1], 3)]
+    out = s.sample(x0, show_progress=False, seed=0)
+    jax.block_until_ready(out.running_samples.last_sample)
 
+    # Timed block: REPS_PER_BLOCK back-to-back seeded runs under ONE wall
+    # (VERDICT r4 item 2b: a single 0.35 s wall amortizes ~10 tunnel round
+    # trips and swung the headline ±50% with tunnel phase; ~3 s of timed
+    # work drops the relative sync noise ~9x). Two more blocks run minutes
+    # later in the worker (run_headline_block) so cross-minute drift shows
+    # up as block-rate spread instead of silently biasing one number; each
+    # block carries its own tunnel-health probes for attribution (item 2a).
+    _HEADLINE_STATE.update(sampler=s, x0=x0)
+    block = run_headline_block()
+
+    # ESS / moments are SEEDED CONSTANTS of the config (same seed -> bit-
+    # identical draws), measured once on the final block run's stored chain —
+    # wall-free, like dense_metric's iso_yield_parity (item 2c).
+    out = _HEADLINE_STATE["last_out"]
     samples_dev = out.running_samples.as_tensor()  # stays on device
     # ESS measured on the FULL chain: max_window=16384 >= the 16380 draws, so
     # the function's internal windowing (which DEFAULTS to 8192 — relying on
@@ -173,10 +239,13 @@ def run_ours():
 
     moment_err = float(np.max(np.abs(out.mean)))  # truth: zeros
     second_err = float(np.max(np.abs(out.second_moment - 1.0)))  # truth: ones
+    wall = block["wall_per_run_s"]
     return {
         "wall_s": wall,
-        "wall_spread_s": wall_spread,
+        "blocks": [block],
         "iters_per_s": OUTER_OURS / wall,
+        "n_outer": OUTER_OURS,
+        "ess_per_iter": ess / OUTER_OURS,
         "ess": ess,
         # un-extrapolated trailing-window estimate + the linear-in-n factor
         # applied to it (VERDICT round 1 item 6 / ADVICE: make the
@@ -302,35 +371,45 @@ def run_torch_baseline():
         x[mask] = x_prime[mask]
         return x, int(mask.sum())
 
-    x = torch.randn(C, d)
-    samples = []
-    inner_accepts = 0
-    jump_accepts = 0
-    t0 = time.time()
-    for _ in range(OUTER_TORCH):
-        for _ in range(INNER_N):
-            x, n_acc = mala_step(x)
-            inner_accepts += n_acc
-            samples.append(x.clone())
-        with torch.no_grad():
-            x_prime, f_prime = flow_sample(C)
-            log_alpha = (-target(x_prime)) - (-target(x)) + flow_log_prob(x) - f_prime
-            mask = torch.rand(C).log() < log_alpha
-            jump_accepts += int(mask.sum())
-            x[mask] = x_prime[mask]
-            samples.append(x.clone())
-    wall = time.time() - t0
-    arr = torch.stack(samples).numpy()
-    ess = ess_per_dim(arr)
-    return {
-        "wall_s": wall, "iters_per_s": OUTER_TORCH / wall, "ess": ess,
-        "ess_per_s": ess / wall,
-        # cross-validation observables (VERDICT round 1 item 6)
-        "accept_rate": inner_accepts / (OUTER_TORCH * INNER_N * C),
-        "jump_accept_rate": jump_accepts / (OUTER_TORCH * C),
-        "moment_err": float(np.max(np.abs(arr.mean(axis=(0, 1))))),
-        "second_moment_err": float(np.max(np.abs((arr**2).mean(axis=(0, 1)) - 1.0))),
-    }
+    def one_rep():
+        x = torch.randn(C, d)
+        samples = []
+        inner_accepts = 0
+        jump_accepts = 0
+        t0 = time.time()
+        for _ in range(OUTER_TORCH):
+            for _ in range(INNER_N):
+                x, n_acc = mala_step(x)
+                inner_accepts += n_acc
+                samples.append(x.clone())
+            with torch.no_grad():
+                x_prime, f_prime = flow_sample(C)
+                log_alpha = (-target(x_prime)) - (-target(x)) + flow_log_prob(x) - f_prime
+                mask = torch.rand(C).log() < log_alpha
+                jump_accepts += int(mask.sum())
+                x[mask] = x_prime[mask]
+                samples.append(x.clone())
+        wall = time.time() - t0
+        arr = torch.stack(samples).numpy()
+        ess = ess_per_dim(arr)
+        return {
+            "wall_s": wall, "iters_per_s": OUTER_TORCH / wall, "ess": ess,
+            "ess_per_s": ess / wall,
+            # cross-validation observables (VERDICT round 1 item 6)
+            "accept_rate": inner_accepts / (OUTER_TORCH * INNER_N * C),
+            "jump_accept_rate": jump_accepts / (OUTER_TORCH * C),
+            "moment_err": float(np.max(np.abs(arr.mean(axis=(0, 1))))),
+            "second_moment_err": float(np.max(np.abs((arr**2).mean(axis=(0, 1)) - 1.0))),
+        }
+
+    # The baseline itself swung 14.1k-19.8k ESS/s across same-day r4 runs
+    # (transient host load on the shared CPU). Run the replica twice and keep
+    # the FASTER rep's rate — the one least affected by contention; slowing
+    # the baseline would inflate vs_baseline. Both reps' rates are recorded.
+    reps = [one_rep(), one_rep()]
+    best = max(reps, key=lambda r: r["ess_per_s"])
+    best["ess_per_s_reps"] = [round(r["ess_per_s"], 1) for r in reps]
+    return best
 
 
 def run_north_star():
@@ -662,9 +741,10 @@ def run_funnel():
     s = MALA((d,), target, kernel=LangevinKernel(event_size=d, step_size=STEP),
              params=LangevinParameters(tuning=False))
     s.params.store_samples_on_device = True
-    s.params.n_iterations = 1365  # warm every chunk size
-    s.sample(x0, show_progress=False, seed=0)
+    # warm at the timed length (the chunk schedule is deterministic per
+    # n_iterations; 3000 <= the single-chunk limit, so this is ONE program)
     s.params.n_iterations = n_iters
+    s.sample(x0, show_progress=False, seed=0)
     walls = []
     for rep in range(3):
         t0 = time.time()
@@ -1653,7 +1733,12 @@ def _stale_headline_line():
             "metric": HEADLINE_METRIC,
             "value": value,
             "unit": "ESS/s",
-            "vs_baseline": full.get("vs_baseline"),
+            # ADVICE r4: a consumer that reads only vs_baseline must not
+            # record a previous run's ratio as this run's — the stale ratio
+            # moves to its own key. value stays (the driver's contract is a
+            # non-null last-known headline, marked stale).
+            "vs_baseline": None,
+            "stale_vs_baseline": full.get("vs_baseline"),
             "stale": True,
             "stale_from": ts,
         }
@@ -1689,7 +1774,12 @@ def _stale_ess_per_iter():
     before the full ESS computation is affordable."""
     full = _stale_full()
     try:
-        return float(full["ours"]["ess"]) / OUTER_OURS or None
+        # divide by the RECORDED iteration count (ADVICE r4: dividing by the
+        # current OUTER_OURS silently mis-scales if the headline config
+        # changed between versions); older artifacts without n_outer ran the
+        # current constant's config, so it is the correct fallback there
+        n_outer = float(full["ours"].get("n_outer", OUTER_OURS))
+        return float(full["ours"]["ess"]) / n_outer or None
     except (TypeError, KeyError, ValueError, ZeroDivisionError):
         return None
 
@@ -1871,6 +1961,8 @@ def main():
 
 
 def _worker(pipe_w, t_start):
+    _HEADLINE_STATE["t0"] = t_start
+
     def send(obj, done=False):
         payload = (b"DONE " if done else b"") + json.dumps(obj).encode() + b"\n"
         try:
@@ -1982,6 +2074,12 @@ def _worker(pipe_w, t_start):
     matched_cpu = gated("matched_cpu_ab", run_matched_cpu_ab, 300)
     pt_multimodal = gated("pt_multimodal", run_pt_multimodal, 240)
     north = gated("north_star", run_north_star, 300)
+    # headline block 2: minutes after block 1, so cross-minute tunnel drift
+    # becomes visible block-rate spread (VERDICT r4 item 2b)
+    try:
+        ours["blocks"].append(run_headline_block())
+    except Exception:
+        pass
     latent_ab = gated("latent_ab", run_latent_ab, 150)
     scale = gated("scale_1024", run_scale_1024, 120)
     funnel = gated("funnel", run_funnel, 120)
@@ -1990,6 +2088,21 @@ def _worker(pipe_w, t_start):
     chees = gated("chees", run_chees, 90)
     pallas = gated("pallas_numerics", run_pallas_numerics, 120)
     saturation = gated("saturation", run_saturation, 120)
+    # headline block 3: at the end of the run
+    try:
+        ours["blocks"].append(run_headline_block())
+    except Exception:
+        pass
+    # Final headline: the wall-free seeded ESS yield per iteration times the
+    # MEDIAN block iteration rate (blocks spread across the run's minutes;
+    # per-block tunnel probes attribute any spread). The per-block walls and
+    # rates are all recorded in ours["blocks"].
+    rates = sorted(b["iters_per_s"] for b in ours["blocks"])
+    med_rate = rates[len(rates) // 2]
+    ours["iters_per_s"] = med_rate
+    ours["wall_s"] = OUTER_OURS / med_rate
+    ours["ess_per_s"] = ours["ess_per_iter"] * med_rate
+    ours["headline_rate_spread"] = [rates[0], rates[-1]]
     # normalize ESS yield per outer iteration, compare rates
     ours_eff = ours["ess_per_s"]
     base_eff = base["ess_per_s"]
@@ -2022,7 +2135,8 @@ def _worker(pipe_w, t_start):
         "vs_baseline": round(ours_eff / base_eff, 2),
         "wall_s_per_1000_outer_iters": round(ours["wall_s"] * 1000 / OUTER_OURS, 3),
         "ours": {k: round(v, 4) if isinstance(v, float) else v for k, v in ours.items()},
-        "torch_cpu_baseline": {k: round(v, 4) for k, v in base.items()},
+        "torch_cpu_baseline": {k: round(v, 4) if isinstance(v, float) else v
+                               for k, v in base.items()},
         "scale_1024_chains_jump_hmc": scale,
         "north_star_vs_torch_replica": north,
         "funnel_mala_100d": funnel,
@@ -2067,6 +2181,12 @@ def _worker(pipe_w, t_start):
         "ess_extrapolation_factor": round(ours["ess_extrapolation_factor"], 3),
         "moment_err": round(ours["moment_err"], 4),
         "wall_s_per_1000_outer_iters": result["wall_s_per_1000_outer_iters"],
+        # wall-free seeded yield + timed-block telemetry (VERDICT r4 item 2:
+        # any run-to-run headline swing must be attributable — the rate
+        # spread localizes it to a block and the probes to the tunnel)
+        "ess_per_iter": round(ours["ess_per_iter"], 2),
+        "block_rate_spread": ours.get("headline_rate_spread"),
+        "tunnel": [b["tunnel"] for b in ours["blocks"]],
         "speedups": {
             "imh": _speedup(north.get("imh") if isinstance(north, dict) else None),
             "neutra_hmc": _speedup(north.get("neutra_hmc") if isinstance(north, dict) else None),

@@ -135,8 +135,6 @@ class CheesHMCKernel(MCMCKernel):
         # the Halton iteration index) like the Metropolis family does (r4):
         # a mid-warmup checkpoint resume continues adaptation exactly
         # instead of restarting both optimizers from zero.
-        import jax
-
         self._resume_opt = (
             jax.tree_util.tree_map(jnp.asarray, state.da),
             jnp.asarray(state.adam_m),

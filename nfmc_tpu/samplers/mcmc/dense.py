@@ -72,6 +72,16 @@ class DenseMetropolisState:
     chol_inv: jax.Array  # (d, d) A^{-1} (lower)
     jitter_frac: jax.Array  # f32 scalar in [0, 1]: step-jitter gate
     t: jax.Array  # i32 tuning-step counter (drives the refresh cadence)
+    # Scalar fast path (VERDICT r4 item 4): when the split-half evidence says
+    # the dense structure is pure noise (r below params.scalar_fallback_r for
+    # scalar_fallback_patience consecutive refreshes) the proposal math
+    # switches to the exact scalar metric mu*I — no per-leapfrog dense
+    # matmuls, no refresh eigh, no step jitter (scalar-mode semantics match
+    # the diagonal reference family, which runs unjittered) — and flips back
+    # the refresh after r recovers past params.scalar_recover_r.
+    mu: jax.Array  # f32 scalar: trace(cov)/d, the scalar-mode metric
+    scalar_mode: jax.Array  # bool scalar
+    r_low_streak: jax.Array  # i32: consecutive refreshes with r < threshold
     da: DualAveragingState
 
     @property
@@ -116,13 +126,22 @@ class _DenseCovKernelMixin:
                 ) from e
 
     def make_state(self) -> DenseMetropolisState:
-        if getattr(self, "_resume_src", None) is not self.mass_cov:
+        if getattr(self, "_resume_src", None) is not self.mass_cov or (
+            getattr(self, "_resume_src_value", None) is not None
+            and not np.array_equal(np.asarray(self.mass_cov),
+                                   self._resume_src_value)
+        ):
             # The user replaced mass_cov since the last run (the documented
             # exact-metric path): the previous run's adapted stashes —
-            # half-EMAs, shrunk factors, jitter gate, refresh counter — must
-            # not shadow it (r4 review). DA / step-size state stays.
+            # half-EMAs, shrunk factors, jitter gate, refresh counter,
+            # scalar-mode flags — must not shadow it (r4 review). Detected by
+            # identity AND by value (ADVICE r4: in-place mutation
+            # ``kernel.mass_cov[:] = new`` passes the `is` check).
+            # DA / step-size state stays.
             for attr in ("_resume_halves", "_resume_factors",
-                         "_resume_jitter_frac", "_resume_t"):
+                         "_resume_jitter_frac", "_resume_t",
+                         "_resume_mu", "_resume_scalar_mode",
+                         "_resume_r_low_streak"):
                 if hasattr(self, attr):
                     delattr(self, attr)
         da = getattr(self, "_resume_da", None)
@@ -136,6 +155,11 @@ class _DenseCovKernelMixin:
             chol, chol_inv = resumed  # shrunk factors from the tuned state
         else:
             chol, chol_inv = _host_factorize(self.mass_cov, self.make_state_ridge)
+        mu = getattr(self, "_resume_mu", None)
+        if mu is None:
+            mu = float(np.trace(np.asarray(self.mass_cov))) / max(1, self.event_size)
+        scalar_mode = bool(getattr(self, "_resume_scalar_mode", False))
+        streak = int(getattr(self, "_resume_r_low_streak", 0))
         return DenseMetropolisState(
             step_size=jnp.asarray(self.step_size, dtype=jnp.float32),
             cov_a=jnp.asarray(cov_a, dtype=jnp.float32),
@@ -147,6 +171,9 @@ class _DenseCovKernelMixin:
             # Wishart noise the jitter protects against (refresh sets r)
             jitter_frac=jnp.asarray(0.0 if jf is None else jf, dtype=jnp.float32),
             t=jnp.asarray(0, dtype=jnp.int32) if t is None else jnp.asarray(t, dtype=jnp.int32),
+            mu=jnp.asarray(mu, dtype=jnp.float32),
+            scalar_mode=jnp.asarray(scalar_mode),
+            r_low_streak=jnp.asarray(streak, dtype=jnp.int32),
             da=da if da is not None else da_init(self.step_size, self.da_params),
         )
 
@@ -154,19 +181,24 @@ class _DenseCovKernelMixin:
         self.step_size = float(state.step_size)
         self.mass_cov = as_numpy(state.cov)
         # Carry dual averaging, the refresh counter, the half-EMAs, the
-        # shrunk factors, and the jitter fraction like step_size/cov, so a
-        # checkpoint taken mid-warmup resumes adaptation (and the Cholesky
-        # refresh cadence) exactly instead of silently restarting them — and
-        # a sampling run after warmup uses the SHRUNK metric the warmup
-        # concluded, not a re-factorization of the raw EMA.
+        # shrunk factors, the jitter fraction and the scalar-mode flags like
+        # step_size/cov, so a checkpoint taken mid-warmup resumes adaptation
+        # (and the Cholesky refresh cadence) exactly instead of silently
+        # restarting them — and a sampling run after warmup uses the SHRUNK
+        # metric the warmup concluded, not a re-factorization of the raw EMA.
         self._resume_da = jax.tree_util.tree_map(jnp.asarray, state.da)
         self._resume_t = int(state.t)
         self._resume_halves = (jnp.asarray(state.cov_a), jnp.asarray(state.cov_b))
         self._resume_jitter_frac = float(state.jitter_frac)
         self._resume_factors = (jnp.asarray(state.chol), jnp.asarray(state.chol_inv))
+        self._resume_mu = float(state.mu)
+        self._resume_scalar_mode = bool(state.scalar_mode)
+        self._resume_r_low_streak = int(state.r_low_streak)
         # identity marker: a user assigning a NEW mass_cov invalidates the
-        # adapted stashes above (make_state checks `is`)
+        # adapted stashes above (make_state checks `is` AND value — ADVICE
+        # r4: in-place mutation must invalidate too)
         self._resume_src = self.mass_cov
+        self._resume_src_value = np.array(self.mass_cov, copy=True)
 
     def __repr__(self):
         diag = np.diag(np.asarray(self.mass_cov))
@@ -212,6 +244,16 @@ class DenseMetricParameters(MetropolisParameters):
     metric_adjustment: float = 0.05  # cross-chain covariance EMA weight
     metric_refresh_every: int = 8  # tuning steps between Cholesky refreshes
     metric_ridge: float = 1e-6  # per-update diagonal regularizer
+    # Scalar fast path (VERDICT r4 item 4): a user who opts into dense "to be
+    # safe" on a target that turns out near-isotropic should not pay the
+    # dense matmuls/eigh/jitter forever. When the split-half real-structure
+    # fraction r stays below scalar_fallback_r for scalar_fallback_patience
+    # consecutive refreshes, proposals switch to the exact scalar metric
+    # mu*I (diagonal-family semantics, jitter-free) until r recovers past
+    # scalar_recover_r (hysteresis so the mode doesn't flap on noise).
+    scalar_fallback_r: float = 0.15
+    scalar_fallback_patience: int = 2
+    scalar_recover_r: float = 0.3
 
 
 @dataclass
@@ -237,6 +279,9 @@ class _DenseMetricMixin:
             p.metric_adjustment,
             p.metric_refresh_every,
             p.metric_ridge,
+            p.scalar_fallback_r,
+            p.scalar_fallback_patience,
+            p.scalar_recover_r,
         )
 
     def make_update_kernel(self):
@@ -247,6 +292,9 @@ class _DenseMetricMixin:
         alpha = p.metric_adjustment
         refresh_every = max(1, int(p.metric_refresh_every))
         ridge = p.metric_ridge
+        r_lo = float(p.scalar_fallback_r)
+        r_hi = float(p.scalar_recover_r)
+        patience = int(p.scalar_fallback_patience)
         da_params = getattr(kern, "da_params", None) or DualAveragingParams()
 
         def update(mstate: DenseMetropolisState, x: jax.Array, mask: jax.Array):
@@ -254,6 +302,8 @@ class _DenseMetricMixin:
             cov_a, cov_b, t = mstate.cov_a, mstate.cov_b, mstate.t
             chol, chol_inv = mstate.chol, mstate.chol_inv
             jitter_frac = mstate.jitter_frac
+            mu_c, scalar_mode = mstate.mu, mstate.scalar_mode
+            streak = mstate.r_low_streak
             if tune_metric and n_chains > 1:
                 d = cov_a.shape[0]
                 x_flat = x.reshape(n_chains, -1)
@@ -301,43 +351,70 @@ class _DenseMetricMixin:
                     nb = jnp.sum(dev_b * dev_b)
                     r = jnp.clip(cross / jnp.sqrt(na * nb + 1e-30), 0.0, 1.0)
                     s = 1.0 - r
-                    # GEODESIC shrinkage toward mu*I: eigenvalues interpolate
-                    # multiplicatively, lam^(1-s) * mu^s. Additive (Frobenius)
-                    # shrinkage is catastrophic for ill-conditioned targets —
-                    # s=0.07 toward mu*I moved a 1e-3 eigenvalue to ~1e-2
-                    # (10x metric distortion in exactly the directions the
-                    # dense metric exists for; measured r4: corr min-dir ESS
-                    # 36k -> 13k); geodesically the same s costs only
-                    # (mu/lam)^s ~ 1.4x. Pure noise still collapses to the
-                    # exact scalar metric as s -> 1.
-                    lam, vecs = jnp.linalg.eigh(comb)
-                    lam = jnp.maximum(lam, 1e-12)
-                    lam_s = lam ** (1.0 - s) * jnp.maximum(mu, 1e-12) ** s
-                    shrunk = (vecs * lam_s[None, :]) @ vecs.T
-                    a = jnp.linalg.cholesky(
-                        0.5 * (shrunk + shrunk.T) + 1e-9 * mu * eye
+                    # Scalar-mode decision with hysteresis (VERDICT r4 item
+                    # 4): enter after `patience` consecutive low-r refreshes,
+                    # leave as soon as r recovers past the higher threshold.
+                    streak2 = jnp.where(
+                        r < r_lo, streak + 1, jnp.zeros_like(streak)
                     )
-                    a_inv = jax.scipy.linalg.solve_triangular(
-                        a, eye, lower=True
+                    mode2 = jnp.where(
+                        scalar_mode, r < r_hi, streak2 >= patience
+                    )
+
+                    def dense_factors(_):
+                        # GEODESIC shrinkage toward mu*I: eigenvalues
+                        # interpolate multiplicatively, lam^(1-s) * mu^s.
+                        # Additive (Frobenius) shrinkage is catastrophic for
+                        # ill-conditioned targets — s=0.07 toward mu*I moved
+                        # a 1e-3 eigenvalue to ~1e-2 (10x metric distortion
+                        # in exactly the directions the dense metric exists
+                        # for; measured r4: corr min-dir ESS 36k -> 13k);
+                        # geodesically the same s costs only (mu/lam)^s ~
+                        # 1.4x. Pure noise still collapses to the exact
+                        # scalar metric as s -> 1.
+                        lam, vecs = jnp.linalg.eigh(comb)
+                        lam = jnp.maximum(lam, 1e-12)
+                        lam_s = lam ** (1.0 - s) * jnp.maximum(mu, 1e-12) ** s
+                        shrunk = (vecs * lam_s[None, :]) @ vecs.T
+                        a = jnp.linalg.cholesky(
+                            0.5 * (shrunk + shrunk.T) + 1e-9 * mu * eye
+                        )
+                        a_inv = jax.scipy.linalg.solve_triangular(
+                            a, eye, lower=True
+                        )
+                        return a, a_inv
+
+                    def scalar_factors(_):
+                        # evidence collapsed: the metric IS mu*I — skip the
+                        # eigh/cholesky entirely (this cond branch is real
+                        # control flow; the dense math never executes)
+                        sqmu = jnp.sqrt(jnp.maximum(mu, 1e-12))
+                        return sqmu * eye, (1.0 / sqmu) * eye
+
+                    a, a_inv = jax.lax.cond(
+                        mode2, scalar_factors, dense_factors, operand=None
                     )
                     ok = jnp.all(jnp.isfinite(a)) & jnp.all(jnp.isfinite(a_inv))
-                    # any ADAPTED metric engages the jitter (jf 0 -> 1): even
-                    # an evidence-collapsed exact scalar metric keeps it,
-                    # because without jitter the ESS is hypersensitive to the
-                    # tuned step's trajectory angle (measured r4: the same
-                    # exact-scalar metric swung 22k..99k min-direction ESS
-                    # with angle luck; jitter pins it ~46k). Only the INITIAL
-                    # user-trusted metric runs jitter-free (exact HMC parity).
+                    # any ADAPTED metric engages the jitter gate (jf 0 -> 1);
+                    # in scalar mode the proposal branch ignores it (the
+                    # scalar metric has no Wishart anisotropy noise to
+                    # protect against — diagonal-family semantics), and the
+                    # gate re-applies the moment the metric goes dense again.
                     return (
                         jnp.where(ok, a, chol),
                         jnp.where(ok, a_inv, chol_inv),
                         jnp.where(ok, 1.0, jitter_frac),
+                        jnp.where(ok, mu, mu_c),
+                        jnp.where(ok, mode2, scalar_mode),
+                        jnp.where(ok, streak2, streak),
                     )
 
-                chol, chol_inv, jitter_frac = jax.lax.cond(
+                (chol, chol_inv, jitter_frac, mu_c, scalar_mode,
+                 streak) = jax.lax.cond(
                     t % refresh_every == 0,
                     refresh,
-                    lambda _: (chol, chol_inv, jitter_frac),
+                    lambda _: (chol, chol_inv, jitter_frac, mu_c,
+                               scalar_mode, streak),
                     operand=None,
                 )
             da = mstate.da
@@ -347,7 +424,8 @@ class _DenseMetricMixin:
                 da, step_size = da_update_step_size(da, acc_rate, da_params)
             return DenseMetropolisState(
                 step_size=step_size, cov_a=cov_a, cov_b=cov_b, chol=chol,
-                chol_inv=chol_inv, jitter_frac=jitter_frac, t=t, da=da,
+                chol_inv=chol_inv, jitter_frac=jitter_frac, t=t,
+                mu=mu_c, scalar_mode=scalar_mode, r_low_streak=streak, da=da,
             )
 
         return update
@@ -386,6 +464,36 @@ class DenseHMC(_DenseMetricMixin, HMC):
         w = jnp.matmul(p_flat, mstate.chol, precision="highest")  # (A^T p)^T
         return 0.5 * jnp.sum(w * w, axis=-1)  # 0.5 p^T Sigma p, whitened
 
+    # ---- scalar fast-path hooks (Sigma = mu*I; VERDICT r4 item 4) -----------
+    def _momentum_scalar(self, mstate, p_raw):
+        return p_raw / jnp.sqrt(jnp.maximum(mstate.mu, 1e-12))
+
+    def _precondition_scalar(self, mstate, v):
+        return v * mstate.mu
+
+    def _kinetic_scalar(self, mstate, p):
+        p_flat = flatten_event(p, self.event_shape)
+        return 0.5 * mstate.mu * jnp.sum(p_flat * p_flat, axis=-1)
+
+    def make_propose_aux(self):
+        """Branch per iteration between the dense trajectory and the scalar
+        fast path (exact mu*I metric: no per-leapfrog matmuls, no jitter —
+        diagonal-family semantics). ``lax.cond`` executes only the taken
+        branch, so a run whose adapted metric collapsed to scalar pays the
+        same per-iteration cost as plain HMC."""
+        dense = self._build_propose_aux(
+            self._momentum, self._precondition, self._kinetic, self._jitter_frac
+        )
+        scalar = self._build_propose_aux(
+            self._momentum_scalar, self._precondition_scalar,
+            self._kinetic_scalar, lambda mstate: 0.0,
+        )
+
+        def propose(x, mstate, aux):
+            return jax.lax.cond(mstate.scalar_mode, scalar, dense, x, mstate, aux)
+
+        return propose
+
 
 class DenseMALA(_DenseMetricMixin, Langevin):
     """MALA with a dense preconditioner ``A = Sigma`` (drift ``-tau Sigma
@@ -409,12 +517,39 @@ class DenseMALA(_DenseMetricMixin, Langevin):
         return jnp.matmul(w, mstate.chol.T, precision="highest")  # (Sigma v)^T rows
 
     def _drift_noise(self, mstate, g_flat, noise_flat):
-        tau = mstate.step_size
-        colored = jnp.matmul(noise_flat, mstate.chol.T, precision="highest")  # (A xi)^T
-        return -tau * self._sigma_apply(mstate, g_flat) + jnp.sqrt(2.0 * tau) * colored
+        # scalar fast path (VERDICT r4 item 4): cond executes one branch —
+        # an evidence-collapsed metric sheds the three dense matmuls
+        def dense(operand):
+            m, g, n = operand
+            tau = m.step_size
+            colored = jnp.matmul(n, m.chol.T, precision="highest")  # (A xi)^T
+            return -tau * self._sigma_apply(m, g) + jnp.sqrt(2.0 * tau) * colored
+
+        def scalar(operand):
+            m, g, n = operand
+            tau = m.step_size
+            return -tau * m.mu * g + jnp.sqrt(2.0 * tau * jnp.maximum(m.mu, 1e-12)) * n
+
+        return jax.lax.cond(
+            mstate.scalar_mode, scalar, dense, (mstate, g_flat, noise_flat)
+        )
 
     def _proposal_potential(self, mstate, x_prime_flat, x_flat, grad_u_x_flat):
-        tau = mstate.step_size
-        term = x_prime_flat - x_flat + tau * self._sigma_apply(mstate, grad_u_x_flat)
-        w = jnp.matmul(term, mstate.chol_inv.T, precision="highest")  # (A^{-1} r)^T
-        return jnp.sum(w * w, axis=-1) / (4.0 * tau)  # ||r||^2_{Sigma^{-1}} / 4 tau
+        def dense(operand):
+            m, xp, x, g = operand
+            tau = m.step_size
+            term = xp - x + tau * self._sigma_apply(m, g)
+            w = jnp.matmul(term, m.chol_inv.T, precision="highest")  # (A^{-1} r)^T
+            return jnp.sum(w * w, axis=-1) / (4.0 * tau)  # ||r||^2_{Sigma^{-1}} / 4 tau
+
+        def scalar(operand):
+            m, xp, x, g = operand
+            tau = m.step_size
+            mu = jnp.maximum(m.mu, 1e-12)
+            term = xp - x + tau * mu * g
+            return jnp.sum(term * term, axis=-1) / (4.0 * tau * mu)
+
+        return jax.lax.cond(
+            mstate.scalar_mode, scalar, dense,
+            (mstate, x_prime_flat, x_flat, grad_u_x_flat),
+        )

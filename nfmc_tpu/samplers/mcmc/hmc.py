@@ -135,15 +135,20 @@ class HMC(MetropolisSampler):
         return 0.5 * sum_except_batch(self._precondition(mstate, p) * p, self.event_shape)
 
     def make_propose_aux(self):
+        return self._build_propose_aux(
+            self._momentum, self._precondition, self._kinetic, self._jitter_frac
+        )
+
+    def _build_propose_aux(self, momentum, precond, kinetic, jitter_frac):
+        """Propose closure parameterized by the metric hooks — the dense
+        superset builds TWO (dense + scalar fast path) and branches per
+        iteration with ``lax.cond`` so the dense matmuls never execute when
+        the adapted metric has collapsed to a scalar."""
         target = self.target
         event_shape = self.event_shape
         adjustment = self.params.adjustment
         n_leapfrog = self.kernel.n_leapfrog_steps
         grad_u = batched_grad(target)
-        momentum = self._momentum
-        precond = self._precondition
-        kinetic = self._kinetic
-        jitter_frac = self._jitter_frac
 
         def propose(x, mstate, aux):
             n_chains = x.shape[0]

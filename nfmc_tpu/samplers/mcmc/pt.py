@@ -157,8 +157,6 @@ class PTKernel(MCMCKernel):
         # Carry the per-rung dual-averaging state across runs/checkpoints
         # (r4, same semantics as the Metropolis family): a mid-warmup resume
         # continues every rung's step adaptation instead of restarting it.
-        import jax
-
         self._resume_da = jax.tree_util.tree_map(jnp.asarray, state.da)
         self._resume_i = int(state.i)
 

@@ -58,6 +58,10 @@ def test_startup_stall_emits_stale_headline_rc0(stale_file):
     assert rec["stale"] is True
     assert "stale_from" in rec
     assert rec["unit"] == "ESS/s"
+    # ADVICE r4: a stale line must not present the previous run's ratio as
+    # this run's vs_baseline — it moves to stale_vs_baseline
+    assert rec["vs_baseline"] is None
+    assert rec["stale_vs_baseline"] == 179.79
 
 
 def test_worker_crash_emits_stale_headline_rc0(stale_file):
