@@ -128,9 +128,14 @@ class CheesHMCKernel(MCMCKernel):
         )
 
     def sync_from_state(self, state: CheesState) -> None:
-        self.step_size = float(as_numpy(state.step_size))
-        self.inv_mass_diag = as_numpy(state.inv_mass_diag)
-        self.trajectory_length = float(np.exp(as_numpy(state.log_t)))
+        # ONE batched host fetch — three separate fetches each cost a
+        # ~25-30 ms tunnel round trip per sample() call (r5, same fix as
+        # the Metropolis/dense/PT kernels).
+        step_size, inv_mass_diag, log_t = jax.device_get(
+            (state.step_size, state.inv_mass_diag, state.log_t))
+        self.step_size = float(step_size)
+        self.inv_mass_diag = np.asarray(inv_mass_diag)
+        self.trajectory_length = float(np.exp(log_t))
         # Carry the optimizer states (dual averaging + the trajectory Adam +
         # the Halton iteration index) like the Metropolis family does (r4):
         # a mid-warmup checkpoint resume continues adaptation exactly

@@ -178,8 +178,17 @@ class _DenseCovKernelMixin:
         )
 
     def sync_from_state(self, state: DenseMetropolisState) -> None:
-        self.step_size = float(state.step_size)
-        self.mass_cov = as_numpy(state.cov)
+        # ONE batched host fetch for everything sync reads (device_get
+        # issues the async copies up front). Separate float()/as_numpy()
+        # calls each cost a full ~25-30 ms tunnel round trip — measured r5:
+        # the six scalar fetches here added ~150 ms to EVERY dense sample()
+        # call, more than the entire 1000-iteration scan at 100x100.
+        step_size, cov, mu, scalar_mode, streak, t = jax.device_get(
+            (state.step_size, state.cov, state.mu, state.scalar_mode,
+             state.r_low_streak, state.t)
+        )
+        self.step_size = float(step_size)
+        self.mass_cov = np.asarray(cov)
         # Carry dual averaging, the refresh counter, the half-EMAs, the
         # shrunk factors, the jitter fraction and the scalar-mode flags like
         # step_size/cov, so a checkpoint taken mid-warmup resumes adaptation
@@ -187,13 +196,16 @@ class _DenseCovKernelMixin:
         # restarting them — and a sampling run after warmup uses the SHRUNK
         # metric the warmup concluded, not a re-factorization of the raw EMA.
         self._resume_da = jax.tree_util.tree_map(jnp.asarray, state.da)
-        self._resume_t = int(state.t)
+        self._resume_t = int(t)
+        # halves/factors/jitter stay DEVICE arrays (no fetch): make_state
+        # consumes them as-is and _resume_jitter_frac only feeds jnp.asarray
+        # there; tests read them via float()/np.asarray on demand.
         self._resume_halves = (jnp.asarray(state.cov_a), jnp.asarray(state.cov_b))
-        self._resume_jitter_frac = float(state.jitter_frac)
+        self._resume_jitter_frac = state.jitter_frac
         self._resume_factors = (jnp.asarray(state.chol), jnp.asarray(state.chol_inv))
-        self._resume_mu = float(state.mu)
-        self._resume_scalar_mode = bool(state.scalar_mode)
-        self._resume_r_low_streak = int(state.r_low_streak)
+        self._resume_mu = float(mu)
+        self._resume_scalar_mode = bool(scalar_mode)
+        self._resume_r_low_streak = int(streak)
         # identity marker: a user assigning a NEW mass_cov invalidates the
         # adapted stashes above (make_state checks `is` AND value — ADVICE
         # r4: in-place mutation must invalidate too)
@@ -282,7 +294,36 @@ class _DenseMetricMixin:
             p.scalar_fallback_r,
             p.scalar_fallback_patience,
             p.scalar_recover_r,
+            # host-known scalar mode participates in jit specialization: a
+            # sampling run after an evidence-collapsed warmup hard-bakes the
+            # scalar proposal math (see _propose_variant) — flipping the
+            # mode between runs must rebuild the memoized driver closures
+            self._host_scalar_mode(),
         )
+
+    # ---- scalar fast path: BUILD-time branch selection ----------------------
+    # A per-iteration lax.cond costs ~100 us of dispatch on TPU (measured r5:
+    # it ate the entire wall saving it was meant to buy — iso dense walls
+    # ROSE 0.22 -> 0.33 s). Instead the branch is chosen once per step build:
+    # scalar proposal math is hard-baked only when the mode is host-known AND
+    # the run cannot flip it (tuning=False — refresh, the only mode writer,
+    # runs in tuning steps only). Tuning runs always build the DENSE math,
+    # which stays numerically IDENTICAL in scalar mode: the refresh sets
+    # chol = sqrt(mu)*I there, and _jitter_frac gates the jitter off by
+    # state — so a mid-warmup mode flip changes cost, never results.
+    def _host_scalar_mode(self) -> bool:
+        return bool(getattr(self.kernel, "_resume_scalar_mode", False))
+
+    def _propose_variant(self, tuning: bool) -> bool:
+        return (not tuning) and self._host_scalar_mode()
+
+    def _make_step(self, tuning):
+        self._build_scalar = self._propose_variant(tuning)
+        return super()._make_step(tuning)
+
+    def _make_step_aux(self, tuning):
+        self._build_scalar = self._propose_variant(tuning)
+        return super()._make_step_aux(tuning)
 
     def make_update_kernel(self):
         p = self.params
@@ -354,11 +395,29 @@ class _DenseMetricMixin:
                     # Scalar-mode decision with hysteresis (VERDICT r4 item
                     # 4): enter after `patience` consecutive low-r refreshes,
                     # leave as soon as r recovers past the higher threshold.
+                    # The gate uses max(r, r_diag): the full-matrix r divides
+                    # the d diagonal signal entries by d^2 noise entries, so
+                    # at d=100 a +-10% per-dim anisotropy (real, diagonal
+                    # structure) drowns and r reads ~0 — measured r5: the
+                    # near-iso dense_hmc win collapsed 40x -> 0.29x when the
+                    # full-matrix gate shed it to scalar. The diagonal-only
+                    # split-half correlation sees that signal at full
+                    # strength while staying ~N(0, 1/sqrt(d)) on an exactly
+                    # isotropic target.
+                    diag_a = jnp.diagonal(dev_a)
+                    diag_b = jnp.diagonal(dev_b)
+                    r_diag = jnp.clip(
+                        jnp.sum(diag_a * diag_b)
+                        / jnp.sqrt(jnp.sum(diag_a * diag_a)
+                                   * jnp.sum(diag_b * diag_b) + 1e-30),
+                        0.0, 1.0,
+                    )
+                    r_gate = jnp.maximum(r, r_diag)
                     streak2 = jnp.where(
-                        r < r_lo, streak + 1, jnp.zeros_like(streak)
+                        r_gate < r_lo, streak + 1, jnp.zeros_like(streak)
                     )
                     mode2 = jnp.where(
-                        scalar_mode, r < r_hi, streak2 >= patience
+                        scalar_mode, r_gate < r_hi, streak2 >= patience
                     )
 
                     def dense_factors(_):
@@ -448,7 +507,13 @@ class DenseHMC(_DenseMetricMixin, HMC):
 
     # ---- metric hooks (A = chol(Sigma), Sigma = M^{-1}) ----------------------
     def _jitter_frac(self, mstate):
-        return mstate.jitter_frac
+        # state-gated: scalar mode runs jitter-free (the exact mu*I metric
+        # has no Wishart anisotropy noise to protect against — diagonal-
+        # family semantics), which also keeps the dense trajectory math
+        # bit-identical to the scalar fast path whenever the mode is on.
+        return mstate.jitter_frac * (
+            1.0 - mstate.scalar_mode.astype(jnp.float32)
+        )
 
     def _momentum(self, mstate, p_raw):
         # rows: xi^T A^{-1} = (A^{-T} xi)^T  =>  p ~ N(0, Sigma^{-1}) = N(0, M)
@@ -476,23 +541,19 @@ class DenseHMC(_DenseMetricMixin, HMC):
         return 0.5 * mstate.mu * jnp.sum(p_flat * p_flat, axis=-1)
 
     def make_propose_aux(self):
-        """Branch per iteration between the dense trajectory and the scalar
-        fast path (exact mu*I metric: no per-leapfrog matmuls, no jitter —
-        diagonal-family semantics). ``lax.cond`` executes only the taken
-        branch, so a run whose adapted metric collapsed to scalar pays the
-        same per-iteration cost as plain HMC."""
-        dense = self._build_propose_aux(
+        """Scalar fast path (exact mu*I metric: no per-leapfrog matmuls, no
+        jitter — diagonal-family semantics) hard-baked at BUILD time when the
+        mixin's ``_build_scalar`` flag says the mode is host-known and frozen
+        for this run; dense math otherwise (numerically identical in scalar
+        mode — see ``_DenseMetricMixin._propose_variant``)."""
+        if getattr(self, "_build_scalar", False):
+            return self._build_propose_aux(
+                self._momentum_scalar, self._precondition_scalar,
+                self._kinetic_scalar, lambda mstate: 0.0,
+            )
+        return self._build_propose_aux(
             self._momentum, self._precondition, self._kinetic, self._jitter_frac
         )
-        scalar = self._build_propose_aux(
-            self._momentum_scalar, self._precondition_scalar,
-            self._kinetic_scalar, lambda mstate: 0.0,
-        )
-
-        def propose(x, mstate, aux):
-            return jax.lax.cond(mstate.scalar_mode, scalar, dense, x, mstate, aux)
-
-        return propose
 
 
 class DenseMALA(_DenseMetricMixin, Langevin):
@@ -516,40 +577,42 @@ class DenseMALA(_DenseMetricMixin, Langevin):
         w = jnp.matmul(v_flat, mstate.chol, precision="highest")
         return jnp.matmul(w, mstate.chol.T, precision="highest")  # (Sigma v)^T rows
 
-    def _drift_noise(self, mstate, g_flat, noise_flat):
-        # scalar fast path (VERDICT r4 item 4): cond executes one branch —
-        # an evidence-collapsed metric sheds the three dense matmuls
-        def dense(operand):
-            m, g, n = operand
-            tau = m.step_size
-            colored = jnp.matmul(n, m.chol.T, precision="highest")  # (A xi)^T
-            return -tau * self._sigma_apply(m, g) + jnp.sqrt(2.0 * tau) * colored
+    # Langevin's step builder binds ``self._drift_noise`` at BUILD time; the
+    # properties resolve to the scalar variants only when the mixin's
+    # ``_build_scalar`` flag was set for this build (host-known frozen
+    # scalar mode — see _DenseMetricMixin._propose_variant). A per-iteration
+    # lax.cond here cost ~100 us/call of TPU dispatch (3 calls/iteration
+    # more than doubled the iso wall, measured r5).
+    @property
+    def _drift_noise(self):
+        if getattr(self, "_build_scalar", False):
+            return self._drift_noise_scalar
+        return self._drift_noise_dense
 
-        def scalar(operand):
-            m, g, n = operand
-            tau = m.step_size
-            return -tau * m.mu * g + jnp.sqrt(2.0 * tau * jnp.maximum(m.mu, 1e-12)) * n
+    @property
+    def _proposal_potential(self):
+        if getattr(self, "_build_scalar", False):
+            return self._proposal_potential_scalar
+        return self._proposal_potential_dense
 
-        return jax.lax.cond(
-            mstate.scalar_mode, scalar, dense, (mstate, g_flat, noise_flat)
-        )
+    def _drift_noise_dense(self, mstate, g_flat, noise_flat):
+        tau = mstate.step_size
+        colored = jnp.matmul(noise_flat, mstate.chol.T, precision="highest")  # (A xi)^T
+        return -tau * self._sigma_apply(mstate, g_flat) + jnp.sqrt(2.0 * tau) * colored
 
-    def _proposal_potential(self, mstate, x_prime_flat, x_flat, grad_u_x_flat):
-        def dense(operand):
-            m, xp, x, g = operand
-            tau = m.step_size
-            term = xp - x + tau * self._sigma_apply(m, g)
-            w = jnp.matmul(term, m.chol_inv.T, precision="highest")  # (A^{-1} r)^T
-            return jnp.sum(w * w, axis=-1) / (4.0 * tau)  # ||r||^2_{Sigma^{-1}} / 4 tau
+    def _drift_noise_scalar(self, mstate, g_flat, noise_flat):
+        tau = mstate.step_size
+        mu = jnp.maximum(mstate.mu, 1e-12)
+        return -tau * mu * g_flat + jnp.sqrt(2.0 * tau * mu) * noise_flat
 
-        def scalar(operand):
-            m, xp, x, g = operand
-            tau = m.step_size
-            mu = jnp.maximum(m.mu, 1e-12)
-            term = xp - x + tau * mu * g
-            return jnp.sum(term * term, axis=-1) / (4.0 * tau * mu)
+    def _proposal_potential_dense(self, mstate, x_prime_flat, x_flat, grad_u_x_flat):
+        tau = mstate.step_size
+        term = x_prime_flat - x_flat + tau * self._sigma_apply(mstate, grad_u_x_flat)
+        w = jnp.matmul(term, mstate.chol_inv.T, precision="highest")  # (A^{-1} r)^T
+        return jnp.sum(w * w, axis=-1) / (4.0 * tau)  # ||r||^2_{Sigma^{-1}} / 4 tau
 
-        return jax.lax.cond(
-            mstate.scalar_mode, scalar, dense,
-            (mstate, x_prime_flat, x_flat, grad_u_x_flat),
-        )
+    def _proposal_potential_scalar(self, mstate, x_prime_flat, x_flat, grad_u_x_flat):
+        tau = mstate.step_size
+        mu = jnp.maximum(mstate.mu, 1e-12)
+        term = x_prime_flat - x_flat + tau * mu * grad_u_x_flat
+        return jnp.sum(term * term, axis=-1) / (4.0 * tau * mu)

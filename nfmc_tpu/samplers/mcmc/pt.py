@@ -147,18 +147,27 @@ class PTKernel(MCMCKernel):
         )
 
     def sync_from_state(self, state: PTState) -> None:
-        self.betas = as_numpy(state.betas)
-        self.step_sizes = as_numpy(state.step_sizes)
+        # ONE batched host fetch (device_get pre-issues the async copies) —
+        # seven separate as_numpy()/float() fetches each cost a ~25-30 ms
+        # tunnel round trip per sample() call (r5, same fix as the
+        # Metropolis/dense kernels).
+        (betas, step_sizes, inv_mass_diag, swap_rate_ema, swap_accepts,
+         swap_attempts, i) = jax.device_get(
+            (state.betas, state.step_sizes, state.inv_mass_diag,
+             state.swap_rate_ema, state.swap_accepts, state.swap_attempts,
+             state.i))
+        self.betas = np.asarray(betas)
+        self.step_sizes = np.asarray(step_sizes)
         self.step_size = float(self.step_sizes[0])
-        self.inv_mass_diag = as_numpy(state.inv_mass_diag)
-        self.swap_acceptance_rates = as_numpy(state.swap_rate_ema)
-        self.n_accepted_swaps = int(np.sum(as_numpy(state.swap_accepts)))
-        self.n_attempted_swaps = int(np.sum(as_numpy(state.swap_attempts)))
+        self.inv_mass_diag = np.asarray(inv_mass_diag)
+        self.swap_acceptance_rates = np.asarray(swap_rate_ema)
+        self.n_accepted_swaps = int(np.sum(swap_accepts))
+        self.n_attempted_swaps = int(np.sum(swap_attempts))
         # Carry the per-rung dual-averaging state across runs/checkpoints
         # (r4, same semantics as the Metropolis family): a mid-warmup resume
         # continues every rung's step adaptation instead of restarting it.
         self._resume_da = jax.tree_util.tree_map(jnp.asarray, state.da)
-        self._resume_i = int(state.i)
+        self._resume_i = int(i)
 
     def __repr__(self):
         rates = self.swap_acceptance_rates
