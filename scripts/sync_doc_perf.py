@@ -56,6 +56,8 @@ def _fmt(value, fmt):
         return f"{value / 1e6:.2f}"
     if fmt == "f1":
         return f"{value:.1f}"
+    if fmt == "f2":
+        return f"{value:.2f}"
     raise ValueError(fmt)
 
 
@@ -117,6 +119,21 @@ CLAIMS = [
     ("docs/benchmarks.md", "funnel_band",
      r"pure wall-clock: ~" + _NUM + r"-" + _NUM + r"x across tunnel\s+phases",
      "funnel_mala_100d.speedup", "f1", "band", 0.3),
+    ("docs/benchmarks.md", "dense_corr_hmc",
+     r"\| correlated, condition 1e3 \| ~560 \| ~[\d,]+ \| ~" + _NUM + r"x \|",
+     "dense_metric.hmc_min_dir_speedup", "int", "point", 0.5),
+    ("docs/benchmarks.md", "dense_near_iso",
+     r"\| near-isotropic \(sigma 0\.9\.\.1\.1\) \| ~570 \| ~[\d,]+ \| ~" + _NUM + r"x \|",
+     "dense_metric.near_iso_hmc_min_dir_speedup", "int", "point", 0.5),
+    ("docs/benchmarks.md", "dense_iso_ratio",
+     r"\| exactly isotropic \| ~[\d,]+ \| ~[\d,]+ \| ~" + _NUM + r"x ESS/s \|",
+     "dense_metric.iso_ratio_hmc_resonance_corner", "f2", "point", 0.5),
+    ("docs/benchmarks.md", "dense_mala_corr",
+     r"MALA rows: correlated ~" + _NUM + r"x",
+     "dense_metric.mala_min_dir_speedup", "int", "point", 0.5),
+    ("docs/benchmarks.md", "dense_mala_iso_ratio",
+     r"ESS/s ratio\s+~" + _NUM + r"\.",
+     "dense_metric.iso_parity_ratio_mala", "f2", "point", 0.5),
     ("docs/benchmarks.md", "ns_tess_band",
      r"fused\), TESS ~" + _NUM + r"-" + _NUM + r"x\.",
      "north_star_vs_torch_replica.tess.speedup", "int", "band", 0.3),
