@@ -1589,6 +1589,13 @@ def _first_call_breakdown(strategy, sigma, n_chains, n_iterations):
     warm_s = sorted(warms)[len(warms) // 2]
     draw_mib = draws.size * 4 / 2**20
     d2h_floor_s = draw_mib / d2h_mib_s
+    # Itemized warm-call floor (VERDICT r4 item 1: decompose the residual):
+    # with the r5 single-chunk + deferred-fetch path a warm call makes
+    # exactly four tunnel-synchronous trips — the chunk dispatch's final
+    # block_until_ready, the one-shot deferred draw fetch, the stats-flush
+    # device_get, and the kernel-sync device_get — plus the draw payload at
+    # the measured bandwidth.
+    itemized_floor_s = 4 * rtt_s + d2h_floor_s
     return {
         "tunnel_rtt_ms": round(rtt_s * 1e3, 2),
         "d2h_MiB_per_s": round(d2h_mib_s, 2),
@@ -1599,6 +1606,10 @@ def _first_call_breakdown(strategy, sigma, n_chains, n_iterations):
         "stored_draws_MiB": round(draw_mib, 2),
         "d2h_floor_s": round(d2h_floor_s, 3),
         "warm_over_floor": round(warm_s / max(d2h_floor_s + rtt_s, 1e-9), 2),
+        "itemized_floor_s": round(itemized_floor_s, 3),
+        "warm_over_itemized": round(warm_s / max(itemized_floor_s, 1e-9), 2),
+        "itemization": "4 RTTs (chunk sync, deferred draw fetch, stats "
+                       "flush, kernel sync) + draw D2H payload",
     }
 
 
