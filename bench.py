@@ -42,12 +42,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 EVENT_DIM = 100  # BASELINE.md: 100 chains x 100-d Gaussian
 N_CHAINS = 100
 INNER_N = 5
-OUTER_OURS = 2730  # n_draws = 2730*(INNER_N+1) = 16380: the largest chain
-# whose full-length ESS is computable on-device (nfft = 32768 < the 64k TPU
-# FFT compile blowup), so the headline ESS is MEASURED on the whole chain
-# (extrapolation factor exactly 1.0 — VERDICT r2 item 2) while per-run fixed
-# costs (~0.2 s of tunnel round-trips) stay amortized. 2730 decomposes into
-# already-warm chunk sizes (1,4,16,64,256,1024,1024,256,64,16,4,1).
+OUTER_OURS = 2184  # r5: sized to compile as ONE scan chunk — 2184 sits
+# under all three of the fused runner's single-chunk footprint caps at this
+# workload (inner RNG 2684, flow proposals 3136, collect emission 2237;
+# verified: dispatches=[2184] vs 2730's 12-chunk geometric schedule), so a
+# timed run is ONE dispatch + ONE sync instead of 12 dispatches — in
+# degraded tunnel phases the per-dispatch latency was a real fraction of
+# the 0.35-0.55 s run wall. n_draws = 2184*(INNER_N+1) = 13104 keeps the
+# full-length ESS computable on-device (nfft = 32768 < the 64k TPU FFT
+# compile blowup), so the headline ESS stays MEASURED on the whole chain
+# (extrapolation factor exactly 1.0 — VERDICT r2 item 2). If a future cap
+# change pushes 2184 over a cap, the run falls back to the geometric
+# schedule — still correct, just more dispatches.
 OUTER_TORCH = 240  # long enough for a low-variance ESS estimate
 FLOW_LAYERS = 4
 HIDDEN = 128
@@ -221,7 +227,7 @@ def run_ours():
     # wall-free, like dense_metric's iso_yield_parity (item 2c).
     out = _HEADLINE_STATE["last_out"]
     samples_dev = out.running_samples.as_tensor()  # stays on device
-    # ESS measured on the FULL chain: max_window=16384 >= the 16380 draws, so
+    # ESS measured on the FULL chain: max_window=16384 >= the 13104 draws, so
     # the function's internal windowing (which DEFAULTS to 8192 — relying on
     # the default silently re-windowed and hid a ~2x extrapolation, round-3
     # review fix) takes everything and the factor is exactly 1.0. OUTER_OURS
@@ -1891,7 +1897,7 @@ def _stale_torch_ess_per_s():
 def _stale_ess_per_iter():
     """Previous run's headline ESS yield per outer iteration. The yield is a
     SEEDED algorithmic constant (same seed, same config -> bit-identical
-    draws, identical ESS: 373532.8/2730 every r4 run), so combining it with
+    draws, identical ESS — e.g. 373532.8/2730 every r4 run), so combining it with
     a freshly measured wall gives an accurate provisional headline long
     before the full ESS computation is affordable."""
     full = _stale_full()
@@ -1911,7 +1917,7 @@ def run_provisional():
     run compiled as a SINGLE short chunk (n_iterations=21 -> one program; the
     pipelined single-chunk fast path) so a number exists within minutes even
     when every compile RPC is slow; the full ``run_ours`` (which warms chunk
-    1024 and times 5x2730 iterations) supersedes it."""
+    the timed length and times 3x9-run blocks) supersedes it."""
     import jax
     import jax.numpy as jnp
 
