@@ -2348,6 +2348,20 @@ def _worker(pipe_w, t_start):
         # two-sample distribution tests against the ACTUAL reference code
         # (None if the section was skipped/unavailable this run)
         "reference_ab_ok": reference_ab.get("all_ok"),
+        # worst single fresh front-door call vs the eager reference (r5:
+        # >= 1.0 across mala/hmc/imh/jump_mala — VERDICT r4 item 1)
+        "single_call_min_x": (
+            min(v["ess_per_s_vs_reference"] for v in reference_ab.values()
+                if isinstance(v, dict) and "ess_per_s_vs_reference" in v)
+            if any(isinstance(v, dict) and "ess_per_s_vs_reference" in v
+                   for v in reference_ab.values()) else None
+        ),
+        # non-degenerate acceptance validation (VERDICT r4 item 5)
+        "misfit_jump_accept": (
+            [validation["jump_mala_misfit"]["jump_accept_rate"]["ours"],
+             validation["jump_mala_misfit"]["jump_accept_rate"]["torch"]]
+            if "jump_mala_misfit" in validation else None
+        ),
         # hardware-matched (both on host CPU) steady ESS/s vs the reference:
         # worst strategy's ratio (None if the section was skipped)
         "matched_cpu_min_speedup": (
@@ -2358,8 +2372,13 @@ def _worker(pipe_w, t_start):
         ),
         # ESS A/B + live TESS sign-quirk demo vs the executing reference
         "latent_ab_ok": latent_ab.get("all_ok"),
-        # corrected transport stack recovers a known log Z (max |err|, nats)
+        # corrected transport stack recovers a known log Z (max |err|, nats;
+        # r5 adds the condition-1e2 correlated hard target)
         "transport_logz_max_err": transport_logz.get("max_err_nats"),
+        "transport_hard_max_err": (
+            transport_logz["hard"].get("max_err_nats")
+            if isinstance(transport_logz.get("hard"), dict) else None
+        ),
         # dense-metric superset: worst-direction ESS/s speedups on the
         # condition-1e3 correlated target + wall-free iso machinery parity
         # (None if the section was skipped)
