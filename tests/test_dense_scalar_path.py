@@ -126,6 +126,33 @@ def test_refresh_gate_hysteresis_and_patience():
     assert not bool(st.scalar_mode), "gate failed to recover dense mode"
 
 
+def test_near_iso_stays_dense_at_higher_dim():
+    """Regression (r5): the full-matrix r divides d diagonal signal entries
+    by d^2 noise entries, so at higher dim a ±10% per-dim anisotropy read as
+    noise and shed the near-iso target to scalar (its bench win collapsed
+    40x -> 0.29x). The r_diag gate must keep it dense while an exactly
+    isotropic target still collapses."""
+    import jax.numpy as jnp
+
+    from nfmc_tpu import create_sampler
+    from nfmc_tpu.potentials import DiagonalGaussian, StandardGaussian
+
+    d, C = 48, 64
+
+    def tuned(target):
+        s = create_sampler(target, event_shape=(d,), strategy="dense_hmc",
+                           param_kwargs={"n_warmup_iterations": 250})
+        x0 = jnp.asarray(target.sample((C,), key=jax.random.key(2)),
+                         dtype=jnp.float32)
+        s.warmup(x0, show_progress=False, seed=3)
+        return bool(s.kernel._resume_scalar_mode)
+
+    near = DiagonalGaussian(mu=np.zeros(d),
+                            sigma=np.linspace(0.9, 1.1, d).astype(np.float32))
+    assert not tuned(near), "near-iso anisotropy shed to scalar (r_diag gate broken)"
+    assert tuned(StandardGaussian((d,))), "exact iso failed to collapse to scalar"
+
+
 def test_branch_agreement_in_scalar_mode():
     """With the refresh having written scalar factors, the dense trajectory
     math must produce the SAME draws as the hard-baked scalar math — the
