@@ -11,6 +11,9 @@ moment-recovery tests for that.)
 
 Run (CPU is fine): python examples/11_two_sample_validation.py
 """
+import sys as _sys, pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))  # repo-root import without pip install
+
 import jax
 import numpy as np
 
