@@ -50,7 +50,7 @@ from ...core.tuning import (
     da_update_step_size,
     ema_inv_mass_diag,
 )
-from ...utils import as_numpy, batched_grad, flatten_event, sum_except_batch
+from ...utils import batched_grad, flatten_event, sum_except_batch
 from .base import MCMCSampler
 
 

@@ -45,7 +45,7 @@ from ...core.output import MCMCOutput
 from ...core.sampler import MCMCKernel, MCMCParameters
 from ...core.statistics import PTStatistics
 from ...core.tuning import DualAveragingParams, DualAveragingState, da_step
-from ...utils import as_numpy, value_and_batched_grad
+from ...utils import value_and_batched_grad
 from .base import MCMCSampler
 
 
@@ -148,7 +148,7 @@ class PTKernel(MCMCKernel):
 
     def sync_from_state(self, state: PTState) -> None:
         # ONE batched host fetch (device_get pre-issues the async copies) —
-        # seven separate as_numpy()/float() fetches each cost a ~25-30 ms
+        # seven separate per-leaf fetches each cost a ~25-30 ms
         # tunnel round trip per sample() call (r5, same fix as the
         # Metropolis/dense kernels).
         (betas, step_sizes, inv_mass_diag, swap_rate_ema, swap_accepts,
