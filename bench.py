@@ -1422,6 +1422,15 @@ def run_dense_metric():
     out["iso_ratio_hmc_resonance_corner"] = round(
         out["iso_dense_hmc"]["ess_per_s_mean"]
         / max(out["iso_hmc"]["ess_per_s_mean"], 1e-9), 2)
+    # wall-free companion (r5): both ESS values are seeded constants, so
+    # this is immune to the ±20% phase noise on the 0.15 s walls that
+    # swings the ESS/s ratio run-to-run; the scalar fast path rides the
+    # same resonance jackpot as the baseline (0.99 measured), and its op
+    # count matches plain HMC (tests/test_dense_scalar_path.py pins the
+    # dense matmuls out of the compiled step)
+    out["iso_yield_parity_hmc"] = round(
+        out["iso_dense_hmc"]["ess_mean"]
+        / max(out["iso_hmc"]["ess_mean"], 1e-9), 2)
     out["dense_wins_on_correlated"] = bool(
         out["hmc_min_dir_speedup"] > 2.0 and out["mala_min_dir_speedup"] > 2.0
     )
@@ -2388,6 +2397,7 @@ def _worker(pipe_w, t_start):
                 "mala_min_dir_x": dense.get("mala_min_dir_speedup"),
                 "near_iso_hmc_x": dense.get("near_iso_hmc_min_dir_speedup"),
                 "iso_yield_parity": dense.get("iso_parity_ess_yield_mala"),
+                "iso_yield_parity_hmc": dense.get("iso_yield_parity_hmc"),
                 "ok": dense.get("dense_wins_on_correlated"),
             }
             if "hmc_min_dir_speedup" in dense else None
