@@ -1969,19 +1969,21 @@ def run_provisional():
     ess = float(jnp.mean(
         effective_sample_size(samples, max_window=128, dim_slab=25)
     ))
-    # two-length slope: the short wall is dominated by the per-run fixed
-    # sync (~0.1 s through the tunnel); (wall_210 - wall_21)/189 isolates
-    # the true per-iteration cost for the rate-based provisional value.
-    # Tunnel walls swing +-0.15 s, so a small/negative delta is pure noise —
-    # report no slope then (caller falls back to the direct-ESS basis)
-    # rather than publish a nonsense rate (r4 review).
-    wall_210, _ = timed(210)
-    delta = wall_210 - wall_21
-    iters_per_s = 189.0 / delta if delta > 0.02 else None
-    if iters_per_s is not None:
-        iters_per_s = min(iters_per_s, 50_000.0)  # physical sanity ceiling
+    # Direct rate at the HEADLINE length (r5): OUTER_OURS compiles as one
+    # scan chunk, so this is a single extra compile + ~1 s of runs and the
+    # provisional rate IS the headline iteration rate — the old two-length
+    # slope ((wall_210 - wall_21)/189) sat inside the ±0.15 s tunnel noise
+    # and frequently reported None, dropping the provisional to the
+    # tau-truncated short-chain basis (10-70x low). The 21-iteration
+    # direct-ESS fallback remains for no-history runs and for failures
+    # before this point.
+    try:
+        wall_full, _ = timed(OUTER_OURS)
+        iters_per_s = min(OUTER_OURS / wall_full, 50_000.0)  # sanity ceiling
+    except Exception:
+        iters_per_s = None
     return {"ess_per_s": ess / wall_21, "wall_s": wall_21,
-            "iters_per_s_slope": iters_per_s,
+            "iters_per_s_direct": iters_per_s,
             "n_outer": 21, "n_draws": int(samples.shape[0])}
 
 
@@ -2118,9 +2120,10 @@ def _worker(pipe_w, t_start):
         # back to the short-chain direct ESS when no history exists (that
         # estimate is tau-truncated ~10-70x low, but non-null and measured).
         yield_per_iter = _stale_ess_per_iter()
-        if yield_per_iter and prov.get("iters_per_s_slope"):
-            prov_value = prov["iters_per_s_slope"] * yield_per_iter
-            basis = "measured iteration rate x last-recorded seeded ESS yield/iter"
+        if yield_per_iter and prov.get("iters_per_s_direct"):
+            prov_value = prov["iters_per_s_direct"] * yield_per_iter
+            basis = ("headline-length iteration rate (measured) x "
+                     "last-recorded seeded ESS yield/iter")
         else:
             prov_value = prov["ess_per_s"]
             basis = "short-chain direct ESS (tau-truncated, reads low)"
